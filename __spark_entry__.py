@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship star-join query at sf0.001;
+``queries()`` / ``oracle_sql()`` expose the full registered query
+surface (sentiment_analysis_data_engineering_spark.plans) for the sf0.01
+DuckDB-oracle correctness gate.
 """
 
 from __future__ import annotations
@@ -13,26 +12,32 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Importing these modules populates the registry.
+from sentiment_analysis_data_engineering_spark.plans import registry
+from sentiment_analysis_data_engineering_spark.plans import parity_queries  # noqa: F401
+
+try:  # extension queries land incrementally; never break the contract
+    from sentiment_analysis_data_engineering_spark.plans import extension_queries  # noqa: F401
+except ImportError:
+    pass
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Star-schema analytical join + group-by (SURVEY.md §2.3 J3): revenue
+    per nation per year over lineitem ⋈ orders ⋈ customer ⋈ nation.
+    """
+    return registry.QUERIES["star_join_revenue"](spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return dict(registry.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query; omitted keys get rows-only checks."""
+    return dict(registry.ORACLES)

@@ -1,0 +1,81 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes via the noop sink (full plan execution, no driver
+collect), after a warm-up pass that triggers JVM/codegen warm-up on the
+smallest table. Timings are per-query wall clock.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Headline queries: the flagship analytics + every operator family that
+#: matters at scale (joins, anti-join, windows, sessionization, text/dedup
+#: extensions as they land).
+HEADLINE = [
+    "groupby_agg_pricing_summary",
+    "star_join_revenue",
+    "nway_inner_join",
+    "anti_join_new_keys",
+    "window_moving_avg",
+    "window_tumbling_daily",
+    "sessionize_events",
+    "topk_per_group",
+    "unnest_tokens",
+    "exact_distinct_parts",
+    # extension queries (present once plans.extension_queries lands)
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_quality_score",
+]
+
+
+def main() -> None:
+    from sentiment_analysis_data_engineering_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("bench")
+    qs = entrymod.queries()
+
+    # warm-up: small full pass to JIT the common codepaths
+    spark.read.parquet(f"{SF_DIR}/nation.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,124 @@
+"""Scan and write-path operators (SURVEY.md §2.1 S1-S2, §2.9 ST1-ST3).
+
+The reference's storage contract, re-expressed on partitioned parquet:
+
+- ``scan``               S1: predicate scan; filters reach the parquet
+                         reader (pushdown / partition pruning).
+- ``append``             S2: plain append (``to_gbq(if_exists='append')``).
+- ``idempotent_append``  ST1/ST2: insert only rows whose key is absent —
+                         ONE left_anti join instead of the reference's
+                         per-row probe loop (``weekly_dag.py:420-427``,
+                         ``#This is super slow``).
+- ``replace_partition``  ST3: the delete+insert upsert
+                         (``weekly_dag.py:131-147``) as dynamic
+                         partition overwrite — only the (year, month)
+                         partitions present in the incoming frame are
+                         replaced; others untouched.
+
+Divergence documented per SURVEY.md §2.11: the reference's fact_table
+path re-appends full history every run with no dedup (``daily_dag.py:92,117``);
+this engine standardizes on ``idempotent_append`` for that path.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from ..operators.relational import anti_join_new_rows
+
+__all__ = ["scan", "append", "idempotent_append", "replace_partition"]
+
+
+def scan(
+    spark: SparkSession,
+    path_or_table: str,
+    *,
+    predicate: Column | None = None,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """S1 — read a parquet path or catalog table with optional predicate
+    and projection. Both are declared on the lazy plan, so Catalyst
+    pushes them into the scan (``PushedFilters`` / pruned ``ReadSchema``)
+    rather than filtering post-read — unlike the reference's local
+    re-filter after ``read_gbq`` (``daily_dag.py:82``)."""
+    if path_or_table.endswith(".parquet") or "/" in path_or_table:
+        df = spark.read.parquet(path_or_table)
+    else:
+        df = spark.table(path_or_table)
+    if predicate is not None:
+        df = df.filter(predicate)
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+def append(
+    df: DataFrame,
+    target: str,
+    *,
+    partition_by: list[str] | None = None,
+) -> None:
+    """S2 — append to a path (parquet dir) or catalog table."""
+    writer = df.write.mode("append")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if "/" in target:
+        writer.parquet(target)
+    else:
+        writer.saveAsTable(target)
+
+
+def idempotent_append(
+    spark: SparkSession,
+    df: DataFrame,
+    target: str,
+    keys: Iterable[str],
+    *,
+    partition_by: list[str] | None = None,
+) -> int:
+    """ST1/ST2 — append only rows whose key tuple is not yet in target.
+
+    Returns the number of rows appended. The existing side is pruned to
+    key columns before the anti join, so the probe reads only the key
+    columns from parquet (column pruning) and, when the keys are the
+    partition columns, only partition metadata-sized data moves.
+    """
+    keys = list(keys)
+    try:
+        existing = scan(spark, target, columns=keys)
+    except Exception:
+        existing = None  # first write: target doesn't exist yet
+    new_rows = df if existing is None else anti_join_new_rows(df, existing, keys)
+    # Two actions on new_rows (count + write): cache to avoid recompute,
+    # then release. At scale the anti join runs once either way.
+    new_rows = new_rows.cache()
+    try:
+        n = new_rows.count()
+        if n:
+            append(new_rows, target, partition_by=partition_by)
+    finally:
+        new_rows.unpersist()
+    return n
+
+
+def replace_partition(
+    spark: SparkSession,
+    df: DataFrame,
+    target: str,
+    partition_by: list[str],
+) -> None:
+    """ST3 — replace exactly the partitions present in ``df``.
+
+    Requires ``spark.sql.sources.partitionOverwriteMode=dynamic`` (set
+    by session.get_spark). This is the safe form of the reference's
+    non-atomic ``DELETE FROM t WHERE year= AND month=`` + re-append
+    (``weekly_dag.py:132-147``): untouched partitions are never
+    rewritten, and each partition swap is a directory-level commit.
+    """
+    writer = df.write.mode("overwrite").partitionBy(*partition_by)
+    if "/" in target:
+        writer.parquet(target)
+    else:
+        writer.saveAsTable(target)

@@ -1,0 +1,78 @@
+"""Write-path semantics (SURVEY.md §2.9 ST1-ST3) against local parquet."""
+
+from __future__ import annotations
+
+from sentiment_analysis_data_engineering_spark.sources.io import (
+    append,
+    idempotent_append,
+    replace_partition,
+    scan,
+)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "year long, month long, day long, v double")
+
+
+def test_append_and_scan(spark, tmp_table_dir):
+    target = str(tmp_table_dir / "t_append")
+    append(_mk(spark, [(2023, 5, 1, 1.0)]), target, partition_by=["year", "month"])
+    append(_mk(spark, [(2023, 6, 1, 2.0)]), target, partition_by=["year", "month"])
+    assert scan(spark, target).count() == 2
+
+
+def test_idempotent_append_skips_existing_keys(spark, tmp_table_dir):
+    """ST1/ST2 — the anti-join dedup writer replacing the reference's
+    per-row probe loop (weekly_dag.py:420-432)."""
+    target = str(tmp_table_dir / "t_idem")
+    first = _mk(spark, [(2023, 5, 1, 1.0), (2023, 6, 1, 2.0)])
+    n1 = idempotent_append(spark, first, target, ["year", "month"],
+                           partition_by=["year", "month"])
+    assert n1 == 2
+    # second batch half-overlaps on (year, month)
+    second = _mk(spark, [(2023, 6, 15, 99.0), (2023, 7, 1, 3.0)])
+    n2 = idempotent_append(spark, second, target, ["year", "month"],
+                           partition_by=["year", "month"])
+    assert n2 == 1  # only (2023, 7) is new
+    out = scan(spark, target)
+    assert out.count() == 3
+    keys = {(r.year, r.month) for r in out.collect()}
+    assert keys == {(2023, 5), (2023, 6), (2023, 7)}
+    # re-running the same batch appends nothing (idempotence)
+    assert idempotent_append(spark, second, target, ["year", "month"],
+                             partition_by=["year", "month"]) == 0
+
+
+def test_idempotent_append_first_write(spark, tmp_table_dir):
+    target = str(tmp_table_dir / "t_first")
+    n = idempotent_append(spark, _mk(spark, [(2023, 5, 1, 1.0)]), target,
+                          ["year", "month"], partition_by=["year", "month"])
+    assert n == 1
+    assert scan(spark, target).count() == 1
+
+
+def test_replace_partition_touches_only_incoming(spark, tmp_table_dir):
+    """ST3 — dynamic partition overwrite as the safe form of the
+    reference's DELETE+append upsert (weekly_dag.py:131-147)."""
+    target = str(tmp_table_dir / "t_replace")
+    base = _mk(spark, [(2023, 5, 1, 1.0), (2023, 5, 2, 1.5), (2023, 6, 1, 2.0)])
+    append(base, target, partition_by=["year", "month"])
+    incoming = _mk(spark, [(2023, 5, 9, 42.0)])
+    replace_partition(spark, incoming, target, ["year", "month"])
+    out = scan(spark, target).collect()
+    by_key = {(r.year, r.month, r.day): r.v for r in out}
+    # (2023,5) replaced wholesale; (2023,6) untouched
+    assert by_key == {(2023, 5, 9): 42.0, (2023, 6, 1): 2.0}
+
+
+def test_scan_predicate_pushdown(spark, tmp_table_dir):
+    """Predicates reach the scan as partition filters, not post-filters."""
+    from pyspark.sql import functions as F
+
+    target = str(tmp_table_dir / "t_pushdown")
+    append(_mk(spark, [(2023, 5, 1, 1.0), (2023, 6, 1, 2.0)]), target,
+           partition_by=["year", "month"])
+    df = scan(spark, target, predicate=(F.col("year") == 2023) & (F.col("month") == 5))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert df.count() == 1
