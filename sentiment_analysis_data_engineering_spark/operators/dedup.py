@@ -1,0 +1,399 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Extension layer (no reference counterpart). All algorithms follow the
+published literature — Broder's MinHash (1997), Charikar's SimHash
+(STOC 2002), standard LSH banding as in Mining of Massive Datasets
+(Leskovec/Rajaraman/Ullman, ch. 3) — implemented as shuffle-conscious
+DataFrame plans:
+
+- no cross joins anywhere: candidate pairs come from equi-joins on
+  band/bucket keys, so the shuffle key space is the bucket id;
+- signatures are built with ``explode`` + ``groupBy`` (map-side partial
+  aggregation) or pure per-row expressions (SimHash: 64 conditional
+  sums in ONE aggregate-free projection);
+- everything is JVM built-ins (xxhash64, transform, aggregate) — no
+  Python in the hot path.
+
+At 100 TB: every stage keys its shuffle on (doc/bucket) ids; skewed
+buckets (stop-shingles) are capped via ``max_bucket_size``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import normalize_text, tokens
+
+__all__ = [
+    "exact_dedup",
+    "word_ngrams",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash",
+    "simhash_pairs",
+    "embedding_cosine_pairs",
+]
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup on normalized text: one hash-aggregate keyed on the
+    text (Spark's partial+final HashAggregate — map-side combine makes
+    the shuffle carry one row per distinct text per partition).
+
+    Returns (keep_id, n_copies, fingerprint) — ``keep_id`` is the
+    smallest id among copies, the usual stable survivor rule.
+    """
+    norm = normalize_text(F.col(text_col))
+    return (
+        df.select(F.col(id_col), norm.alias("_norm"))
+        .groupBy("_norm")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .select(
+            "keep_id",
+            "n_copies",
+            F.md5(F.col("_norm").cast("binary")).alias("fingerprint"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Word n-grams (shingles) + exact Jaccard
+# --------------------------------------------------------------------------
+
+
+def word_ngrams(col: Column | str, n: int = 5) -> Column:
+    """Word-level n-gram shingles as array<string> (space-joined).
+    Documents shorter than n tokens yield their whole token string as a
+    single shingle, so no document silently disappears."""
+    toks = tokens(col)
+    c = F.size(toks)
+    joined = F.array_join(toks, " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), c - F.lit(n)),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return F.when(c >= n, grams).otherwise(F.array(joined))
+
+
+def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, shingle) pairs, distinct per document."""
+    return (
+        df.select(F.col(id_col).alias("_id"),
+                  F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("_sh"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 5,
+    threshold: float = 0.2,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    Plan: explode distinct shingles → self equi-join on the shingle
+    (never a cross join; candidate generation is keyed on shingle) →
+    count shared shingles per pair → join per-doc shingle counts →
+    jaccard = inter / (|A| + |B| - inter).
+
+    ``max_bucket_size`` drops degenerate stop-shingles shared by more
+    than N docs — they generate O(N²) candidates while carrying no
+    signal (the standard skew guard for shingle joins).
+    """
+    sh = _doc_shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("_size"))
+
+    freq = sh.groupBy("_sh").agg(F.count("*").alias("_df"))
+    sh_kept = sh.join(
+        freq.filter(F.col("_df") <= max_bucket_size).select("_sh"), "_sh"
+    )
+
+    a = sh_kept.select(F.col("_id").alias("id_a"), "_sh")
+    b = sh_kept.select(F.col("_id").alias("id_b"), "_sh")
+    inter = (
+        a.join(b, "_sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnsRenamed({"_id": "id_a", "_size": "_sa"}), "id_a")
+        .join(sizes.withColumnsRenamed({"_id": "id_b", "_size": "_sb"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("_inter")
+                / (F.col("_sa") + F.col("_sb") - F.col("_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH banding (Broder 1997; MMDS ch. 3)
+# --------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 64,
+    shingle_size: int = 5,
+) -> DataFrame:
+    """MinHash signatures: (id, seed, min_hash) rows.
+
+    h_i(s) = xxhash64(i, s); per (doc, i) keep the min over the doc's
+    shingles. Shape: explode shingles × seeds → groupBy(doc, seed).min.
+    The seed explosion multiplies rows by num_hashes, but partial
+    aggregation collapses them map-side before the shuffle — the
+    exchange carries exactly num_hashes rows per document.
+    """
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    sh = _doc_shingles(df, text_col, id_col, shingle_size)
+    return (
+        sh.select("_id", "_sh", F.explode(seeds).alias("_seed"))
+        .select(
+            "_id",
+            "_seed",
+            F.xxhash64(F.col("_seed"), F.col("_sh")).alias("_h"),
+        )
+        .groupBy("_id", "_seed")
+        .agg(F.min("_h").alias("_minhash"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 5,
+    verify_threshold: float | None = 0.2,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via LSH banding over MinHash
+    signatures, optionally verified with exact n-gram Jaccard.
+
+    Banding: num_hashes/bands rows per band; a pair lands in a bucket iff
+    a whole band of their signatures agrees. With 64 hashes / 16 bands
+    (r=4), the S-curve threshold is (1/16)^(1/4) ≈ 0.5 Jaccard.
+
+    Output: (id_a, id_b, n_bands[, jaccard]) — one row per candidate
+    pair; the optional verify join recomputes exact Jaccard and filters.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(
+        df, text_col, id_col, num_hashes=num_hashes, shingle_size=shingle_size
+    )
+    band_sig = (
+        sig.withColumn("_band", (F.col("_seed") / rows_per_band).cast("int"))
+        .groupBy("_id", "_band")
+        .agg(
+            # order within the band is fixed by seed → deterministic key
+            F.xxhash64(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("_seed", "_minhash"))
+                        ),
+                        lambda s: s["_minhash"].cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("_bucket"),
+        )
+    )
+    # skew guard: a bucket with B docs yields B² pairs
+    bucket_sizes = band_sig.groupBy("_band", "_bucket").agg(
+        F.count("*").alias("_bsz")
+    )
+    kept = band_sig.join(
+        bucket_sizes.filter(F.col("_bsz") <= max_bucket_size).select(
+            "_band", "_bucket"
+        ),
+        ["_band", "_bucket"],
+    )
+    a = kept.select(F.col("_id").alias("id_a"), "_band", "_bucket")
+    b = kept.select(F.col("_id").alias("id_b"), "_band", "_bucket")
+    pairs = (
+        a.join(b, ["_band", "_bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_bands"))
+    )
+    if verify_threshold is None:
+        return pairs
+    exact = ngram_jaccard_pairs(
+        df, text_col, id_col, n=shingle_size, threshold=0.0,
+        max_bucket_size=max_bucket_size,
+    )
+    return (
+        pairs.join(exact, ["id_a", "id_b"], "left")
+        .filter(F.coalesce(F.col("jaccard"), F.lit(0.0)) >= verify_threshold)
+        .select("id_a", "id_b", "n_bands", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash (Charikar, STOC 2002)
+# --------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash per document — (id, simhash long).
+
+    Token hashes via xxhash64; bit b of the output is the sign of
+    Σ_tokens (±1 depending on bit b of the token hash). Implemented as
+    one explode + ONE groupBy with 64 conditional-sum aggregates (no
+    per-bit row blowup), then the 64 signs are packed into a long with
+    a fold over bit positions. All JVM expressions.
+    """
+    tok = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens(text_col)).alias("_t"),
+    ).select("_id", F.xxhash64("_t").alias("_h"))
+
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"_b{b}")
+        for b in range(64)
+    ]
+    agg = tok.groupBy("_id").agg(*bit_sums)
+
+    packed = None
+    for b in range(64):
+        bit = F.when(F.col(f"_b{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, b)
+        packed = term if packed is None else packed.bitwiseXOR(term)
+    return agg.select(F.col("_id").alias(id_col), packed.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Pigeonhole banding: split the 64-bit hash into ``chunks`` 16-bit
+    chunks; any pair within Hamming distance < chunks must agree on at
+    least one chunk → equi-join per chunk, union, exact Hamming filter
+    via bit_count(xor). No cross join; candidate generation is an
+    equi-join on (chunk_idx, chunk_value).
+    """
+    sh = simhash(df, text_col, id_col).select(
+        F.col(id_col).alias("_id"), "simhash"
+    )
+    chunk_bits = 64 // chunks
+    mask = (1 << chunk_bits) - 1
+    exploded = sh.select(
+        "_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftright(F.col("simhash"), i * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("cv"),
+                    )
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("_c"),
+    ).select("_id", "simhash", F.col("_c.ci").alias("_ci"), F.col("_c.cv").alias("_cv"))
+
+    a = exploded.select(
+        F.col("_id").alias("id_a"), F.col("simhash").alias("_ha"), "_ci", "_cv"
+    )
+    b = exploded.select(
+        F.col("_id").alias("id_b"), F.col("simhash").alias("_hb"), "_ci", "_cv"
+    )
+    return (
+        a.join(b, ["_ci", "_cv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_ha", "_hb")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding cosine near-dup
+# --------------------------------------------------------------------------
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold.
+
+    Brute-force O(n²) form — correct baseline for modest n (the ANN
+    module's LSH bucketing is the scale path; see similarity.py). The
+    dot product and norms are `aggregate`/`zip_with` JVM expressions
+    over array<double>, summed in element order so an oracle can
+    reproduce them exactly.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        v.alias("_v"),
+        F.sqrt(
+            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+        ).alias("_norm"),
+    )
+    a = base.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_norm").alias("_na")
+    )
+    b = base.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_norm").alias("_nb")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(dot / (F.col("_na") * F.col("_nb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

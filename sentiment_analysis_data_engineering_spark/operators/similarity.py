@@ -1,0 +1,180 @@
+"""Similarity search over an embedding column (array<float>).
+
+Extension layer (no reference counterpart). Two paths:
+
+- ``cosine_topk``       brute-force exact top-k — the correctness
+                        baseline; O(|Q|·|C|) via an equi-join-free
+                        broadcast of the (small) query set, never a
+                        shuffling cross join of the corpus.
+- ``lsh_cosine_topk``   random-hyperplane LSH (Charikar, STOC 2002):
+                        sign-bit sketches bucket the corpus; queries
+                        probe only their own bucket (+ optional
+                        multi-probe by band). The 100 TB path: the
+                        corpus shuffles once on bucket id, queries
+                        equi-join on it.
+
+Hyperplanes are derived deterministically from xxhash64(plane, dim) —
+no RNG, so results are reproducible across runs and engines, and the
+"model" ships as code instead of state.
+
+MLlib's BucketedRandomProjectionLSH offers the same primitive for
+euclidean distance; this module keeps cosine semantics and
+deterministic planes, staying in pure DataFrame expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+__all__ = ["cosine_topk", "lsh_cosine_topk", "hyperplane_signature"]
+
+
+def _as_double(vec_col: str) -> Column:
+    return F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+
+def _norm(v: Column) -> Column:
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact top-k cosine neighbours for each query vector.
+
+    The query side is broadcast (it's the small side by construction),
+    so the corpus is scanned exactly once with no shuffle; the only
+    exchange is the final per-query top-k (a window over query_id,
+    k rows each).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("_qv")
+    ).withColumn("_qn", _norm(F.col("_qv")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("_cv")
+    ).withColumn("_cn", _norm(F.col("_cv")))
+
+    joined = c.crossJoin(F.broadcast(q))
+    if not include_self:
+        joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = joined.withColumn(
+        "cosine",
+        F.round(_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def hyperplane_signature(
+    vec_col: str, *, num_planes: int = 16, dim: int = 64
+) -> Column:
+    """Sign-bit LSH sketch: bit p = [dot(v, h_p) >= 0], where hyperplane
+    h_p has components ±1 chosen by xxhash64(p, d) parity. Packed into
+    a long → the bucket id. Deterministic; pure JVM expressions."""
+    v = _as_double(vec_col)
+    sig = F.lit(0).cast("long")
+    for p in range(num_planes):
+        plane = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: F.when(
+                F.xxhash64(F.lit(p), d) % 2 == 0, F.lit(1.0)
+            ).otherwise(F.lit(-1.0)),
+        )
+        dot = F.aggregate(
+            F.zip_with(v, plane, lambda x, y: x * y), F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(dot >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = sig.bitwiseXOR(F.shiftleft(bit, p))
+    return sig
+
+
+def lsh_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    num_planes: int = 12,
+    dim: int = 64,
+    bands: int = 6,
+) -> DataFrame:
+    """Approximate top-k: candidates must share at least one LSH band
+    with the query (multi-probe via banding, like MinHash-LSH), then
+    exact cosine re-rank within candidates.
+
+    Scale shape: corpus computes its sketch in one scan and shuffles on
+    (band, band_value); queries do the same; candidate generation is an
+    equi-join on the band key. Recall tunes with num_planes/bands.
+    """
+    band_bits = num_planes // bands
+
+    def with_bands(df: DataFrame, role: str) -> DataFrame:
+        sig = hyperplane_signature(vec_col, num_planes=num_planes, dim=dim)
+        base = df.select(
+            F.col(id_col).alias(f"{role}_id"),
+            _as_double(vec_col).alias(f"_{role}v"),
+            sig.alias("_sig"),
+        )
+        mask = (1 << band_bits) - 1
+        return base.select(
+            f"{role}_id",
+            f"_{role}v",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.shiftright(F.col("_sig"), i * band_bits)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("bval"),
+                        )
+                        for i in range(bands)
+                    ]
+                )
+            ).alias("_b"),
+        ).select(f"{role}_id", f"_{role}v",
+                 F.col("_b.band").alias("band"), F.col("_b.bval").alias("bval"))
+
+    qb = with_bands(queries, "query")
+    cb = with_bands(corpus, "neighbor")
+    cand = (
+        cb.join(qb, ["band", "bval"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "_queryv", "_neighborv")
+        .distinct()
+    )
+    scored = cand.withColumn(
+        "cosine",
+        F.round(
+            _dot(F.col("_queryv"), F.col("_neighborv"))
+            / (_norm(F.col("_queryv")) * _norm(F.col("_neighborv"))),
+            6,
+        ),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

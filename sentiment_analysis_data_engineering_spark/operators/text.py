@@ -1,0 +1,147 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+No reference counterpart (extension layer, SURVEY.md §7.2.6). Every
+operator is a pure Column expression or lazy DataFrame transform —
+JVM-side, codegen-friendly, no Python UDFs — so they run at full
+scan speed over a 100 TB documents table.
+
+Operators:
+- ``tokens`` / ``token_count``   whitespace + BPE-ish regex tokenization
+- ``quality_features``           length/punct/digit/stopword feature set
+- ``quality_score``              composite [0,1] quality score
+- ``lang_id``                    stopword-overlap language heuristic
+- ``fingerprint_md5``            normalized-text content fingerprint
+- ``fingerprint_xxh64``          64-bit fingerprint for dedup keys
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "bpe_ish_token_count",
+    "quality_features",
+    "quality_score",
+    "lang_id",
+    "fingerprint_md5",
+    "fingerprint_xxh64",
+    "normalize_text",
+]
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Lowercase + whitespace-collapse + trim — the canonical form used
+    by fingerprints and exact dedup."""
+    return F.trim(F.regexp_replace(F.lower(_c(col)), r"\s+", " "))
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization → array<string>."""
+    return F.split(F.trim(_c(col)), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (long)."""
+    return F.size(tokens(col)).cast("long")
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-ish token estimate: splits on word boundaries AND digit/punct
+    runs, the way byte-pair vocabularies fragment text. Regex-only —
+    ``[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]`` pieces, each alpha run counted
+    as ceil(len/4) subword units (≈ 4 chars/token, the common rule of
+    thumb for English BPE vocabularies)."""
+    c = _c(col)
+    alpha_chars = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    non_alpha_pieces = F.length(F.regexp_replace(c, r"[A-Za-z\s]", ""))
+    return (F.ceil(alpha_chars / F.lit(4.0)) + non_alpha_pieces).cast("long")
+
+
+#: Small per-language marker-word sets for the heuristic language ID.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans"],
+    "es": ["el", "los", "las", "y", "es", "un", "una", "en"],
+}
+
+
+def _marker_hits(toks: Column, markers: list[str]) -> Column:
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("long")
+
+
+def lang_id(col: Column | str) -> Column:
+    """Language-ID heuristic: count marker-word hits per language, pick
+    the argmax (fixed precedence en>de>fr>es on ties), 'und' when no
+    marker hits at all. Deterministic and SQL-replicable."""
+    toks = tokens(col)
+    scores = {lang: _marker_hits(toks, m) for lang, m in LANG_MARKERS.items()}
+    s_en, s_de, s_fr, s_es = scores["en"], scores["de"], scores["fr"], scores["es"]
+    return (
+        F.when((s_en >= F.greatest(s_de, s_fr, s_es)) & (s_en > 0), F.lit("en"))
+        .when((s_de >= F.greatest(s_fr, s_es)) & (s_de > 0), F.lit("de"))
+        .when((s_fr >= s_es) & (s_fr > 0), F.lit("fr"))
+        .when(s_es > 0, F.lit("es"))
+        .otherwise(F.lit("und"))
+    )
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Per-document quality features, all as rounded doubles so a SQL
+    oracle reproduces them bit-for-bit."""
+    c = _c(col)
+    n_chars = F.length(c).cast("long")
+    toks = tokens(c)
+    n_tokens = F.size(toks).cast("long")
+    punct = F.length(F.regexp_replace(c, r"[^.,;:!?'\"()-]", "")).cast("long")
+    digits = F.length(F.regexp_replace(c, r"[^0-9]", "")).cast("long")
+    stop_hits = _marker_hits(toks, LANG_MARKERS["en"])
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "avg_token_len": F.round(n_chars / n_tokens, 4),
+        "punct_ratio": F.round(punct / n_chars, 6),
+        "digit_ratio": F.round(digits / n_chars, 6),
+        "stopword_ratio": F.round(stop_hits / n_tokens, 6),
+    }
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite quality score in [0,1]:
+
+        0.4 * min(n_tokens/64, 1)            -- enough content
+      + 0.3 * (1 - min(punct_ratio*10, 1))   -- not punctuation soup
+      + 0.3 * (1 - min(digit_ratio*10, 1))   -- not a number dump
+
+    Rounded to 4 dp; every term replicable in ANSI SQL (least/greatest).
+    """
+    f = quality_features(col)
+    score = (
+        0.4 * F.least(f["n_tokens"] / F.lit(64.0), F.lit(1.0))
+        + 0.3 * (F.lit(1.0) - F.least(f["punct_ratio"] * 10, F.lit(1.0)))
+        + 0.3 * (F.lit(1.0) - F.least(f["digit_ratio"] * 10, F.lit(1.0)))
+    )
+    # floor-based HALF_UP: identical across engines (Spark's round and
+    # DuckDB's round disagree on exact-half doubles like 0.86875)
+    return F.floor(score * 10000 + F.lit(0.5)) / 10000.0
+
+
+def fingerprint_md5(col: Column | str) -> Column:
+    """Content fingerprint: md5 hex of the normalized text. md5 is
+    identical across engines, so this one is oracle-checkable."""
+    return F.md5(normalize_text(col).cast("binary"))
+
+
+def fingerprint_xxh64(col: Column | str) -> Column:
+    """64-bit xxHash fingerprint of normalized text — the cheap dedup /
+    shuffle key (long, not hex string). Spark-specific hash; paired
+    queries are rows-only in the oracle gate."""
+    return F.xxhash64(normalize_text(col))

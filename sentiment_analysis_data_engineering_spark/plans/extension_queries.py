@@ -1,0 +1,352 @@
+"""Extension queries: dedup, similarity search, text analysis,
+multimodal plumbing — the LLM-training-data operators (no reference
+counterpart; SURVEY.md §7.2.6).
+
+Oracle notes:
+- md5 / regex / list lambdas exist in both engines → text analysis and
+  exact/n-gram dedup are fully oracle-checked.
+- xxhash64 (MinHash/SimHash/LSH planes) is Spark-only → those queries
+  are rows-only in the driver gate, but their *verified* outputs (exact
+  Jaccard / Hamming / cosine) are deterministic and unit-tested.
+- embeddings are float32; BOTH engines cast elements to double BEFORE
+  any arithmetic, and every similarity is rounded to 6 dp so summation
+  order can't flip a comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as dd
+from ..operators import multimodal as mm
+from ..operators import similarity as sim
+from ..operators import text as tx
+from .registry import load_tables, query
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(ceil(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / 4.0)
+                + length(regexp_replace(text, '[A-Za-z\\s]', '', 'g')) AS BIGINT)
+             AS n_bpe_ish
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counting over documents."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return documents.select(
+        "doc_id",
+        tx.token_count("text").alias("n_tokens"),
+        tx.bpe_ish_token_count("text").cast("long").alias("n_bpe_ish"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+             CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS BIGINT)
+               AS n_punct,
+             CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           round(n_chars / n_tokens, 4)  AS avg_token_len,
+           round(n_punct / n_chars, 6)   AS punct_ratio,
+           round(n_digit / n_chars, 6)   AS digit_ratio,
+           floor((0.4 * least(n_tokens / 64.0, 1.0)
+               + 0.3 * (1.0 - least(round(n_punct / n_chars, 6) * 10, 1.0))
+               + 0.3 * (1.0 - least(round(n_digit / n_chars, 6) * 10, 1.0)))
+               * 10000 + 0.5) / 10000.0
+             AS quality
+    FROM f
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features + composite score per document."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    f = tx.quality_features("text")
+    return documents.select(
+        "doc_id",
+        f["n_chars"].alias("n_chars"),
+        f["n_tokens"].alias("n_tokens"),
+        f["avg_token_len"].alias("avg_token_len"),
+        f["punct_ratio"].alias("punct_ratio"),
+        f["digit_ratio"].alias("digit_ratio"),
+        tx.quality_score("text").alias("quality"),
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(toks, x -> list_contains(
+               ['the','and','of','to','a','in','is','it','that'], x))) AS BIGINT) AS s_en,
+             CAST(len(list_filter(toks, x -> list_contains(
+               ['der','die','das','und','ist','nicht','ein','zu'], x))) AS BIGINT) AS s_de,
+             CAST(len(list_filter(toks, x -> list_contains(
+               ['le','la','les','et','est','un','une','dans'], x))) AS BIGINT) AS s_fr,
+             CAST(len(list_filter(toks, x -> list_contains(
+               ['el','los','las','y','es','un','una','en'], x))) AS BIGINT) AS s_es
+      FROM t
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN s_en >= greatest(s_de, s_fr, s_es) AND s_en > 0 THEN 'en'
+                WHEN s_de >= greatest(s_fr, s_es) AND s_de > 0 THEN 'de'
+                WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+                WHEN s_es > 0 THEN 'es'
+                ELSE 'und' END AS predicted_lang
+    FROM s
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic vs the labeled lang column."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return documents.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        tx.lang_id("text").alias("predicted_lang"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint (md5 of normalized text) per document."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return documents.select(
+        "doc_id", tx.fingerprint_md5("text").alias("fingerprint")
+    )
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
+           count(*) AS n_copies,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text: hash-aggregate, min-id survivor."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return dd.exact_dedup(documents, "text", "doc_id")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(t) >= 5
+                    THEN [array_to_string(t[i:i+4], ' ') for i in range(1, len(t)-3)]
+                    ELSE [array_to_string(t, ' ')] END) AS g
+      FROM toks
+    ),
+    sh AS (SELECT doc_id, unnest(g) AS s FROM grams),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    freq AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000),
+    kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN freq USING (s)),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-5-gram Jaccard near-dup pairs (threshold 0.2)."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(
+        documents, "text", "doc_id", n=5, threshold=0.2, max_bucket_size=1000
+    )
+
+
+@query("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + LSH(16 bands) candidates, verified with exact
+    Jaccard ≥ 0.2. Rows-only in the gate (xxhash64 is Spark-specific);
+    the verification join makes the output exact, and unit tests pin
+    recall against ngram_jaccard ground truth."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs(
+        documents, "text", "doc_id",
+        num_hashes=64, bands=16, shingle_size=5, verify_threshold=0.2,
+    )
+
+
+@query("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3 via 4-chunk pigeonhole).
+    Rows-only (xxhash64 token hashes)."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return dd.simhash_pairs(documents, "text", "doc_id", max_hamming=3)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id,
+             embedding,
+             sqrt(list_aggregate(
+               list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               'sum')) AS nrm
+      FROM embeddings
+    ),
+    d AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dot,
+             any_value(a.nrm) AS na, any_value(b.nrm) AS nb
+      FROM n a JOIN n b ON a.vec_id < b.vec_id, range(1, 65) r(i)
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, round(dot / (na * nb), 6) AS cosine
+    FROM d
+    WHERE round(dot / (na * nb), 6) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine ≥ 0.4), brute-force
+    baseline. The LSH-bucketed scale path is ann_lsh_topk."""
+    (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    return dd.embedding_cosine_pairs(
+        embeddings, "embedding", "vec_id", threshold=0.4
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ann_cosine_topk",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_aggregate(
+               list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               'sum')) AS nrm
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM n WHERE vec_id < 10),
+    d AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             sum(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)) AS dot,
+             any_value(q.nrm) AS nq, any_value(c.nrm) AS nc
+      FROM q JOIN n c ON q.vec_id <> c.vec_id, range(1, 65) r(i)
+      GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT query_id, neighbor_id, round(dot / (nq * nc), 6) AS cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY round(dot / (nq * nc), 6) DESC, neighbor_id)
+                  AS INTEGER) AS rank
+      FROM d
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM s WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for query vectors (vec_id < 10): broadcast
+    queries over one corpus scan, per-query window top-k."""
+    (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    queries_df = embeddings.filter(F.col("vec_id") < 10)
+    return sim.cosine_topk(
+        queries_df, embeddings, vec_col="embedding", id_col="vec_id", k=5
+    )
+
+
+@query("ann_lsh_topk")
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via deterministic random-hyperplane LSH
+    (12 planes, 6 bands) + exact re-rank within candidates. Rows-only
+    (hash-derived planes); recall vs exact top-k is unit-tested."""
+    (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    queries_df = embeddings.filter(F.col("vec_id") < 10)
+    return sim.lsh_cosine_topk(
+        queries_df, embeddings, vec_col="embedding", id_col="vec_id",
+        k=5, num_planes=12, bands=6, dim=64,
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing (decode stubbed; Spark-side plumbing real)
+# --------------------------------------------------------------------------
+
+
+@query("multimodal_decode_features")
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media plumbing end-to-end: documents' text bytes stand in
+    for image payloads → media contract → Arrow-batched mapInPandas
+    decode (deterministic fake) → fixed-width features → mean feature
+    per 'image'. Rows-only (mapInPandas; no SQL equivalent)."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    media = mm.attach_media_metadata(
+        documents.select(
+            F.col("doc_id").alias("media_id"),
+            F.col("text").cast("binary").alias("content"),
+        ),
+        kind="image",
+        mime="image/fake",
+    )
+    decoded = mm.decode_image(media)
+    feats = mm.extract_features(media, dim=16)
+    return decoded.join(feats, "media_id").select(
+        "media_id",
+        "height",
+        "width",
+        F.round("mean_px", 6).alias("mean_px"),
+        F.round(
+            F.aggregate(
+                F.transform(F.col("features"), lambda x: x.cast("double")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            / F.size("features"),
+            6,
+        ).alias("mean_feature"),
+    )

@@ -1,0 +1,104 @@
+"""Dedup operators on a corpus with KNOWN duplicate structure."""
+
+from __future__ import annotations
+
+import pytest
+
+from sentiment_analysis_data_engineering_spark.operators import dedup as dd
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat "
+    "watches from the warm windowsill every single morning"
+)
+NEAR = BASE.replace("warm", "cold")  # one-token change → high jaccard
+OTHER = (
+    "completely unrelated text about spark shuffles partitions and "
+    "broadcast joins at terabyte scale with adaptive execution plans"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),                      # exact dup of 0
+        (2, "  " + BASE.upper() + " "), # normalized dup of 0
+        (3, NEAR),                      # near dup of 0
+        (4, OTHER),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups_normalized_copies(corpus):
+    out = {r.keep_id: r.n_copies for r in dd.exact_dedup(corpus, "text", "doc_id").collect()}
+    assert out[0] == 3   # 0, 1, 2 collapse
+    assert out[3] == 1 and out[4] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(corpus):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.ngram_jaccard_pairs(corpus, "text", "doc_id", threshold=0.2).collect()
+    }
+    assert pairs[(0, 1)] == 1.0          # exact dup
+    assert (0, 3) in pairs               # near dup above threshold
+    assert 0.2 <= pairs[(0, 3)] < 1.0
+    assert not any(4 in p for p in pairs)  # unrelated never pairs
+
+
+def test_minhash_lsh_recall_vs_exact(corpus):
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dd.ngram_jaccard_pairs(corpus, "text", "doc_id", threshold=0.5).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in dd.minhash_lsh_pairs(
+            corpus, "text", "doc_id", verify_threshold=0.5
+        ).collect()
+    }
+    # banding at r=4,b=16 has ~0.5 jaccard threshold: pairs >= 0.5 must appear
+    assert exact <= lsh or exact == lsh
+    assert (0, 1) in lsh
+
+
+def test_minhash_lsh_verified_never_false_positive(corpus):
+    out = dd.minhash_lsh_pairs(corpus, "text", "doc_id", verify_threshold=0.2).collect()
+    for r in out:
+        assert r.jaccard >= 0.2
+        assert not (r.id_a == 4 or r.id_b == 4)
+
+
+def test_simhash_near_dup(spark, corpus):
+    sh = {r.doc_id: r.simhash for r in dd.simhash(corpus, "text", "doc_id").collect()}
+    assert sh[0] == sh[1]  # identical text → identical simhash
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dd.simhash_pairs(corpus, "text", "doc_id", max_hamming=8).collect()
+    }
+    assert pairs[(0, 1)] == 0
+    assert (0, 3) in pairs           # near dup within hamming 8
+    assert not any(4 in p for p in pairs)
+
+
+def test_embedding_cosine_pairs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.04, 0.0, 0.0]),   # ~same direction
+        (2, [0.0, 1.0, 0.0, 0.0]),      # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dd.embedding_cosine_pairs(df, "embedding", "vec_id", threshold=0.95).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
+    assert len(pairs) == 1
+
+
+def test_word_ngrams_short_doc(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("a b c",)], "text string")
+    out = df.select(dd.word_ngrams("text", 5).alias("g")).first().g
+    assert out == ["a b c"]  # shorter than n → whole text is the shingle

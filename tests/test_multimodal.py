@@ -1,0 +1,59 @@
+"""Multimodal plumbing: schema contract, Arrow batch flow, stub gating."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sentiment_analysis_data_engineering_spark.operators import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [(i, f"payload-{i}".encode()) for i in range(10)]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    return mm.attach_media_metadata(df, kind="image", mime="image/png")
+
+
+def test_media_contract_schema(media):
+    assert [f.name for f in media.schema.fields] == ["media_id", "kind", "content", "meta"]
+    meta = dict(media.select("meta.*").dtypes)
+    assert meta == {
+        "mime": "string", "width": "int", "height": "int",
+        "duration_ms": "bigint", "codec": "string",
+    }
+
+
+def test_decode_image_plumbing(media):
+    out = mm.decode_image(media)
+    rows = out.collect()
+    assert len(rows) == 10
+    assert all(r.height == 8 and r.width == 8 for r in rows)
+    assert all(0.0 <= r.mean_px <= 1.0 for r in rows)
+    # deterministic: same payload → same decode
+    again = {r.media_id: r.mean_px for r in mm.decode_image(media).collect()}
+    assert all(again[r.media_id] == r.mean_px for r in rows)
+
+
+def test_decode_image_strict_raises(media):
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception) as exc:
+        mm.decode_image(media, strict=True).collect()
+    assert "NotImplementedError" in str(exc.value) or "codecs" in str(exc.value)
+
+
+def test_extract_features_shape(media):
+    out = mm.extract_features(media, dim=16).collect()
+    assert len(out) == 10
+    assert all(len(r.features) == 16 for r in out)
+    assert all(all(0.0 <= v <= 1.0 for v in r.features) for r in out)
+
+
+def test_sample_frames_schedule(spark):
+    rows = [(1, "video", b"x", ("video/mp4", None, None, 3500, "h264"))]
+    schema = ("media_id long, kind string, content binary, "
+              "meta struct<mime:string,width:int,height:int,duration_ms:long,codec:string>")
+    df = spark.createDataFrame(rows, schema)
+    out = mm.sample_frames(df, every_ms=1000).collect()
+    assert [r.frame_ts_ms for r in out] == [0, 1000, 2000, 3000]

@@ -1,0 +1,67 @@
+"""Similarity search: exact top-k correctness + LSH recall."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sentiment_analysis_data_engineering_spark.operators import similarity as sim
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    # two tight clusters + one outlier, 4-dim
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0, 0.0]),
+        (2, [0.98, 0.15, 0.0, 0.0]),
+        (10, [0.0, 0.0, 1.0, 0.0]),
+        (11, [0.0, 0.1, 0.99, 0.0]),
+        (20, [0.0, 0.0, 0.0, -1.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact_neighbors(vectors):
+    out = sim.cosine_topk(
+        vectors.filter(F.col("vec_id") == 0), vectors, k=2
+    ).collect()
+    got = [(r.neighbor_id, r.rank) for r in sorted(out, key=lambda r: r.rank)]
+    assert got == [(1, 1), (2, 2)]
+
+
+def test_cosine_topk_excludes_self(vectors):
+    out = sim.cosine_topk(vectors, vectors, k=3).collect()
+    assert all(r.query_id != r.neighbor_id for r in out)
+
+
+def test_cosine_topk_k_bound(vectors):
+    out = sim.cosine_topk(vectors, vectors, k=2)
+    counts = out.groupBy("query_id").count().collect()
+    assert all(r["count"] <= 2 for r in counts)
+
+
+def test_lsh_recall_on_fixture_embeddings(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.cosine_topk(queries, emb, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.lsh_cosine_topk(
+            queries, emb, k=3, num_planes=12, bands=6, dim=64
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # 6-band (2-bit) multiprobe on 12 planes: generous buckets, high recall
+    assert recall >= 0.6, f"LSH recall too low: {recall}"
+
+
+def test_hyperplane_signature_deterministic(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(20)
+    sig = sim.hyperplane_signature("embedding", num_planes=8, dim=64)
+    a = [r.s for r in emb.select(sig.alias("s")).collect()]
+    b = [r.s for r in emb.select(sig.alias("s")).collect()]
+    assert a == b

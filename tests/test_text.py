@@ -1,0 +1,60 @@
+"""Unit tests for operators.text."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sentiment_analysis_data_engineering_spark.operators import text as tx
+
+
+def _one(spark, text, expr):
+    return (
+        spark.createDataFrame([(text,)], "text string").select(expr.alias("v")).first().v
+    )
+
+
+def test_normalize_text(spark):
+    assert _one(spark, "  Hello   WORLD \t x ", tx.normalize_text("text")) == "hello world x"
+
+
+def test_token_count(spark):
+    assert _one(spark, "a b  c\td", tx.token_count("text")) == 4
+
+
+def test_bpe_ish_token_count(spark):
+    # "hello world" -> ceil(10/4)=3 alpha units, 0 non-alpha
+    assert _one(spark, "hello world", tx.bpe_ish_token_count("text")) == 3
+    # digits and punctuation count one each: "a1!" -> ceil(1/4)=1 + 2
+    assert _one(spark, "a1!", tx.bpe_ish_token_count("text")) == 3
+
+
+def test_lang_id_markers(spark):
+    cases = {
+        "the cat and the hat is here": "en",
+        "der hund und die katze ist da": "de",
+        "le chat et la maison est dans": "fr",
+        "el perro y los gatos es una": "es",
+        "xyzzy plugh qwerty": "und",
+    }
+    for text, lang in cases.items():
+        assert _one(spark, text, tx.lang_id("text")) == lang, text
+
+
+def test_quality_score_bounds(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stats = docs.select(tx.quality_score("text").alias("q")).agg(
+        F.min("q").alias("lo"), F.max("q").alias("hi")
+    ).first()
+    assert 0.0 <= stats.lo <= stats.hi <= 1.0
+
+
+def test_fingerprints_stable_under_whitespace(spark):
+    df = spark.createDataFrame(
+        [("a  B c",), ("A b   C",), ("totally different",)], "text string"
+    )
+    out = df.select(
+        tx.fingerprint_md5("text").alias("md5"),
+        tx.fingerprint_xxh64("text").alias("xxh"),
+    ).collect()
+    assert out[0].md5 == out[1].md5 and out[0].xxh == out[1].xxh
+    assert out[0].md5 != out[2].md5
