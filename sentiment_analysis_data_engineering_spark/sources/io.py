@@ -25,10 +25,11 @@ from __future__ import annotations
 from typing import Iterable
 
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.relational import anti_join_new_rows
 
-__all__ = ["scan", "append", "idempotent_append", "replace_partition"]
+__all__ = ["scan", "append", "idempotent_append", "replace_partition", "upsert_partitions"]
 
 
 def scan(
@@ -103,6 +104,76 @@ def idempotent_append(
     return n
 
 
+def upsert_partitions(
+    spark: SparkSession,
+    df: DataFrame,
+    target: str,
+    partition_by: list[str],
+) -> int:
+    """ST3 (intent form) — replace-partition-on-change.
+
+    The reference's upsert compares pulled vs new frames and
+    delete+reinserts (``weekly_dag.py:131-147``) — with the condition
+    inverted so it only ever rewrites identical data (SURVEY.md
+    §2.11.1). This implements the evident intent, scalably:
+
+    1. order-insensitive per-partition signature = (count, sum of row
+       xxhash64) on BOTH sides — one aggregate each, no row-level diff;
+    2. partitions whose signature differs (or is new) are overwritten
+       via dynamic partition overwrite; identical partitions untouched.
+
+    Returns the number of rows written.
+    """
+    def sig(d: DataFrame) -> DataFrame:
+        # decimal(38,0) sum: order-insensitive and overflow-safe (ANSI mode
+        # throws on long-sum overflow, and xxhash64 values span +-9e18)
+        row_hash = F.xxhash64(*[F.col(c) for c in sorted(d.columns)])
+        return d.groupBy(*partition_by).agg(
+            F.count("*").alias("_n"),
+            F.sum(row_hash.cast("decimal(38,0)")).alias("_h"),
+        )
+
+    try:
+        existing = scan(spark, target)
+    except Exception:
+        existing = None
+
+    if existing is None:
+        changed = df
+    else:
+        # Partition columns round-trip through directory names and come
+        # back as INT; xxhash64 is type-sensitive, so align the existing
+        # side to the incoming schema before hashing.
+        incoming_types = dict(df.dtypes)
+        existing = existing.select(
+            *[F.col(c).cast(incoming_types[c]) for c in df.columns]
+        )
+        changed_keys = (
+            sig(df)
+            .join(
+                sig(existing).withColumnsRenamed({"_n": "_en", "_h": "_eh"}),
+                on=partition_by,
+                how="left",
+            )
+            .filter(
+                F.col("_en").isNull()
+                | (F.col("_en") != F.col("_n"))
+                | (F.col("_eh") != F.col("_h"))
+            )
+            .select(*partition_by)
+        )
+        changed = df.join(F.broadcast(changed_keys), on=partition_by, how="left_semi")
+
+    changed = changed.cache()
+    try:
+        n = changed.count()
+        if n:
+            replace_partition(spark, changed, target, partition_by)
+    finally:
+        changed.unpersist()
+    return n
+
+
 def replace_partition(
     spark: SparkSession,
     df: DataFrame,
@@ -111,13 +182,18 @@ def replace_partition(
 ) -> None:
     """ST3 — replace exactly the partitions present in ``df``.
 
-    Requires ``spark.sql.sources.partitionOverwriteMode=dynamic`` (set
-    by session.get_spark). This is the safe form of the reference's
-    non-atomic ``DELETE FROM t WHERE year= AND month=`` + re-append
-    (``weekly_dag.py:132-147``): untouched partitions are never
-    rewritten, and each partition swap is a directory-level commit.
+    Dynamic overwrite is forced per-write (writer option, not session
+    conf) so the semantics hold on ANY caller session. This is the safe
+    form of the reference's non-atomic ``DELETE FROM t WHERE year= AND
+    month=`` + re-append (``weekly_dag.py:132-147``): untouched
+    partitions are never rewritten, and each partition swap is a
+    directory-level commit.
     """
-    writer = df.write.mode("overwrite").partitionBy(*partition_by)
+    writer = (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+    )
     if "/" in target:
         writer.parquet(target)
     else:

@@ -1,0 +1,163 @@
+"""Structured Streaming over the events table (extension layer —
+SURVEY.md §2.9: the reference has no streams; its incremental-batch
+semantics map to ``Trigger.AvailableNow`` runs of these queries).
+
+Event-time correctness at scale:
+- every aggregation takes a watermark so state is bounded (late rows
+  beyond the watermark are dropped, state for closed windows is freed);
+- windows are built with the native ``window``/``session_window``
+  expressions — stateful operators inside Tungsten, not Python;
+- streaming dedup uses ``dropDuplicatesWithinWatermark`` keyed on
+  event_id, the streaming twin of the idempotent-append writer.
+
+The parquet fixture stores TIMESTAMP(NANOS): the stream reads ts as
+long (nanosAsLong) and rebuilds a microsecond timestamp, exactly like
+the batch path (plans.registry.load_tables).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "read_events_stream",
+    "tumbling_window_agg",
+    "sliding_window_agg",
+    "session_window_agg",
+    "stream_dedup",
+    "run_available_now",
+]
+
+#: events.parquet with ts as long (read under nanosAsLong).
+_EVENTS_LONG_TS = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def read_events_stream(spark: SparkSession, events_path: str) -> DataFrame:
+    """Streaming read of the events fixture (one file = one micro-batch
+    under AvailableNow; a real deployment points this at a Kafka topic
+    or a landing directory).
+
+    The streaming file source requires a *directory*; the fixture is a
+    single parquet file, so it's staged into a symlink directory under
+    the repo's .tmp.
+    """
+    import hashlib
+    import os
+    from pathlib import Path
+
+    src = Path(events_path)
+    if src.is_file():
+        stage = Path("/root/repo/.tmp/streaming") / hashlib.md5(
+            str(src).encode()
+        ).hexdigest()[:12]
+        stage.mkdir(parents=True, exist_ok=True)
+        link = stage / src.name
+        if not link.exists():
+            os.symlink(src, link)
+        events_path = str(stage)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.readStream.schema(_EVENTS_LONG_TS)
+        .parquet(events_path)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def tumbling_window_agg(
+    events: DataFrame, *, window: str = "1 day", watermark: str = "1 hour"
+) -> DataFrame:
+    """Tumbling event-time window: count + sum(value) per (window,
+    event_type). State per open window only, freed at watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type", "n_events", "total_value",
+        )
+    )
+
+
+def sliding_window_agg(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sliding window — each event lands in window/slide overlapping
+    frames (here 4); Spark expands via the window expression, state
+    bounded by watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type", "n_events",
+        )
+    )
+
+
+def session_window_agg(
+    events: DataFrame, *, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Session windows per user: gap-based, the streaming twin of the
+    batch sessionize_events query (lag + cumsum)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )
+
+
+def stream_dedup(
+    events: DataFrame, *, key: str = "event_id", watermark: str = "1 hour"
+) -> DataFrame:
+    """Exactly-once-per-key within the watermark horizon — the streaming
+    form of idempotent_append (state = one key per event inside the
+    watermark, freed as time advances)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark([key])
+
+
+def run_available_now(
+    stream_df: DataFrame, query_name: str, *, output_mode: str = "append"
+) -> DataFrame:
+    """Drive a streaming frame to completion over the currently
+    available input (Trigger.AvailableNow → memory sink) and return the
+    materialized result — the engine's batch-driven smoke path and the
+    exact incremental-run semantics the reference's cron loads imply.
+
+    Windowed aggregations should pass ``output_mode='complete'`` when
+    the caller wants every window (append mode withholds windows the
+    watermark hasn't closed yet — correct streaming semantics, but not
+    what a finite smoke comparison wants).
+    """
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
