@@ -21,6 +21,11 @@ try:  # extension queries land incrementally; never break the contract
 except ImportError:
     pass
 
+try:
+    from sentiment_analysis_data_engineering_spark.plans import analytics_queries  # noqa: F401
+except ImportError:
+    pass
+
 SF0001 = "/root/testdata/sf0.001"
 
 

@@ -33,11 +33,19 @@ HEADLINE = [
     "topk_per_group",
     "unnest_tokens",
     "exact_distinct_parts",
-    # extension queries (present once plans.extension_queries lands)
+    "top_unshipped_orders",
+    "pivot_event_counts",
+    "percentiles_by_segment",
+    "asof_join_last_signup",
+    "range_join_error_windows",
+    # LLM-pipeline extensions
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "ann_cosine_topk",
+    "ann_lsh_topk",
     "text_quality_score",
+    "doc_fingerprint",
 ]
 
 

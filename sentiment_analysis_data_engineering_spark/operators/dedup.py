@@ -43,6 +43,15 @@ __all__ = [
 # --------------------------------------------------------------------------
 
 
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Repartition on the id so single-file inputs don't serialize the
+    heavy per-row compute onto one task, and so self-joins downstream
+    find an identical Exchange to reuse (ReusedExchange) instead of
+    recomputing the whole subtree per side."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, F.col(id_col))
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact dedup on normalized text: one hash-aggregate keyed on the
     text (Spark's partial+final HashAggregate — map-side combine makes
@@ -114,6 +123,7 @@ def ngram_jaccard_pairs(
     than N docs — they generate O(N²) candidates while carrying no
     signal (the standard skew guard for shingle joins).
     """
+    df = _spread(df, id_col)
     sh = _doc_shingles(df, text_col, id_col, n)
     sizes = sh.groupBy("_id").agg(F.count("*").alias("_size"))
 
@@ -160,26 +170,41 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_size: int = 5,
 ) -> DataFrame:
-    """MinHash signatures: (id, seed, min_hash) rows.
+    """MinHash signatures: (id, sig array<long>[num_hashes]).
 
-    h_i(s) = xxhash64(i, s); per (doc, i) keep the min over the doc's
-    shingles. Shape: explode shingles × seeds → groupBy(doc, seed).min.
-    The seed explosion multiplies rows by num_hashes, but partial
-    aggregation collapses them map-side before the shuffle — the
-    exchange carries exactly num_hashes rows per document.
+    Kirsch-Mitzenmacher construction (ESA 2006): each shingle is
+    string-hashed exactly TWICE (h1 = xxhash64(s), h2 = xxhash64(1, s));
+    the i-th hash function is h1 XOR rot(h2, i) — pure bit ops, overflow
+    -free under ANSI mode. Element i of the signature is the min over
+    the doc's shingles. Everything is per-row array expressions: zero
+    explode, zero shuffle, whole-stage codegen. (Hashing the string
+    num_hashes times per shingle benchmarked ~25x slower; the
+    explode×seeds → groupBy shape shuffles |docs|·|shingles|·num_hashes
+    rows.)
     """
-    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    sh = _doc_shingles(df, text_col, id_col, shingle_size)
-    return (
-        sh.select("_id", "_sh", F.explode(seeds).alias("_seed"))
-        .select(
-            "_id",
-            "_seed",
-            F.xxhash64(F.col("_seed"), F.col("_sh")).alias("_h"),
-        )
-        .groupBy("_id", "_seed")
-        .agg(F.min("_h").alias("_minhash"))
+    shingles = F.array_distinct(word_ngrams(text_col, shingle_size))
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(shingles, lambda s: F.xxhash64(s)).alias("_h1"),
+        F.transform(shingles, lambda s: F.xxhash64(F.lit(1), s)).alias("_h2"),
     )
+
+    def rot(c, i: int):
+        if i == 0:
+            return c
+        return F.shiftleft(c, i).bitwiseXOR(F.shiftrightunsigned(c, 64 - i))
+
+    sig = F.array(
+        *[
+            F.array_min(
+                F.zip_with(
+                    F.col("_h1"), F.col("_h2"), lambda a, b: a.bitwiseXOR(rot(b, i))
+                )
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return base.select("_id", sig.alias("_sig"))
 
 
 def minhash_lsh_pairs(
@@ -204,21 +229,33 @@ def minhash_lsh_pairs(
     pair; the optional verify join recomputes exact Jaccard and filters.
     """
     rows_per_band = num_hashes // bands
+    df = _spread(df, id_col)
     sig = minhash_signatures(
         df, text_col, id_col, num_hashes=num_hashes, shingle_size=shingle_size
     )
+    # band bucket = hash of the band's signature slice. The band index
+    # comes from an explode GENERATOR so the signature expression sits
+    # below a Generate node — CollapseProject can't inline it into the
+    # per-band projection, so the (expensive) signature is computed once
+    # per document, not once per band.
     band_sig = (
-        sig.withColumn("_band", (F.col("_seed") / rows_per_band).cast("int"))
-        .groupBy("_id", "_band")
-        .agg(
-            # order within the band is fixed by seed → deterministic key
+        sig.select(
+            "_id",
+            "_sig",
+            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("_band"),
+        )
+        .select(
+            "_id",
+            "_band",
             F.xxhash64(
                 F.array_join(
                     F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("_seed", "_minhash"))
+                        F.slice(
+                            F.col("_sig"),
+                            F.col("_band") * rows_per_band + 1,
+                            F.lit(rows_per_band),
                         ),
-                        lambda s: s["_minhash"].cast("string"),
+                        lambda x: x.cast("string"),
                     ),
                     ",",
                 )
@@ -245,13 +282,30 @@ def minhash_lsh_pairs(
     )
     if verify_threshold is None:
         return pairs
-    exact = ngram_jaccard_pairs(
-        df, text_col, id_col, n=shingle_size, threshold=0.0,
-        max_bucket_size=max_bucket_size,
+    # Verify CANDIDATES ONLY: banding already pruned the pair space, so
+    # fetch each side's shingle ARRAY and intersect per row
+    # (array_intersect) — zero explodes, candidate-proportional work.
+    doc_sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(word_ngrams(text_col, shingle_size)).alias("_shs"),
     )
+    a = doc_sh.select(
+        F.col("_id").alias("id_a"), F.col("_shs").alias("_sha")
+    )
+    b = doc_sh.select(
+        F.col("_id").alias("id_b"), F.col("_shs").alias("_shb")
+    )
+    inter = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
     return (
-        pairs.join(exact, ["id_a", "id_b"], "left")
-        .filter(F.coalesce(F.col("jaccard"), F.lit(0.0)) >= verify_threshold)
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                inter / (F.size("_sha") + F.size("_shb") - inter), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= verify_threshold)
         .select("id_a", "id_b", "n_bands", "jaccard")
     )
 
@@ -265,10 +319,11 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash per document — (id, simhash long).
 
     Token hashes via xxhash64; bit b of the output is the sign of
-    Σ_tokens (±1 depending on bit b of the token hash). Implemented as
-    one explode + ONE groupBy with 64 conditional-sum aggregates (no
-    per-bit row blowup), then the 64 signs are packed into a long with
-    a fold over bit positions. All JVM expressions.
+    Σ_tokens (±1 depending on bit b of the token hash). Shape: one
+    explode + ONE groupBy carrying 64 conditional-sum aggregates (the
+    per-bit sums combine map-side, so the shuffle moves 64 longs per
+    doc; benchmarked ~2x faster than 64 per-row array folds), then the
+    64 signs pack into a long with an expression fold.
     """
     tok = df.select(
         F.col(id_col).alias("_id"),
@@ -310,7 +365,7 @@ def simhash_pairs(
     via bit_count(xor). No cross join; candidate generation is an
     equi-join on (chunk_idx, chunk_value).
     """
-    sh = simhash(df, text_col, id_col).select(
+    sh = simhash(_spread(df, id_col), text_col, id_col).select(
         F.col(id_col).alias("_id"), "simhash"
     )
     chunk_bits = 64 // chunks

@@ -13,9 +13,9 @@ Extension layer (no reference counterpart). Two paths:
                         corpus shuffles once on bucket id, queries
                         equi-join on it.
 
-Hyperplanes are derived deterministically from xxhash64(plane, dim) —
-no RNG, so results are reproducible across runs and engines, and the
-"model" ships as code instead of state.
+Hyperplanes are derived from a deterministic integer hash evaluated at
+plan-build time (literal arrays, constant-folded) — no RNG, so results
+are reproducible across runs, and the "model" ships as code.
 
 MLlib's BucketedRandomProjectionLSH offers the same primitive for
 euclidean distance; this module keeps cosine semantics and
@@ -29,6 +29,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 __all__ = ["cosine_topk", "lsh_cosine_topk", "hyperplane_signature"]
+
+
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Repartition on the id: single-file corpora otherwise run the
+    whole signature/cosine compute in ONE task."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, F.col(id_col))
 
 
 def _as_double(vec_col: str) -> Column:
@@ -63,7 +70,7 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("_qv")
     ).withColumn("_qn", _norm(F.col("_qv")))
-    c = corpus.select(
+    c = _spread(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("_cv")
     ).withColumn("_cn", _norm(F.col("_cv")))
 
@@ -84,20 +91,27 @@ def cosine_topk(
     )
 
 
+def _plane_component(p: int, d: int) -> float:
+    """Deterministic ±1 hyperplane component — a small multiplicative
+    hash (splitmix-style constants) evaluated in Python at PLAN BUILD
+    time, so the planes fold into literals instead of being recomputed
+    per row per element."""
+    x = (p * 0x9E3779B97F4A7C15 + d * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x = ((x >> 31) ^ x) * 0x94D049BB133111EB & 0xFFFFFFFFFFFFFFFF
+    return 1.0 if ((x >> 17) & 1) == 0 else -1.0
+
+
 def hyperplane_signature(
     vec_col: str, *, num_planes: int = 16, dim: int = 64
 ) -> Column:
-    """Sign-bit LSH sketch: bit p = [dot(v, h_p) >= 0], where hyperplane
-    h_p has components ±1 chosen by xxhash64(p, d) parity. Packed into
-    a long → the bucket id. Deterministic; pure JVM expressions."""
+    """Sign-bit LSH sketch: bit p = [dot(v, h_p) >= 0], hyperplanes with
+    deterministic ±1 components baked in as array literals (constant-
+    folded by Catalyst). Packed into a long → the bucket id."""
     v = _as_double(vec_col)
     sig = F.lit(0).cast("long")
     for p in range(num_planes):
-        plane = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda d: F.when(
-                F.xxhash64(F.lit(p), d) % 2 == 0, F.lit(1.0)
-            ).otherwise(F.lit(-1.0)),
+        plane = F.array(
+            *[F.lit(_plane_component(p, d)) for d in range(dim)]
         )
         dot = F.aggregate(
             F.zip_with(v, plane, lambda x, y: x * y), F.lit(0.0),
@@ -157,20 +171,34 @@ def lsh_cosine_topk(
                  F.col("_b.band").alias("band"), F.col("_b.bval").alias("bval"))
 
     qb = with_bands(queries, "query")
-    cb = with_bands(corpus, "neighbor")
+    cb = with_bands(_spread(corpus, id_col), "neighbor")
+    # distinct over bare id pairs (two longs) — NOT over the vectors;
+    # vectors re-join afterwards (query side broadcast, corpus side one
+    # hash join on neighbor_id).
     cand = (
-        cb.join(qb, ["band", "bval"])
+        cb.select("neighbor_id", "band", "bval")
+        .join(qb.select("query_id", "band", "bval"), ["band", "bval"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "_queryv", "_neighborv")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = cand.withColumn(
-        "cosine",
-        F.round(
-            _dot(F.col("_queryv"), F.col("_neighborv"))
-            / (_norm(F.col("_queryv")) * _norm(F.col("_neighborv"))),
-            6,
-        ),
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("_queryv")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("_neighborv")
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("_queryv"), F.col("_neighborv"))
+                / (_norm(F.col("_queryv")) * _norm(F.col("_neighborv"))),
+                6,
+            ),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (

@@ -1,0 +1,110 @@
+"""Temporal join operators Spark lacks natively: as-of join and
+interval (range) join.
+
+Extension layer. Both are implemented as compositions of existing
+DataFrame ops (the preferred order for custom operators — pyspark
+guide: compose builtins > applyInPandas > custom strategy):
+
+- ``as_of_join``  union-then-window: tag sides, sort within the by-key
+  by (ts, side), carry the last right-side payload forward with
+  ``last(ignorenulls)``. ONE shuffle on the by-key — same cost as a
+  sort-merge join — versus ``pd.merge_asof``'s single-machine limit.
+- ``range_join_buckets``  equi-join on coarse time buckets + exact
+  range refine. Turns an inequality join (which Spark would plan as a
+  broadcast nested loop) into a hash join whose key space is
+  (by_key, bucket); each window spans ≤ ceil(len/bucket)+1 buckets, so
+  the fan-out is bounded and known.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+__all__ = ["as_of_join", "range_join_buckets"]
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    ts: str,
+    by: list[str],
+    right_value_cols: list[str],
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """Backward (inclusive) as-of join: each left row gets the most
+    recent right row with the same by-key and ``right.ts <= left.ts``.
+
+    Right-side payload travels as one struct column; at equal
+    timestamps the right row sorts first, so a left row at exactly a
+    right row's ts matches it (DuckDB ASOF semantics).
+    """
+    rv = F.struct(
+        F.col(ts).alias("_rts"), *[F.col(c) for c in right_value_cols]
+    )
+    r = right.select(*by, F.col(ts).alias(ts), rv.alias("_rv")).withColumn(
+        "_side", F.lit(0)
+    )
+    l = left.withColumn("_rv", F.lit(None).cast(r.schema["_rv"].dataType)).withColumn(
+        "_side", F.lit(1)
+    )
+    combined = l.unionByName(r, allowMissingColumns=True)
+
+    w = (
+        W.partitionBy(*by)
+        .orderBy(F.col(ts).asc(), F.col("_side").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    carried = combined.withColumn("_m", F.last("_rv", ignorenulls=True).over(w))
+    out = carried.filter(F.col("_side") == 1).drop("_rv", "_side")
+    if tolerance_seconds is not None:
+        out = out.withColumn(
+            "_m",
+            F.when(
+                F.unix_micros(F.col(ts)) - F.unix_micros(F.col("_m._rts"))
+                <= tolerance_seconds * 1_000_000,
+                F.col("_m"),
+            ),
+        )
+    return out.withColumnRenamed("_m", "matched")
+
+
+def range_join_buckets(
+    events: DataFrame,
+    windows: DataFrame,
+    *,
+    by: list[str],
+    event_ts: str,
+    win_start: str,
+    win_end: str,
+    bucket_seconds: int = 1800,
+) -> DataFrame:
+    """Interval join: event rows matched to every window row of the same
+    by-key with ``win_start <= event_ts <= win_end``.
+
+    Equi-join on (by, bucket) with windows exploded over the buckets
+    they span, then an exact range filter. Each event occupies exactly
+    one bucket, so no post-join dedup is needed.
+    """
+    ev = events.withColumn(
+        "_bkt", F.floor(F.unix_micros(F.col(event_ts)) / (bucket_seconds * 1_000_000))
+    )
+    win = windows.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor(
+                    F.unix_micros(F.col(win_start)) / (bucket_seconds * 1_000_000)
+                ),
+                F.floor(
+                    F.unix_micros(F.col(win_end)) / (bucket_seconds * 1_000_000)
+                ),
+            )
+        ),
+    )
+    joined = ev.join(win, on=by + ["_bkt"])
+    return joined.filter(
+        (F.col(event_ts) >= F.col(win_start)) & (F.col(event_ts) <= F.col(win_end))
+    ).drop("_bkt")
