@@ -44,6 +44,8 @@ HEADLINE = [
     "dedup_simhash",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
+    "skew_salted_join_agg",
     "text_quality_score",
     "doc_fingerprint",
 ]

@@ -28,7 +28,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-__all__ = ["cosine_topk", "lsh_cosine_topk", "hyperplane_signature"]
+__all__ = [
+    "cosine_topk",
+    "lsh_cosine_topk",
+    "hyperplane_signature",
+    "ivf_cosine_topk",
+]
 
 
 def _spread(df: DataFrame, id_col: str) -> DataFrame:
@@ -120,6 +125,108 @@ def hyperplane_signature(
         bit = F.when(dot >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         sig = sig.bitwiseXOR(F.shiftleft(bit, p))
     return sig
+
+
+def ivf_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-Flat approximate top-k: a coarse quantizer of ``n_centroids``
+    cells partitions the corpus; each query probes only its ``n_probe``
+    nearest cells, then exact cosine re-ranks within candidates.
+
+    Coarse quantizer: centroids are a deterministic sample of corpus
+    vectors (the ``n_centroids`` smallest ids), collected once at plan
+    build — a model-build action over ``n_centroids`` rows, analogous
+    to fitting MLlib KMeans (which is the drop-in refinement at scale:
+    ``KMeans(k=n_centroids).fit`` then ``predict`` as the cell
+    assignment; sampled centroids keep this module deterministic and
+    dependency-free). Centroids are L2-normalized driver-side and baked
+    into the plan as literals — cell assignment is a JVM-side argmax,
+    no UDF, no shuffle beyond the final (cell equi-join + top-k).
+
+    Scale shape: corpus scans once to tag cells (narrow), shuffles once
+    on cell id; queries broadcast. Recall tunes with n_probe/n_centroids.
+    """
+    # --- model build: deterministic centroid sample (tiny action) ----
+    sample = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.col(id_col))
+        .limit(n_centroids)
+        .collect()
+    )
+    cents: list[list[float]] = []
+    for row in sample:
+        v = [float(x) for x in row[vec_col]]
+        n = sum(x * x for x in v) ** 0.5 or 1.0
+        cents.append([x / n for x in v])
+
+    def cell_scores(v: Column) -> Column:
+        return F.array(*[
+            F.aggregate(
+                F.zip_with(v, F.array(*[F.lit(c) for c in cent]),
+                           lambda x, y: x * y),
+                F.lit(0.0), lambda acc, x: acc + x,
+            )
+            for cent in cents
+        ])
+
+    # corpus: argmax cell (1-based array_position → 0-based cell id)
+    c = _spread(corpus, id_col).select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("_cv")
+    )
+    c = c.withColumn("_scores", cell_scores(F.col("_cv"))).select(
+        "neighbor_id",
+        "_cv",
+        (F.array_position("_scores", F.array_max("_scores")) - 1).alias("cell"),
+    )
+
+    # queries: top-n_probe cells via sort of (score, idx) structs
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("_qv")
+    ).withColumn("_qn", _norm(F.col("_qv")))
+    ranked = F.slice(
+        F.reverse(
+            F.array_sort(
+                F.transform(
+                    cell_scores(F.col("_qv")),
+                    lambda s, i: F.struct(s.alias("s"), i.alias("i")),
+                )
+            )
+        ),
+        1,
+        n_probe,
+    )
+    qcells = (
+        q.withColumn("_probe", F.explode(ranked))
+        .withColumn("cell", F.col("_probe.i").cast("long"))
+        .drop("_probe")
+    )
+
+    scored = (
+        c.join(F.broadcast(qcells), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("_qv"), F.col("_cv"))
+                / (F.col("_qn") * _norm(F.col("_cv"))),
+                6,
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
 
 
 def lsh_cosine_topk(

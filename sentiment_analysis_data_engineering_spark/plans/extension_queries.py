@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from ..operators import dedup as dd
 from ..operators import multimodal as mm
 from ..operators import similarity as sim
+from ..operators import skew as sk
 from ..operators import text as tx
 from .registry import load_tables, query
 
@@ -310,6 +311,82 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_cosine_topk(
         queries_df, embeddings, vec_col="embedding", id_col="vec_id",
         k=5, num_planes=12, bands=6, dim=64,
+    )
+
+
+@query("ann_ivf_topk")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via IVF-Flat: deterministic sampled coarse
+    quantizer (16 cells), queries probe their 4 nearest cells, exact
+    cosine re-rank inside candidates. Rows-only (cell assignment is
+    model-derived); recall vs exact top-k is unit-tested."""
+    (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    queries_df = embeddings.filter(F.col("vec_id") < 10)
+    return sim.ivf_cosine_topk(
+        queries_df, embeddings, vec_col="embedding", id_col="vec_id",
+        k=5, n_centroids=16, n_probe=4,
+    )
+
+
+# --------------------------------------------------------------------------
+# Skew mitigation (operators/skew.py) — salted plans must equal the
+# plain-join / plain-agg oracle exactly; salt is partitioning-only.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "skew_salted_join_agg",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(*) AS n,
+           round(sum(l.l_quantity), 2) AS qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def skew_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim equi-join through the salted-join path (8 salt buckets:
+    hot orderkeys fan out over 8 shuffle partitions; the orders side is
+    replicated per salt). Result must be bit-identical to the plain
+    join — the oracle proves the salt never leaks into semantics."""
+    lineitem, orders = load_tables(spark, sf_dir, "lineitem", "orders")
+    l = lineitem.select(F.col("l_orderkey").alias("orderkey"), "l_quantity")
+    o = orders.select(F.col("o_orderkey").alias("orderkey"), "o_orderpriority")
+    joined = sk.salted_join(l, o, ["orderkey"], buckets=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+    )
+
+
+@query(
+    "skew_salted_agg",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_l_quantity,
+           round(sum(l_extendedprice), 2) AS sum_l_extendedprice
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation over the 3-value l_returnflag key —
+    the worst-case hot-group shape (each group is ~1/3 of the table).
+    Stage 1 spreads each group over 16 (key, salt) partials; stage 2
+    merges. Equal to the one-stage oracle by construction."""
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    out = sk.salted_sum_count(
+        lineitem.select("l_returnflag", "l_quantity", "l_extendedprice"),
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice"],
+        buckets=16,
+    )
+    return out.select(
+        "l_returnflag",
+        "n",
+        F.round("sum_l_quantity", 2).alias("sum_l_quantity"),
+        F.round("sum_l_extendedprice", 2).alias("sum_l_extendedprice"),
     )
 
 

@@ -59,6 +59,38 @@ def test_lsh_recall_on_fixture_embeddings(spark, sf_dir):
     assert recall >= 0.6, f"LSH recall too low: {recall}"
 
 
+def test_ivf_recall_on_fixture_embeddings(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.cosine_topk(queries, emb, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.ivf_cosine_topk(
+            queries, emb, k=3, n_centroids=8, n_probe=4
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # probing half the cells of a sampled quantizer: recall is high
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_ivf_deterministic(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    a = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in sim.ivf_cosine_topk(queries, emb, k=3).collect()
+    )
+    b = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in sim.ivf_cosine_topk(queries, emb, k=3).collect()
+    )
+    assert a == b and a
+
+
 def test_hyperplane_signature_deterministic(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(20)
     sig = sim.hyperplane_signature("embedding", num_planes=8, dim=64)

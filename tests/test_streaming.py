@@ -75,6 +75,32 @@ def test_session_window_agg(spark, sf_dir, events_dir):
     assert got == batch
 
 
+def test_stateful_running_totals_match_batch(spark, sf_dir, events_dir):
+    from sentiment_analysis_data_engineering_spark.streaming import stateful
+
+    stream = st.read_events_stream(spark, events_dir)
+    out = st.run_available_now(
+        stateful.running_user_stats(stream), "t_stateful", output_mode="update"
+    )
+    # the memory sink keeps every update; the LAST row per user is the
+    # final running total — must equal the batch aggregate
+    import pandas as pd
+
+    pdf = out.toPandas()
+    final = pdf.groupby("user_id").tail(1).set_index("user_id")
+    (events,) = load_tables(spark, sf_dir, "events")
+    batch = (
+        events.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("v"))
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert len(final) == len(batch)
+    for uid, row in batch.iterrows():
+        assert final.loc[uid, "n_events"] == row["n"]
+        assert abs(final.loc[uid, "total_value"] - row["v"]) < 1e-3
+
+
 def test_stream_dedup_drops_duplicate_ids(spark, events_dir):
     stream = st.read_events_stream(spark, events_dir)
     # duplicate the stream by unioning it with itself: same event_ids twice
