@@ -307,6 +307,161 @@ def supplier_part_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "promo_revenue_share",
+    oracle="""
+    SELECT round(
+             100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct,
+           count(*) AS n
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregate over a fact⋈dim broadcast
+    join — the CASE folds into the single aggregate pass."""
+    lineitem, part = load_tables(spark, sf_dir, "lineitem", "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "late_ship_priority_counts",
+    oracle="""
+    SELECT l_returnflag,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate
+    GROUP BY l_returnflag
+    """,
+)
+def late_ship_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (dual conditional counts), adapted to the
+    fixture's columns: lines shipped after their order date, split by
+    order priority per return flag. The join-side predicate survives as
+    a post-join filter; flag/priority projections prune both scans."""
+    orders, lineitem = load_tables(spark, sf_dir, "orders", "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "customer_balance_deciles",
+    oracle="""
+    SELECT decile,
+           count(*) AS n,
+           round(min(c_acctbal), 2) AS lo,
+           round(max(c_acctbal), 2) AS hi
+    FROM (
+      SELECT c_acctbal,
+             CAST(ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER)
+               AS decile
+      FROM customer
+    )
+    GROUP BY decile
+    """,
+)
+def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile window: global decile assignment then per-decile stats.
+    Global ORDER BY window is single-partition by nature — fine for a
+    ranked-report tail; at 100 TB the percentile form
+    (percentiles_by_segment) is the scalable substitute."""
+    (customer,) = load_tables(spark, sf_dir, "customer")
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("c_acctbal", "c_custkey")
+    return (
+        customer.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("c_acctbal"), 2).alias("lo"),
+            F.round(F.max("c_acctbal"), 2).alias("hi"),
+        )
+    )
+
+
+@query(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           round(sum(l_extendedprice), 2) AS total
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither rollup nor cube): per-flag and
+    per-status totals in one aggregate pass over one scan."""
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    lineitem.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               round(sum(l_extendedprice), 2) AS total
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@query(
+    "string_functions_report",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           length(c_name) AS name_len,
+           substring(c_name, 1, 9) AS name_prefix,
+           concat(c_mktsegment, ':', trim(c_name)) AS segment_tag,
+           CASE WHEN regexp_matches(c_name, '[02468]$')
+                THEN 1 ELSE 0 END AS even_suffix
+    FROM customer
+    """,
+)
+def string_functions_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar family over one projection: case, length,
+    substring, concat, trim, regexp — all codegen'd, no shuffle."""
+    (customer,) = load_tables(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 9).alias("name_prefix"),
+        F.concat_ws(":", F.col("c_mktsegment"), F.trim(F.col("c_name"))).alias(
+            "segment_tag"
+        ),
+        F.when(F.col("c_name").rlike("[02468]$"), 1)
+        .otherwise(0)
+        .alias("even_suffix"),
+    )
+
+
 # --------------------------------------------------------------------------
 # As-of join and range join (operators/temporal.py)
 # --------------------------------------------------------------------------
