@@ -406,6 +406,44 @@ def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rank_functions_report",
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey,
+           CAST(row_number() OVER w AS INTEGER) AS rn,
+           CAST(rank() OVER w AS INTEGER) AS rnk,
+           CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+           round(lag(o_totalprice) OVER w, 2) AS prev_price,
+           round(lead(o_totalprice) OVER w, 2) AS next_price,
+           round(o_totalprice - first_value(o_totalprice) OVER w, 2)
+             AS delta_vs_first
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def rank_functions_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking/navigation window family (row_number, rank, dense_rank,
+    lag, lead, first_value) over one per-customer window spec — a
+    single shuffle on o_custkey serves all six functions."""
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+        F.round(
+            F.col("o_totalprice") - F.first("o_totalprice").over(w), 2
+        ).alias("delta_vs_first"),
+    )
+
+
+@query(
     "grouping_sets_revenue",
     oracle="""
     SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
