@@ -308,6 +308,72 @@ def supplier_part_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "outer_join_customer_orders",
+    oracle="""
+    SELECT c.c_custkey,
+           count(o.o_orderkey) AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spend
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def outer_join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving order-less customers (count over the
+    nullable side ignores nulls, so they report 0 orders / 0 spend)."""
+    customer, orders = load_tables(spark, sf_dir, "customer", "orders")
+    return (
+        customer.join(
+            orders, F.col("c_custkey") == F.col("o_custkey"), "left"
+        )
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spend"
+            ),
+        )
+    )
+
+
+@query(
+    "except_non_building_buyers",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    EXCEPT
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def except_non_building_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set difference): buying customers outside the BUILDING
+    segment — planned as a left-anti join over distinct keys, the same
+    shape as the idempotent-append probe."""
+    customer, orders = load_tables(spark, sf_dir, "customer", "orders")
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    # subtract == EXCEPT DISTINCT; exceptAll would only cancel ONE
+    # occurrence per match against a multi-order left side
+    return orders.select(F.col("o_custkey").alias("custkey")).subtract(building)
+
+
+@query(
+    "intersect_buyer_suppliers_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def intersect_buyer_suppliers_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: nations with both customers and suppliers — a
+    semi-join over distincts."""
+    customer, supplier = load_tables(spark, sf_dir, "customer", "supplier")
+    return customer.select(F.col("c_nationkey").alias("nationkey")).intersect(
+        supplier.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+@query(
     "promo_revenue_share",
     oracle="""
     SELECT round(

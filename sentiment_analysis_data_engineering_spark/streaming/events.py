@@ -28,6 +28,7 @@ __all__ = [
     "session_window_agg",
     "stream_dedup",
     "run_available_now",
+    "run_idempotent_append_stream",
 ]
 
 #: events.parquet with ts as long (read under nanosAsLong).
@@ -136,6 +137,35 @@ def stream_dedup(
     form of idempotent_append (state = one key per event inside the
     watermark, freed as time advances)."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark([key])
+
+
+def run_idempotent_append_stream(
+    stream_df: DataFrame,
+    target: str,
+    keys: list[str],
+    *,
+    checkpoint: str,
+) -> None:
+    """Streaming form of the idempotent-append writer (ST1/ST2):
+    ``foreachBatch`` routes each micro-batch through the SAME batch
+    ``idempotent_append`` (left-anti against the target's keys), so a
+    replayed micro-batch — the at-least-once case foreachBatch exposes —
+    inserts nothing the second time. Checkpointing bounds replay; the
+    anti join makes replay harmless. This is the streaming twin of the
+    reference's probe-then-append cron loads.
+    """
+    from ..sources.io import idempotent_append
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        idempotent_append(batch_df.sparkSession, batch_df, target, keys)
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
 
 
 def run_available_now(

@@ -75,6 +75,24 @@ def test_session_window_agg(spark, sf_dir, events_dir):
     assert got == batch
 
 
+def test_idempotent_append_stream_survives_replay(spark, sf_dir, events_dir, tmp_path):
+    target = str(tmp_path / "events_sink")
+    n_events = spark.read.parquet(events_dir).count()
+
+    # two runs with SEPARATE checkpoints: the second replays the whole
+    # input (worst-case at-least-once) — the anti-join sink must not
+    # duplicate a single row
+    for i in range(2):
+        stream = st.read_events_stream(spark, events_dir)
+        st.run_idempotent_append_stream(
+            stream.select("event_id", "ts", "user_id", "event_type", "value"),
+            target,
+            ["event_id"],
+            checkpoint=str(tmp_path / f"ckpt{i}"),
+        )
+    assert spark.read.parquet(target).count() == n_events
+
+
 def test_stateful_running_totals_match_batch(spark, sf_dir, events_dir):
     from sentiment_analysis_data_engineering_spark.streaming import stateful
 
