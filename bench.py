@@ -42,6 +42,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_clusters",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

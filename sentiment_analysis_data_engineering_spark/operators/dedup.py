@@ -24,7 +24,7 @@ buckets (stop-shingles) are capped via ``max_bucket_size``.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import normalize_text, tokens
@@ -38,6 +38,8 @@ __all__ = [
     "simhash",
     "simhash_pairs",
     "embedding_cosine_pairs",
+    "connected_components",
+    "blocking_edges",
 ]
 
 
@@ -414,6 +416,97 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# --------------------------------------------------------------------------
+# Cluster resolution: connected components over duplicate-pair edges
+# --------------------------------------------------------------------------
+
+
+def blocking_edges(df: DataFrame, id_col: str, *key_cols: Column) -> DataFrame:
+    """Star edges (id_a, id_b) from one or more blocking keys.
+
+    For each key, every member of a block is connected to the block's
+    MIN id — a star, not a clique: |block| edges instead of |block|²,
+    with identical connected components. Multiple keys union (a doc in
+    two overlapping blocks bridges them — exactly how multi-key fuzzy
+    dedup blocking composes). One window per key, keyed shuffles only.
+    """
+    parts = []
+    for i, key in enumerate(key_cols):
+        keyed = df.select(F.col(id_col).alias("id_b"), key.alias("_k")).filter(
+            F.col("_k").isNotNull()
+        )
+        w = Window.partitionBy("_k")
+        parts.append(
+            keyed.select(F.min("id_b").over(w).alias("id_a"), "id_b")
+            .filter(F.col("id_a") != F.col("id_b"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    *,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components by min-label propagation — (id, component),
+    where component is the smallest id reachable from the node.
+
+    This is the cluster-resolution step of every near-dup pipeline:
+    pair output from minhash_lsh_pairs / simhash_pairs / blocking keys
+    in, transitive duplicate groups out (survivor = the component id).
+
+    Each iteration is ONE shuffle join (labels ⋈ edges on the node id)
+    + ONE min-aggregate, then an AGGREGATE-ONLY convergence probe.
+    Iterations needed = graph diameter; duplicate clusters are
+    near-cliques plus blocking stars, so 2-3 in practice. The label
+    frame is localCheckpoint'ed each round to truncate lineage (else
+    the plan doubles per iteration), and the symmetrized edge list is
+    checkpointed once and reused. At 100 TB this is the published
+    map-reduce CC recipe (label propagation à la Kiveris et al.'s
+    "Connected Components in MapReduce", SoCC'14 — their large-star/
+    small-star variant cuts the iteration count for high-diameter
+    graphs; dup graphs don't have them).
+    """
+    und = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    und = und.unionByName(
+        und.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).distinct()
+    und = und.localCheckpoint(eager=False)
+
+    labels = (
+        und.select(F.col("s").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            und.join(labels, und["s"] == labels["id"])
+            .select(F.col("d").alias("id"), "comp")
+            .groupBy("id")
+            .agg(F.min("comp").alias("_nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("_nmin", "comp")).alias("comp"),
+                (F.coalesce("_nmin", "comp") < F.col("comp")).alias("_chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.filter(F.col("_chg")).isEmpty() is False
+        labels = new_labels.select("id", "comp")
+        if not changed:
+            break
+    return labels
 
 
 # --------------------------------------------------------------------------

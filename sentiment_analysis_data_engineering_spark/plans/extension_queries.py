@@ -227,6 +227,57 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_clusters",
+    oracle="""
+    WITH RECURSIVE
+    keys AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS k1,
+             array_to_string(
+               (string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                             ' '))[1:5], ' ') AS k2
+      FROM documents
+    ),
+    e1 AS (SELECT min(doc_id) OVER (PARTITION BY k1) AS a, doc_id AS b
+           FROM keys WHERE k1 IS NOT NULL),
+    e2 AS (SELECT min(doc_id) OVER (PARTITION BY k2) AS a, doc_id AS b
+           FROM keys WHERE k2 IS NOT NULL),
+    star AS (
+      SELECT a, b FROM e1 WHERE a <> b
+      UNION
+      SELECT a, b FROM e2 WHERE a <> b
+    ),
+    edges AS (SELECT a, b FROM star UNION SELECT b AS a, a AS b FROM star),
+    walk(id, comp) AS (
+      SELECT DISTINCT a AS id, a AS comp FROM edges
+      UNION
+      SELECT e.b AS id, w.comp FROM walk w JOIN edges e ON e.a = w.id
+    )
+    SELECT CAST(id AS BIGINT) AS doc_id,
+           CAST(min(comp) AS BIGINT) AS component
+    FROM walk GROUP BY id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate groups: star blocking edges on two keys
+    (exact-text fingerprint + first-5-token prefix) → min-label
+    connected components. The oracle replays the same graph with a
+    recursive CTE — a full value check on an iterative algorithm."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    norm = tx.normalize_text(F.col("text"))
+    edges = dd.blocking_edges(
+        documents,
+        "doc_id",
+        F.md5(norm.cast("binary")),
+        F.array_join(F.slice(F.split(norm, " "), 1, 5), " "),
+    )
+    cc = dd.connected_components(edges)
+    return cc.select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component")
+    )
+
+
+@query(
     "dedup_embedding_cosine",
     oracle="""
     WITH n AS (

@@ -102,3 +102,32 @@ def test_word_ngrams_short_doc(spark):
     df = spark.createDataFrame([("a b c",)], "text string")
     out = df.select(dd.word_ngrams("text", 5).alias("g")).first().g
     assert out == ["a b c"]  # shorter than n → whole text is the shingle
+
+
+def test_connected_components_two_chains(spark):
+    # 1-2-3 chain, 10-11 pair, 20 singleton (no edges → absent)
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    comp = {r.id: r.comp for r in dd.connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_bridges_blocks(spark):
+    # two blocks {1,2} and {2,3} share node 2 → one component
+    edges = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
+    out = dd.connected_components(edges)
+    comp = {r.id: r.comp for r in out.collect()}
+    assert comp[3] == 1 and comp[6] == 5
+
+
+def test_blocking_edges_star_shape(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(3, "x"), (7, "x"), (5, "x"), (9, "y")], "doc_id long, k string"
+    )
+    edges = dd.blocking_edges(df, "doc_id", F.col("k")).collect()
+    got = {(r.id_a, r.id_b) for r in edges}
+    # star around min id 3; singleton block y emits nothing
+    assert got == {(3, 5), (3, 7)}
