@@ -227,6 +227,86 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_curation",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, source,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(string_split_regex(trim(text),'\\s+')) AS BIGINT) AS n_tokens,
+             CAST(length(regexp_replace(text,'[^.,;:!?''"()-]','','g')) AS BIGINT)
+               AS n_punct,
+             CAST(length(regexp_replace(text,'[^0-9]','','g')) AS BIGINT) AS n_digit,
+             string_split_regex(trim(text),'\\s+') AS toks,
+             trim(regexp_replace(lower(text),'\\s+',' ','g')) AS nt
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, source, n_tokens, nt,
+             floor((0.4*least(n_tokens/64.0,1.0)
+                  + 0.3*(1.0-least(round(n_punct/n_chars,6)*10,1.0))
+                  + 0.3*(1.0-least(round(n_digit/n_chars,6)*10,1.0)))*10000+0.5)
+               /10000.0 AS quality,
+             CAST(len(list_filter(toks, x -> list_contains(
+               ['the','and','of','to','a','in','is','it','that'], x))) AS BIGINT) AS s_en,
+             CAST(len(list_filter(toks, x -> list_contains(
+               ['der','die','das','und','ist','nicht','ein','zu'], x))) AS BIGINT) AS s_de,
+             CAST(len(list_filter(toks, x -> list_contains(
+               ['le','la','les','et','est','un','une','dans'], x))) AS BIGINT) AS s_fr,
+             CAST(len(list_filter(toks, x -> list_contains(
+               ['el','los','las','y','es','un','una','en'], x))) AS BIGINT) AS s_es
+      FROM f
+    ),
+    keep AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY nt),
+    cur AS (
+      SELECT q.source, q.n_tokens, q.quality FROM q JOIN keep USING (doc_id)
+      WHERE q.n_tokens >= 20 AND q.quality >= 0.8
+        AND q.s_en >= greatest(q.s_de, q.s_fr, q.s_es) AND q.s_en > 0
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(quality), 4) AS avg_quality
+    FROM cur GROUP BY source
+    """,
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus curation: exact-dup survivors only,
+    predicted-English, ≥20 tokens, quality ≥ 0.8 — reported per source.
+
+    One lazy plan: the survivor set is a semi-joinable aggregate (min
+    id per normalized text), the gates are all JVM scalar expressions,
+    and the rollup is a partial+final hash aggregate on source. The
+    shape a 100 TB curation run wants: no Python, two keyed shuffles
+    (fingerprint agg, source agg) + one semi join.
+    """
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    scored = documents.select(
+        "doc_id",
+        "source",
+        tx.quality_score("text").alias("quality"),
+        tx.token_count("text").alias("n_tokens"),
+        tx.lang_id("text").alias("pred_lang"),
+    )
+    survivors = dd.exact_dedup(documents, "text", "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    return (
+        scored.join(survivors, "doc_id", "left_semi")
+        .filter(
+            (F.col("n_tokens") >= 20)
+            & (F.col("quality") >= 0.8)
+            & (F.col("pred_lang") == "en")
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+        )
+    )
+
+
+@query(
     "dedup_clusters",
     oracle="""
     WITH RECURSIVE
