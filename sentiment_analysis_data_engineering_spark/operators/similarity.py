@@ -284,7 +284,7 @@ def lsh_cosine_topk(
     # hash join on neighbor_id).
     cand = (
         cb.select("neighbor_id", "band", "bval")
-        .join(qb.select("query_id", "band", "bval"), ["band", "bval"])
+        .join(F.broadcast(qb.select("query_id", "band", "bval")), ["band", "bval"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()

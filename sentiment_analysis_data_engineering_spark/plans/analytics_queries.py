@@ -640,3 +640,53 @@ def range_join_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("window_id", "user_id").agg(
         F.count("*").alias("n_in_window")
     )
+
+
+# --------------------------------------------------------------------------
+# Event-time sliding window (batch form of streaming sliding_window_agg)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "window_sliding_6h",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, value,
+             CAST(floor(epoch(ts) / 10800) * 10800 AS BIGINT) AS w0
+      FROM events
+    ),
+    x AS (
+      SELECT event_type, value,
+             unnest([w0, w0 - 10800]) AS window_epoch
+      FROM e
+    )
+    SELECT window_epoch, event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM x GROUP BY 1, 2
+    """,
+)
+def window_sliding_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time window (6 h length, 3 h slide) — the batch
+    equivalent of streaming/events.py's sliding_window_agg. Each event
+    lands in exactly length/slide = 2 windows; ``F.window`` explodes
+    those assignments and the aggregate is one partial+final hash agg
+    keyed on (window, type). The window key is reported as epoch
+    seconds of the window start, which is timezone-free on both
+    engines."""
+    (events,) = load_tables(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "6 hours", "3 hours").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_epoch"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as dd
 from ..operators import multimodal as mm
+from ..operators import sampling as sp
 from ..operators import similarity as sim
 from ..operators import skew as sk
 from ..operators import text as tx
@@ -558,3 +559,36 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_feature"),
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic sampling
+# --------------------------------------------------------------------------
+
+
+@query(
+    "stratified_sample_langs",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE CAST('0x' || substr(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 8)
+               AS BIGINT) % 10000
+          < CASE lang WHEN 'en' THEN 5000
+                      WHEN 'de' THEN 2500
+                      ELSE 1000 END
+    """,
+)
+def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling (en 50%, de 25%, rest
+    10%) via salted-md5 hash buckets — partition- and retry-stable, a
+    narrow filter with no RNG. The oracle reproduces the exact sample
+    because the hash is plain md5, not an engine-private RNG."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return sp.stratified_hash_sample(
+        documents,
+        "doc_id",
+        "lang",
+        {"en": 0.5, "de": 0.25},
+        default_fraction=0.1,
+        salt="s1",
+    ).select("doc_id", "lang")

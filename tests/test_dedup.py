@@ -131,3 +131,33 @@ def test_blocking_edges_star_shape(spark):
     got = {(r.id_a, r.id_b) for r in edges}
     # star around min id 3; singleton block y emits nothing
     assert got == {(3, 5), (3, 7)}
+
+
+def test_hash_sample_deterministic_and_partition_stable(spark):
+    from sentiment_analysis_data_engineering_spark.operators import sampling as sp
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s1 = {r.doc_id for r in sp.hash_sample(df, "doc_id", 0.3, salt="a").collect()}
+    s2 = {r.doc_id for r in sp.hash_sample(df.repartition(7), "doc_id", 0.3, salt="a").collect()}
+    assert s1 == s2                       # partitioning never changes the sample
+    assert 0.25 < len(s1) / 2000 < 0.35   # ~30%
+    s3 = {r.doc_id for r in sp.hash_sample(df, "doc_id", 0.3, salt="b").collect()}
+    assert s1 != s3                       # salt = independent redraw
+
+
+def test_stratified_hash_sample_rates(spark):
+    from pyspark.sql import functions as F
+    from sentiment_analysis_data_engineering_spark.operators import sampling as sp
+
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en").when(F.col("id") % 3 == 1, "de")
+         .otherwise("zh").alias("lang"),
+    )
+    out = sp.stratified_hash_sample(
+        df, "doc_id", "lang", {"en": 0.8, "de": 0.2}, default_fraction=0.0
+    )
+    rates = {r.lang: r.c for r in out.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    assert 0.7 < rates["en"] / 1000 < 0.9
+    assert 0.12 < rates["de"] / 1000 < 0.28
+    assert "zh" not in rates
