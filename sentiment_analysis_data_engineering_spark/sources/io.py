@@ -29,7 +29,15 @@ from pyspark.sql import functions as F
 
 from ..operators.relational import anti_join_new_rows
 
-__all__ = ["scan", "append", "idempotent_append", "replace_partition", "upsert_partitions"]
+__all__ = [
+    "scan",
+    "scan_csv",
+    "scan_jsonl",
+    "append",
+    "idempotent_append",
+    "replace_partition",
+    "upsert_partitions",
+]
 
 
 def scan(
@@ -53,6 +61,48 @@ def scan(
     if columns:
         df = df.select(*columns)
     return df
+
+
+def scan_csv(
+    spark: SparkSession,
+    path: str,
+    schema,
+    *,
+    header: bool = True,
+    delimiter: str = ",",
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """CSV source with an EXPLICIT schema — never inference.
+
+    Inference (``inferSchema=true``) reads the data twice and pins
+    types to whatever the sample contained; at 100 TB that's a full
+    extra pass and a schema that drifts with the data. An explicit
+    StructType makes the scan single-pass, keeps column pruning
+    available to Catalyst, and routes malformed rows per ``mode``
+    (PERMISSIVE → nulls + _corrupt_record if declared, DROPMALFORMED,
+    FAILFAST)."""
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("sep", delimiter)
+        .option("mode", mode)
+        .csv(path)
+    )
+
+
+def scan_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema,
+    *,
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """JSON-lines source with an explicit schema (same stance as
+    scan_csv: no inference pass, malformed rows routed per ``mode``).
+    Nested fields are declared as StructType/ArrayType and stay
+    JVM-side — ``F.col('a.b')`` and ``explode`` work without any
+    string re-parsing."""
+    return spark.read.schema(schema).option("mode", mode).json(path)
 
 
 def append(

@@ -27,6 +27,7 @@ __all__ = [
     "sliding_window_agg",
     "session_window_agg",
     "stream_dedup",
+    "error_click_interval_join",
     "run_available_now",
     "run_idempotent_append_stream",
 ]
@@ -137,6 +138,47 @@ def stream_dedup(
     form of idempotent_append (state = one key per event inside the
     watermark, freed as time advances)."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark([key])
+
+
+def error_click_interval_join(
+    events: DataFrame,
+    *,
+    horizon: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: for every error event, the same
+    user's click events in the following ``horizon``.
+
+    Both sides carry a watermark and the join condition bounds c_ts to
+    [e_ts, e_ts + horizon], so Spark can expire buffered state on both
+    sides once the watermark passes the interval — state stays
+    O(events inside watermark+horizon), the requirement for running
+    this unbounded. Works identically as a batch interval join when
+    given a batch frame (minus the watermarks' effect)."""
+    errs = (
+        events.filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+            F.col("event_id").alias("error_id"),
+        )
+        .withWatermark("e_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    return errs.join(
+        clicks,
+        (F.col("e_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("e_ts"))
+        & (F.col("c_ts") <= F.col("e_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select("error_id", "click_id", F.col("e_user").alias("user_id"))
 
 
 def run_idempotent_append_stream(

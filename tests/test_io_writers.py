@@ -76,3 +76,46 @@ def test_scan_predicate_pushdown(spark, tmp_table_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert df.count() == 1
+
+
+def test_scan_csv_explicit_schema_roundtrip(spark, tmp_path):
+    from pyspark.sql import types as T
+    from sentiment_analysis_data_engineering_spark.sources.io import scan_csv
+
+    p = tmp_path / "in.csv"
+    p.write_text("id,name,score\n1,ada,9.5\n2,linus,8.25\nbad,row,NOTNUM\n")
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+    ])
+    df = scan_csv(spark, str(p), schema)
+    rows = sorted(df.collect(), key=lambda r: (r.id is None, r.id or 0))
+    assert (rows[0].id, rows[0].name, rows[0].score) == (1, "ada", 9.5)
+    # PERMISSIVE: malformed numeric fields become nulls, row survives
+    assert rows[-1].id is None and rows[-1].score is None
+    assert df.schema == schema
+
+
+def test_scan_jsonl_nested_schema(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from sentiment_analysis_data_engineering_spark.sources.io import scan_jsonl
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id": 1, "meta": {"lang": "en", "tags": ["a", "b"]}}\n'
+        '{"id": 2, "meta": {"lang": "de", "tags": []}}\n'
+    )
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("meta", T.StructType([
+            T.StructField("lang", T.StringType()),
+            T.StructField("tags", T.ArrayType(T.StringType())),
+        ])),
+    ])
+    df = scan_jsonl(spark, str(p), schema)
+    got = {r.id: (r.lang, r.n) for r in df.select(
+        "id", F.col("meta.lang").alias("lang"), F.size("meta.tags").alias("n")
+    ).collect()}
+    assert got == {1: ("en", 2), 2: ("de", 0)}

@@ -128,3 +128,30 @@ def test_stream_dedup_drops_duplicate_ids(spark, events_dir):
     )
     n_unique = spark.read.parquet(events_dir).count()
     assert out.count() == n_unique
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_dir):
+    stream = st.read_events_stream(spark, events_dir)
+    out = st.run_available_now(
+        st.error_click_interval_join(stream), "t_ssjoin", output_mode="append"
+    )
+    got = {(r.error_id, r.click_id) for r in out.collect()}
+
+    (events,) = load_tables(spark, sf_dir, "events")
+    errs = events.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("e_ts"),
+        F.col("event_id").alias("error_id"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    batch = errs.join(
+        clicks,
+        (errs.u == clicks.u)
+        & (F.col("c_ts") >= F.col("e_ts"))
+        & (F.col("c_ts") <= F.col("e_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    want = {(r.error_id, r.click_id) for r in batch.collect()}
+    assert got  # non-degenerate
+    assert got == want
