@@ -690,3 +690,120 @@ def window_sliding_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# More TPC-H-shaped analytics (Q13 / Q18 / Q2 flavors)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "order_count_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT n_orders, count(*) AS n_customers
+    FROM per_cust GROUP BY n_orders
+    """,
+)
+def order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed how many orders,
+    including zero (left outer join → count of non-null keys → second
+    aggregate over the counts). Two keyed shuffles; both aggregates
+    partial+final."""
+    customer, orders = load_tables(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+@query(
+    "large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, CAST(trunc(sum(l_quantity)) AS BIGINT) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+    )
+    SELECT o.o_orderkey, c.c_name, o.o_totalprice, b.total_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total line quantity exceeds a
+    threshold, decorated with customer name. The HAVING aggregate runs
+    FIRST so only qualifying orderkeys join back to orders/customer —
+    the selective side drives both joins, and AQE broadcasts it when
+    small."""
+    lineitem, orders, customer = load_tables(
+        spark, sf_dir, "lineitem", "orders", "customer"
+    )
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 150)
+        .select("l_orderkey", F.floor("_qty").alias("total_qty"))
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select("o_orderkey", "c_name", "o_totalprice", "total_qty")
+    )
+
+
+@query(
+    "min_cost_supplier_per_part",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice) AS best_price
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    ranked AS (
+      SELECT l_partkey, l_suppkey, best_price,
+             row_number() OVER (PARTITION BY l_partkey
+                                ORDER BY best_price, l_suppkey) AS rn
+      FROM cost
+    )
+    SELECT r.l_partkey AS partkey, p.p_name, s.s_name, r.best_price
+    FROM ranked r
+    JOIN part p ON p.p_partkey = r.l_partkey
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.rn = 1
+    """,
+)
+def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the cheapest observed supplier per part
+    (lineitem stands in for partsupp). Aggregate → per-part top-1 via
+    row_number window (deterministic tiebreak on suppkey) → decorate
+    with part/supplier names; the window shuffle reuses the aggregate's
+    (partkey) partitioning."""
+    from pyspark.sql import Window
+
+    lineitem, part, supplier = load_tables(
+        spark, sf_dir, "lineitem", "part", "supplier"
+    )
+    cost = lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("best_price")
+    )
+    w = Window.partitionBy("l_partkey").orderBy("best_price", "l_suppkey")
+    best = (
+        cost.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        best.join(part, best.l_partkey == part.p_partkey)
+        .join(supplier, best.l_suppkey == supplier.s_suppkey)
+        .select(
+            F.col("l_partkey").alias("partkey"), "p_name", "s_name", "best_price"
+        )
+    )
