@@ -49,6 +49,9 @@ HEADLINE = [
     "skew_salted_join_agg",
     "text_quality_score",
     "doc_fingerprint",
+    "corpus_curation",
+    "tfidf_top_terms",
+    "stratified_sample_langs",
 ]
 
 

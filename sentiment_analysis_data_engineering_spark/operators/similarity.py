@@ -33,6 +33,7 @@ __all__ = [
     "lsh_cosine_topk",
     "hyperplane_signature",
     "ivf_cosine_topk",
+    "kmeans_clusters",
 ]
 
 
@@ -312,4 +313,36 @@ def lsh_cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def kmeans_clusters(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    seed: int = 7,
+    max_iter: int = 10,
+) -> DataFrame:
+    """MLlib KMeans cluster assignment per vector — (id, cluster).
+
+    The trained-quantizer upgrade of ``ivf_cosine_topk``'s sampled
+    centroids: ``KMeans.fit`` runs distributed Lloyd iterations
+    (kmeans|| init), then ``transform`` assigns cells in one narrow
+    pass. Feature vectors go through ``array_to_vector`` — a JVM
+    conversion, no Python. Cluster IDS are only stable for a fixed
+    seed+partitioning, so downstream queries should aggregate
+    cluster-invariant facts (sizes, purity) rather than raw ids.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.select(
+        F.col(id_col),
+        array_to_vector(_as_double(vec_col)).alias("features"),
+    )
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feat)
+    return model.transform(feat).select(
+        F.col(id_col), F.col("prediction").alias("cluster")
     )

@@ -29,6 +29,7 @@ __all__ = [
     "fingerprint_md5",
     "fingerprint_xxh64",
     "normalize_text",
+    "tfidf_top_terms",
 ]
 
 
@@ -145,3 +146,56 @@ def fingerprint_xxh64(col: Column | str) -> Column:
     shuffle key (long, not hex string). Spark-specific hash; paired
     queries are rows-only in the oracle gate."""
     return F.xxhash64(normalize_text(col))
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str, id_col: str, *, k: int = 3
+) -> DataFrame:
+    """Top-k TF-IDF terms per document — (id, term, score, rank).
+
+    Smoothed idf = ln((N+1)/(df+1)) + 1 (the scikit-learn convention);
+    score = tf · idf rounded to 6 dp. Everything is explode + two hash
+    aggregates + one window:
+
+    - term frequencies: ONE aggregate keyed (doc, term) — partial
+      map-side combine absorbs repeated terms before the shuffle;
+    - document frequencies: aggregate of the (doc, term) pairs keyed on
+      term — reuses the first aggregate's output, far smaller than the
+      raw token stream;
+    - N: computed from the same tf frame (distinct doc count), avoiding
+      a second scan of the corpus;
+    - top-k: row_number window over (doc) — k rows out per doc,
+      deterministic tiebreak on the term.
+
+    The idf join broadcasts when the vocabulary is small; at 100 TB the
+    vocabulary frame is still ~millions of rows (terms), which is
+    shuffle-join-able on the term key without touching the corpus
+    again. MLlib's HashingTF+IDF is the drop-in when hashed features
+    are acceptable; this keeps exact terms so the oracle can verify.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens(normalize_text(text_col))).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("_id", "term").agg(F.count("*").alias("tf"))
+    n_docs = tf.select(F.countDistinct("_id").alias("n")).crossJoin(
+        tf.select("term").distinct()
+    )
+    dfreq = tf.groupBy("term").agg(F.countDistinct("_id").alias("df_t"))
+    idf = n_docs.join(dfreq, "term").select(
+        "term",
+        (F.log((F.col("n") + 1) / (F.col("df_t") + 1)) + 1).alias("idf"),
+    )
+    scored = tf.join(idf, "term").select(
+        "_id",
+        "term",
+        F.round(F.col("tf") * F.col("idf"), 6).alias("score"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("_id").alias(id_col), "term", "score", "rank")
+    )

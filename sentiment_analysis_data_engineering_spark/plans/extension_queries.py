@@ -592,3 +592,56 @@ def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_fraction=0.1,
         salt="s1",
     ).select("doc_id", "lang")
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+      FROM documents
+    ),
+    t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY 1, 2),
+    n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * (ln((n.n + 1) / (dfreq.df_t + 1)) + 1), 6) AS score
+      FROM tf CROSS JOIN n JOIN dfreq ON tf.term = dfreq.term
+    ),
+    ranked AS (
+      SELECT doc_id, term, score,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, term) AS INT) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, score, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed scikit-style idf),
+    computed as explode → (doc,term) aggregate → vocabulary aggregate →
+    idf join → per-doc top-k window. Fully oracle-checked."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return tx.tfidf_top_terms(documents, "text", "doc_id", k=3)
+
+
+@query("embedding_kmeans_sizes")
+def embedding_kmeans_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib KMeans (k=8, fixed seed) over embeddings, reported as the
+    cluster-size distribution (size → how many clusters of that size).
+    Rows-only: kmeans|| init is seed-deterministic but partition-
+    dependent, so only aggregate shape is meaningful across runs."""
+    (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    assign = sim.kmeans_clusters(
+        embeddings, vec_col="embedding", id_col="vec_id", k=8, seed=7
+    )
+    return (
+        assign.groupBy("cluster")
+        .agg(F.count("*").alias("size"))
+        .groupBy("size")
+        .agg(F.count("*").alias("n_clusters"))
+    )

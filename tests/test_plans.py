@@ -84,3 +84,24 @@ def test_range_join_is_hash_not_nested_loop(spark, sf_dir):
     plan = plan_of(df)
     assert "NestedLoop" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_corpus_curation_semi_join_and_partial_aggs(spark, sf_dir):
+    df = QUERIES["corpus_curation"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "LeftSemi" in plan               # survivors gate, not inner+distinct
+    assert plan.count("HashAggregate") >= 2  # partial+final rollup
+
+
+def test_tfidf_idf_join_broadcasts_vocabulary(spark, sf_dir):
+    df = QUERIES["tfidf_top_terms"](spark, sf_dir)
+    plan = plan_of(df)
+    # small-vocab side broadcasts at this SF; window top-k present
+    assert "BroadcastHashJoin" in plan
+    assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_stratified_sample_is_narrow_filter(spark, sf_dir):
+    df = QUERIES["stratified_sample_langs"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "Exchange" not in plan            # pure scan+filter, no shuffle

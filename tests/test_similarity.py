@@ -97,3 +97,20 @@ def test_hyperplane_signature_deterministic(spark, sf_dir):
     a = [r.s for r in emb.select(sig.alias("s")).collect()]
     b = [r.s for r in emb.select(sig.alias("s")).collect()]
     assert a == b
+
+
+def test_kmeans_clusters_assigns_every_vector(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from sentiment_analysis_data_engineering_spark.operators import similarity as sim
+    from sentiment_analysis_data_engineering_spark.plans.registry import load_tables
+
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    out = sim.kmeans_clusters(emb, k=8, seed=7, max_iter=5)
+    assert out.count() == emb.count()                 # total assignment
+    n_clusters = out.select("cluster").distinct().count()
+    assert 2 <= n_clusters <= 8                       # nondegenerate
+    # assignment is a function of the vector: same call → same result
+    again = sim.kmeans_clusters(emb, k=8, seed=7, max_iter=5)
+    a = {r.vec_id: r.cluster for r in out.collect()}
+    b = {r.vec_id: r.cluster for r in again.collect()}
+    assert a == b
