@@ -645,3 +645,26 @@ def embedding_kmeans_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("size")
         .agg(F.count("*").alias("n_clusters"))
     )
+
+
+@query("sequence_packing_stats")
+def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget sequence packing (budget 512) over documents,
+    reported as pack-fill statistics (docs-per-pack → pack count, mean
+    fill ratio). Rows-only: the greedy fold is order-sequential per
+    partition, not SQL-expressible; invariants (budget respected, every
+    doc packed once, determinism) are unit-tested in test_packing.py."""
+    from ..operators.packing import pack_sequences
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    docs = documents.select("doc_id", tx.token_count("text").alias("n_tokens"))
+    packed = pack_sequences(docs, "doc_id", "n_tokens", budget=512)
+    return (
+        packed.groupBy("pack_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("fill"))
+        .groupBy("n_docs")
+        .agg(
+            F.count("*").alias("n_packs"),
+            F.round(F.avg(F.col("fill") / 512.0), 4).alias("avg_fill_ratio"),
+        )
+    )
