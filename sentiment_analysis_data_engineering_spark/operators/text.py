@@ -30,6 +30,8 @@ __all__ = [
     "fingerprint_xxh64",
     "normalize_text",
     "tfidf_top_terms",
+    "clean_text",
+    "mask_pii",
 ]
 
 
@@ -199,3 +201,29 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(F.col("_id").alias(id_col), "term", "score", "rank")
     )
+
+
+#: Cleaning patterns (ASCII-anchored, engine-portable regexes).
+_URL_RE = r"https?://[^\s]+"
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def clean_text(col: Column | str) -> Column:
+    """Corpus cleaning: strip URLs and e-mail addresses, collapse the
+    whitespace the removals leave behind, trim. Pure regexp_replace
+    chain — JVM-side, portable to any engine for verification."""
+    c = _c(col)
+    c = F.regexp_replace(c, _URL_RE, " ")
+    c = F.regexp_replace(c, _EMAIL_RE, " ")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def mask_pii(col: Column | str) -> Column:
+    """PII masking: e-mails → [EMAIL], URLs → [URL], digit runs of 7+
+    (phone-ish) → [NUM]. Masking (not deletion) preserves sentence
+    structure for training while removing the identifying content."""
+    c = _c(col)
+    c = F.regexp_replace(c, _EMAIL_RE, "[EMAIL]")
+    c = F.regexp_replace(c, _URL_RE, "[URL]")
+    c = F.regexp_replace(c, r"\d{7,}", "[NUM]")
+    return c

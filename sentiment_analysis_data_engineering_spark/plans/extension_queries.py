@@ -668,3 +668,33 @@ def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.col("fill") / 512.0), 4).alias("avg_fill_ratio"),
         )
     )
+
+
+@query(
+    "text_clean_and_mask",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(text, 'https?://[^\\s]+', ' ', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', ' ', 'g'),
+             '\\s+', ' ', 'g')) AS cleaned,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                 '[EMAIL]', 'g'),
+               'https?://[^\\s]+', '[URL]', 'g'),
+             '\\d{7,}', '[NUM]', 'g') AS masked
+    FROM documents
+    """,
+)
+def text_clean_and_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus cleaning (URL/e-mail strip + whitespace collapse) and PII
+    masking ([EMAIL]/[URL]/[NUM]) — regexp-only, one narrow scan."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return documents.select(
+        "doc_id",
+        tx.clean_text("text").alias("cleaned"),
+        tx.mask_pii("text").alias("masked"),
+    )

@@ -58,3 +58,25 @@ def test_fingerprints_stable_under_whitespace(spark):
     ).collect()
     assert out[0].md5 == out[1].md5 and out[0].xxh == out[1].xxh
     assert out[0].md5 != out[2].md5
+
+
+def test_clean_text_strips_urls_and_emails(spark):
+    from sentiment_analysis_data_engineering_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [(1, "see https://ex.com/a?b=1 or mail bob@corp.io  now")],
+        "doc_id long, text string",
+    )
+    out = df.select(tx.clean_text("text").alias("c")).collect()[0].c
+    assert out == "see or mail now"
+
+
+def test_mask_pii_preserves_structure(spark):
+    from sentiment_analysis_data_engineering_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [(1, "call 12345678 or bob@corp.io via https://x.y today")],
+        "doc_id long, text string",
+    )
+    out = df.select(tx.mask_pii("text").alias("m")).collect()[0].m
+    assert out == "call [NUM] or [EMAIL] via [URL] today"
