@@ -807,3 +807,66 @@ def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey").alias("partkey"), "p_name", "s_name", "best_price"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Calendar gap-fill (dense daily series from sparse facts)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "daily_event_gapfill",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(min(date_trunc('day', ts)) AS DATE) AS lo,
+             CAST(max(date_trunc('day', ts)) AS DATE) AS hi
+      FROM events
+    ),
+    days AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+      FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    grid AS (SELECT d.day, t.event_type FROM days d CROSS JOIN types t),
+    actual AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             count(*) AS n, round(sum(value), 2) AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(g.day, '%Y-%m-%d') AS day, g.event_type,
+           COALESCE(a.n, 0) AS n_events,
+           COALESCE(a.v, 0.0) AS total_value
+    FROM grid g LEFT JOIN actual a
+      ON a.day = g.day AND a.event_type = g.event_type
+    """,
+)
+def daily_event_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily series: build the full (day × event_type) calendar
+    grid with ``sequence``+``explode`` (no driver-side date loop), left
+    join the sparse daily aggregate onto it, zero-fill the gaps. The
+    grid is tiny (days × types) so it broadcasts; the aggregate is the
+    only shuffle of event-scale data — the warehouse gap-fill shape
+    that still works when events is 100 TB."""
+    (events,) = load_tables(spark, sf_dir, "events")
+    bounds = events.select(
+        F.min(F.to_date(F.date_trunc("day", "ts"))).alias("lo"),
+        F.max(F.to_date(F.date_trunc("day", "ts"))).alias("hi"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    types = events.select("event_type").distinct()
+    grid = days.crossJoin(types)
+    actual = events.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
+    return (
+        F.broadcast(grid)
+        .join(actual, ["day", "event_type"], "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.coalesce("v", F.lit(0.0)).alias("total_value"),
+        )
+    )
