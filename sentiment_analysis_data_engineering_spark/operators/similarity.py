@@ -178,13 +178,17 @@ def ivf_cosine_topk(
             for cent in cents
         ])
 
-    # corpus: argmax cell (1-based array_position → 0-based cell id)
+    # corpus: argmax cell (1-based array_position → 0-based cell id).
+    # The L2 norm is computed HERE, once per corpus vector — the
+    # re-rank join below references each vector once per candidate
+    # pair, and an interpreted 64-element fold per pair is pure waste.
     c = _spread(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("_cv")
     )
     c = c.withColumn("_scores", cell_scores(F.col("_cv"))).select(
         "neighbor_id",
         "_cv",
+        _norm(F.col("_cv")).alias("_cn"),
         (F.array_position("_scores", F.array_max("_scores")) - 1).alias("cell"),
     )
 
@@ -217,7 +221,7 @@ def ivf_cosine_topk(
             "cosine",
             F.round(
                 _dot(F.col("_qv"), F.col("_cv"))
-                / (F.col("_qn") * _norm(F.col("_cv"))),
+                / (F.col("_qn") * F.col("_cn")),
                 6,
             ),
         )
@@ -290,12 +294,13 @@ def lsh_cosine_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
+    # norms once per vector in the projections — not per candidate pair
     qv = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("_queryv")
-    )
+    ).withColumn("_qn", _norm(F.col("_queryv")))
     cv = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("_neighborv")
-    )
+    ).withColumn("_nn", _norm(F.col("_neighborv")))
     scored = (
         cand.join(F.broadcast(qv), "query_id")
         .join(cv, "neighbor_id")
@@ -303,7 +308,7 @@ def lsh_cosine_topk(
             "cosine",
             F.round(
                 _dot(F.col("_queryv"), F.col("_neighborv"))
-                / (_norm(F.col("_queryv")) * _norm(F.col("_neighborv"))),
+                / (F.col("_qn") * F.col("_nn")),
                 6,
             ),
         )
