@@ -37,6 +37,7 @@ __all__ = [
     "idempotent_append",
     "replace_partition",
     "upsert_partitions",
+    "write_balanced_shards",
 ]
 
 
@@ -248,3 +249,37 @@ def replace_partition(
         writer.parquet(target)
     else:
         writer.saveAsTable(target)
+
+
+def write_balanced_shards(
+    df: DataFrame,
+    path: str,
+    *,
+    rows_per_shard: int,
+    shard_key: str,
+    sort_within: list[str] | None = None,
+) -> int:
+    """Write ``df`` as size-balanced parquet shards — the layout a
+    training-data loader wants (uniform files it can stripe across
+    readers, no straggler shard 100× the others).
+
+    Shape: hash-repartition on ``shard_key`` into ceil(rows/target)
+    partitions (uniform by hash, independent of input skew or file
+    layout), optionally sort inside each shard (``sortWithinPartitions``
+    — NO global sort barrier), one file per partition capped by
+    ``maxRecordsPerFile`` as a hard backstop. Returns the partition
+    count it wrote. The count() to size the shards is one cheap
+    columnar pass; callers that already know the row count can
+    repartition themselves and use plain ``append``.
+    """
+    n_rows = df.count()
+    n_shards = max(1, -(-n_rows // rows_per_shard))
+    out = df.repartition(n_shards, F.col(shard_key))
+    if sort_within:
+        out = out.sortWithinPartitions(*sort_within)
+    (
+        out.write.mode("overwrite")
+        .option("maxRecordsPerFile", rows_per_shard)
+        .parquet(path)
+    )
+    return n_shards

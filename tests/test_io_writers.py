@@ -119,3 +119,30 @@ def test_scan_jsonl_nested_schema(spark, tmp_path):
         "id", F.col("meta.lang").alias("lang"), F.size("meta.tags").alias("n")
     ).collect()}
     assert got == {1: ("en", 2), 2: ("de", 0)}
+
+
+def test_write_balanced_shards(spark, tmp_path):
+    import glob
+    from sentiment_analysis_data_engineering_spark.sources.io import write_balanced_shards
+
+    df = spark.range(0, 10_000).withColumnRenamed("id", "doc_id")
+    n = write_balanced_shards(
+        df, str(tmp_path / "shards"), rows_per_shard=1000,
+        shard_key="doc_id", sort_within=["doc_id"],
+    )
+    assert n == 10
+    files = glob.glob(str(tmp_path / "shards" / "*.parquet"))
+    # one file per shard, plus maxRecordsPerFile splits where the hash
+    # put a partition slightly over target — never more than 2x
+    assert 10 <= len(files) <= 20
+    back = spark.read.parquet(str(tmp_path / "shards"))
+    assert back.count() == 10_000
+    # the hard cap holds per file
+    import pyspark.sql.functions as F
+    per_file = [
+        r.c
+        for r in back.groupBy(F.input_file_name().alias("f"))
+        .agg(F.count("*").alias("c"))
+        .collect()
+    ]
+    assert max(per_file) <= 1000
