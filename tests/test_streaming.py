@@ -155,3 +155,77 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_dir):
     want = {(r.error_id, r.click_id) for r in batch.collect()}
     assert got  # non-degenerate
     assert got == want
+
+
+def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
+    """Two micro-batches (maxFilesPerTrigger=1): batch 1 advances the
+    watermark past the 10:00 window; batch 2 carries a LATE 10:05 row,
+    which must be dropped from the already-closed window."""
+    import glob
+    import os
+    import shutil
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+    from sentiment_analysis_data_engineering_spark.streaming.events import (
+        tumbling_window_agg,
+    )
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    indir = tmp_path / "in"
+    indir.mkdir()
+
+    def emit(name, rows, mtime):
+        stage = tmp_path / f"stage_{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(stage))
+        part = glob.glob(str(stage / "part-*.parquet"))[0]
+        dst = indir / name
+        shutil.copy(part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    t = lambda h, m: datetime(2024, 1, 1, h, m, 0)
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(indir))
+        agg = tumbling_window_agg(stream, window="1 hour", watermark="10 minutes")
+        rows = []
+
+        def sink(batch_df, batch_id):
+            rows.extend(batch_df.collect())
+
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r.window_start: r.n_events for r in rows}
+
+    # run 1: two in the 10:00 window, one at 12:00 → watermark 11:50,
+    # 10:00 window closes and emits with 2
+    emit("a.parquet", [(1, t(10, 10), "click", 1.0),
+                       (2, t(10, 40), "click", 1.0),
+                       (3, t(12, 0), "click", 1.0)], 1_700_000_000)
+    first = run_once()
+    assert first.get("2024-01-01 10:00:00") == 2
+
+    # run 2 (same checkpoint → watermark persisted): a LATE 10:05 row
+    # must be dropped; the closed window must NOT re-emit or grow
+    emit("b.parquet", [(4, t(10, 5), "click", 1.0),
+                       (5, t(12, 30), "click", 1.0)], 1_700_000_100)
+    second = run_once()
+    assert second.get("2024-01-01 10:00:00", 0) in (0, 2)  # never 3
+    total_10 = first.get("2024-01-01 10:00:00", 0) + second.get(
+        "2024-01-01 10:00:00", 0
+    )
+    assert total_10 == 2  # the late row contributed nowhere
