@@ -825,3 +825,45 @@ def exact_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_partkey").alias("n_parts"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "props_map_report",
+    oracle="""
+    SELECT k AS key, count(*) AS n,
+           round(avg(CAST(json_extract_string(props, '$.' || k) AS DOUBLE)), 4)
+             AS avg_val
+    FROM events, unnest(json_keys(props)) AS t(k)
+    GROUP BY k
+    """,
+)
+def props_map_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type surface: parse the JSON props column into
+    map<string,double> with ``from_json``, explode key/value pairs, and
+    aggregate per key — typed semi-structured access with no string
+    re-parsing downstream (F7's typed big sibling)."""
+    (events,) = load_tables(spark, sf_dir, "events")
+    parsed = events.select(
+        F.explode(F.from_json("props", "map<string,double>")).alias("key", "val")
+    )
+    return parsed.groupBy("key").agg(
+        F.count("*").alias("n"), F.round(F.avg("val"), 4).alias("avg_val")
+    )
+
+
+@query(
+    "except_all_part_multiset",
+    oracle="""
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'N'
+    EXCEPT ALL
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def except_all_part_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference (EXCEPT ALL): occurrence counts subtract
+    instead of collapsing to distinct — ``exceptAll`` compiles to an
+    aggregate of per-side counts + generate, no row-by-row comparison."""
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    kept = lineitem.filter(F.col("l_returnflag") == "N").select("l_partkey")
+    returned = lineitem.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    return kept.exceptAll(returned)
