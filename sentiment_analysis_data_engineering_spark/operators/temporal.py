@@ -33,14 +33,21 @@ def as_of_join(
     by: list[str],
     right_value_cols: list[str],
     tolerance_seconds: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward (inclusive) as-of join: each left row gets the most
-    recent right row with the same by-key and ``right.ts <= left.ts``.
+    """As-of join: each left row gets the nearest right row with the
+    same by-key — ``direction='backward'`` (default) the most recent
+    with ``right.ts <= left.ts``; ``'forward'`` the next with
+    ``right.ts >= left.ts``. Both are ONE shuffle on the by-key.
 
     Right-side payload travels as one struct column; at equal
-    timestamps the right row sorts first, so a left row at exactly a
-    right row's ts matches it (DuckDB ASOF semantics).
+    timestamps the right row matches (inclusive, DuckDB ASOF
+    semantics) in either direction. The forward variant is the same
+    union-then-window plan with the frame reversed (following instead
+    of preceding) and the sort tie flipped.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     rv = F.struct(
         F.col(ts).alias("_rts"), *[F.col(c) for c in right_value_cols]
     )
@@ -52,21 +59,31 @@ def as_of_join(
     )
     combined = l.unionByName(r, allowMissingColumns=True)
 
-    w = (
-        W.partitionBy(*by)
-        .orderBy(F.col(ts).asc(), F.col("_side").asc())
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
-    carried = combined.withColumn("_m", F.last("_rv", ignorenulls=True).over(w))
+    if direction == "backward":
+        w = (
+            W.partitionBy(*by)
+            .orderBy(F.col(ts).asc(), F.col("_side").asc())
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        carried = combined.withColumn(
+            "_m", F.last("_rv", ignorenulls=True).over(w)
+        )
+        gap = F.unix_micros(F.col(ts)) - F.unix_micros(F.col("_m._rts"))
+    else:
+        w = (
+            W.partitionBy(*by)
+            .orderBy(F.col(ts).asc(), F.col("_side").desc())
+            .rowsBetween(0, W.unboundedFollowing)
+        )
+        carried = combined.withColumn(
+            "_m", F.first("_rv", ignorenulls=True).over(w)
+        )
+        gap = F.unix_micros(F.col("_m._rts")) - F.unix_micros(F.col(ts))
     out = carried.filter(F.col("_side") == 1).drop("_rv", "_side")
     if tolerance_seconds is not None:
         out = out.withColumn(
             "_m",
-            F.when(
-                F.unix_micros(F.col(ts)) - F.unix_micros(F.col("_m._rts"))
-                <= tolerance_seconds * 1_000_000,
-                F.col("_m"),
-            ),
+            F.when(gap <= tolerance_seconds * 1_000_000, F.col("_m")),
         )
     return out.withColumnRenamed("_m", "matched")
 

@@ -78,3 +78,28 @@ def test_range_join_buckets_matches_inequality_join(spark, sf_dir):
     )
     assert bucketed.exceptAll(plain).isEmpty()
     assert plain.exceptAll(bucketed).isEmpty()
+
+
+def test_asof_join_forward_direction(spark):
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+    from sentiment_analysis_data_engineering_spark.operators.temporal import as_of_join
+
+    t = lambda m: datetime(2024, 1, 1, 10, m, 0)
+    left = spark.createDataFrame(
+        [(1, t(10)), (1, t(30)), (2, t(5))], "k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, t(10), "exact"), (1, t(25), "later"), (2, t(0), "before")],
+        "k long, ts timestamp, tag string",
+    )
+    out = as_of_join(
+        left, right, ts="ts", by=["k"], right_value_cols=["tag"],
+        direction="forward",
+    )
+    got = {(r.k, r.ts.minute): (r.matched.tag if r.matched else None)
+           for r in out.collect()}
+    assert got[(1, 10)] == "exact"    # inclusive at equal ts
+    assert got[(1, 30)] is None       # nothing after 10:30
+    assert got[(2, 5)] is None        # right row is before, not after
