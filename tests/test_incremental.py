@@ -1,0 +1,72 @@
+"""Incremental rollup maintenance == full recompute, at batch cost."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sentiment_analysis_data_engineering_spark.operators.incremental import merge_rollup
+from sentiment_analysis_data_engineering_spark.plans.registry import load_tables
+
+MEASURES = {
+    "n_events": ("count", "*"),
+    "total_value": ("sum", "value"),
+    "max_value": ("max", "value"),
+}
+
+
+def daily(events):
+    return events.select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "value",
+    )
+
+
+def test_two_batches_equal_full_recompute(spark, sf_dir, tmp_path):
+    (events,) = load_tables(spark, sf_dir, "events")
+    rows = daily(events)
+    target = str(tmp_path / "rollup")
+
+    # split by event id parity → two incremental loads
+    (e,) = load_tables(spark, sf_dir, "events")
+    b1 = daily(e.filter(F.col("event_id") % 2 == 0))
+    b2 = daily(e.filter(F.col("event_id") % 2 == 1))
+    merge_rollup(spark, b1, target, keys=["day", "event_type"],
+                 partition_col="day", measures=MEASURES)
+    merge_rollup(spark, b2, target, keys=["day", "event_type"],
+                 partition_col="day", measures=MEASURES)
+
+    got = {
+        (r.day, r.event_type): (r.n_events, round(r.total_value, 2), r.max_value)
+        for r in spark.read.parquet(target)
+        .withColumn("day", F.col("day").cast("string")).collect()
+    }
+    full = rows.groupBy("day", "event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"),
+        F.max("value").alias("m"),
+    )
+    want = {(r.day, r.event_type): (r.n, r.v, r.m) for r in full.collect()}
+    assert {k: (a, round(b, 2), c) for k, (a, b, c) in got.items()} == want
+
+
+def test_untouched_partitions_survive(spark, sf_dir, tmp_path):
+    (events,) = load_tables(spark, sf_dir, "events")
+    target = str(tmp_path / "rollup2")
+    merge_rollup(spark, daily(events), target, keys=["day", "event_type"],
+                 partition_col="day", measures=MEASURES)
+    before = spark.read.parquet(target).count()
+
+    # a batch touching ONE day must leave all other partitions intact
+    one_day = daily(events).filter(F.col("day") == "2024-01-05")
+    merge_rollup(spark, one_day, target, keys=["day", "event_type"],
+                 partition_col="day", measures=MEASURES)
+    after = spark.read.parquet(target).withColumn(
+        "day", F.col("day").cast("string")
+    )
+    assert after.count() == before
+    # and the touched day doubled its counts (same rows merged again)
+    n = after.filter(F.col("day") == "2024-01-05").agg(
+        F.sum("n_events")
+    ).collect()[0][0]
+    n0 = daily(events).filter(F.col("day") == "2024-01-05").count()
+    assert n == 2 * n0
