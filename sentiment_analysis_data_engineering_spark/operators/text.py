@@ -99,7 +99,10 @@ def lang_id(col: Column | str) -> Column:
 
 def quality_features(col: Column | str) -> dict[str, Column]:
     """Per-document quality features, all as rounded doubles so a SQL
-    oracle reproduces them bit-for-bit."""
+    oracle reproduces them bit-for-bit. Ratios use ``try_divide``:
+    empty text has n_chars = 0, and under ANSI mode a plain division
+    would throw DIVIDE_BY_ZERO at runtime — one empty doc in 100 TB
+    must yield NULL features, not a dead job."""
     c = _c(col)
     n_chars = F.length(c).cast("long")
     toks = tokens(c)
@@ -110,10 +113,10 @@ def quality_features(col: Column | str) -> dict[str, Column]:
     return {
         "n_chars": n_chars,
         "n_tokens": n_tokens,
-        "avg_token_len": F.round(n_chars / n_tokens, 4),
-        "punct_ratio": F.round(punct / n_chars, 6),
-        "digit_ratio": F.round(digits / n_chars, 6),
-        "stopword_ratio": F.round(stop_hits / n_tokens, 6),
+        "avg_token_len": F.round(F.try_divide(n_chars, n_tokens), 4),
+        "punct_ratio": F.round(F.try_divide(punct, n_chars), 6),
+        "digit_ratio": F.round(F.try_divide(digits, n_chars), 6),
+        "stopword_ratio": F.round(F.try_divide(stop_hits, n_tokens), 6),
     }
 
 

@@ -1,0 +1,78 @@
+"""Edge-case robustness: empty frames, null/empty text, unicode.
+
+Operators must degrade to empty/null results — never throw — because a
+100 TB run WILL contain every degenerate row shape somewhere.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sentiment_analysis_data_engineering_spark.operators import dedup as dd
+from sentiment_analysis_data_engineering_spark.operators import text as tx
+from sentiment_analysis_data_engineering_spark.operators.packing import pack_sequences
+from sentiment_analysis_data_engineering_spark.operators.sampling import hash_sample
+
+
+@pytest.fixture(scope="module")
+def weird(spark):
+    rows = [
+        (1, None),                       # null text
+        (2, ""),                         # empty
+        (3, "   "),                      # whitespace only
+        (4, "héllo wörld ünïcode ≠ ascii and more tokens here ok"),
+        (5, "héllo wörld ünïcode ≠ ascii and more tokens here ok"),  # dup of 4
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_text_ops_survive_nulls(weird):
+    out = weird.select(
+        "doc_id",
+        tx.token_count("text").alias("n"),
+        tx.quality_score("text").alias("q"),
+        tx.lang_id("text").alias("lang"),
+        tx.fingerprint_md5("text").alias("fp"),
+        tx.clean_text("text").alias("clean"),
+        tx.mask_pii("text").alias("masked"),
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].n is None and by_id[1].fp is None     # null propagates
+    assert by_id[4].fp == by_id[5].fp                     # unicode dups agree
+
+
+def test_exact_dedup_groups_unicode_and_keeps_nulls_separate(weird):
+    out = dd.exact_dedup(weird, "text", "doc_id")
+    groups = {r.keep_id: r.n_copies for r in out.collect()}
+    assert groups.get(4) == 2              # unicode dup pair collapses
+    # empty and whitespace-only normalize to the same "" fingerprint
+    assert groups.get(2) == 2
+
+
+def test_minhash_lsh_on_degenerate_corpus(weird):
+    # must not throw. Null text drops out (no shingles); empty and
+    # whitespace-only BOTH normalize to one empty shingle, so (2,3) is
+    # a legitimate exact-duplicate pair, like the unicode pair (4,5).
+    pairs = dd.minhash_lsh_pairs(weird, "text", "doc_id", verify_threshold=0.2)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(2, 3), (4, 5)}
+
+
+def test_empty_frame_through_pipeline(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert dd.exact_dedup(empty, "text", "doc_id").count() == 0
+    assert dd.minhash_lsh_pairs(empty, "text", "doc_id").count() == 0
+    assert dd.connected_components(
+        spark.createDataFrame([], "id_a long, id_b long")
+    ).count() == 0
+    assert hash_sample(empty, "doc_id", 0.5).count() == 0
+    docs = empty.withColumn("n_tokens", F.lit(1).cast("long"))
+    assert pack_sequences(docs, "doc_id", "n_tokens", budget=10).count() == 0
+
+
+def test_tfidf_ignores_empty_docs(weird):
+    out = tx.tfidf_top_terms(weird, "text", "doc_id", k=2)
+    ids = {r.doc_id for r in out.collect()}
+    assert 1 not in ids and 2 not in ids and 3 not in ids
+    assert {4, 5} <= ids
