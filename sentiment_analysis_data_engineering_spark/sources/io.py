@@ -38,6 +38,7 @@ __all__ = [
     "replace_partition",
     "upsert_partitions",
     "write_balanced_shards",
+    "write_bucketed",
 ]
 
 
@@ -283,3 +284,26 @@ def write_balanced_shards(
         .parquet(path)
     )
     return n_shards
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    *,
+    bucket_cols: list[str],
+    buckets: int,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist as a bucketed (and optionally sort-bucketed) managed
+    table — the co-located-join layout: two tables bucketed on the
+    same key with the same bucket count hash-join WITHOUT any
+    Exchange, because rows are already grouped by hash(key) % buckets
+    on disk. The write pays one shuffle ONCE; every subsequent join
+    or aggregation on the bucket key skips its shuffle. At 100 TB
+    this converts the nightly fact⋈dim joins from the dominant
+    shuffle into a local zip of pre-sorted buckets.
+    """
+    writer = df.write.mode("overwrite").bucketBy(buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

@@ -146,3 +146,31 @@ def test_write_balanced_shards(spark, tmp_path):
         .collect()
     ]
     assert max(per_file) <= 1000
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from sentiment_analysis_data_engineering_spark.plans.registry import load_tables
+    from sentiment_analysis_data_engineering_spark.sources.io import write_bucketed
+
+    lineitem, orders = load_tables(spark, sf_dir, "lineitem", "orders")
+    write_bucketed(
+        lineitem.select("l_orderkey", "l_extendedprice"),
+        "t_li_bucketed", bucket_cols=["l_orderkey"], buckets=8,
+        sort_cols=["l_orderkey"],
+    )
+    write_bucketed(
+        orders.select("o_orderkey", "o_orderdate"),
+        "t_ord_bucketed", bucket_cols=["o_orderkey"], buckets=8,
+        sort_cols=["o_orderkey"],
+    )
+    li = spark.table("t_li_bucketed")
+    od = spark.table("t_ord_bucketed")
+    joined = li.join(
+        od.hint("merge"), li.l_orderkey == od.o_orderkey
+    ).groupBy("o_orderdate").agg(F.sum("l_extendedprice").alias("rev"))
+    joined.collect()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # the join consumes the bucketed scans directly: no join-key exchange
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
