@@ -153,6 +153,14 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
     from sentiment_analysis_data_engineering_spark.plans.registry import load_tables
     from sentiment_analysis_data_engineering_spark.sources.io import write_bucketed
 
+    # a fresh session may not know tables whose warehouse dirs survived
+    # a previous run — drop both name and location before writing
+    import shutil
+    for t in ("t_li_bucketed", "t_ord_bucketed"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        loc = f"/root/repo/spark-warehouse/{t}"
+        shutil.rmtree(loc, ignore_errors=True)
+
     lineitem, orders = load_tables(spark, sf_dir, "lineitem", "orders")
     write_bucketed(
         lineitem.select("l_orderkey", "l_extendedprice"),
