@@ -870,3 +870,46 @@ def daily_event_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("v", F.lit(0.0)).alias("total_value"),
         )
     )
+
+
+@query(
+    "rolling_7day_customer_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT o_custkey,
+             CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day_num,
+             round(sum(o_totalprice), 2) AS day_rev
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT o_custkey, day_num,
+           round(sum(day_rev) OVER (
+             PARTITION BY o_custkey ORDER BY day_num
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rev_7d
+    FROM daily
+    """,
+)
+def rolling_7day_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: rolling 7-DAY revenue per customer over the
+    daily aggregate. A range frame (value-based, handles gaps in the
+    date series) — unlike rowsBetween, missing days don't stretch the
+    lookback. Ordering key is epoch days, timezone-free in both
+    engines; the window reuses the aggregate's (custkey) partitioning."""
+    from pyspark.sql import Window
+
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        "o_custkey",
+        F.floor(F.unix_timestamp(F.col("o_orderdate")) / 86400)
+        .cast("long")
+        .alias("day_num"),
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("day_rev"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_num")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "o_custkey",
+        "day_num",
+        F.round(F.sum("day_rev").over(w), 2).alias("rev_7d"),
+    )
