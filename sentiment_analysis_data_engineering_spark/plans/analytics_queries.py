@@ -913,3 +913,32 @@ def rolling_7day_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
         "day_num",
         F.round(F.sum("day_rev").over(w), 2).alias("rev_7d"),
     )
+
+
+@query(
+    "region_nation_rollcall",
+    oracle="""
+    SELECT r.r_name AS region,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+           count(*) AS n_nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def region_nation_rollcall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String aggregation with DETERMINISTIC order: collect_list is
+    unordered by contract, so sort the array before joining —
+    sort_array(collect_list(...)) → array_join. One broadcast join +
+    one aggregate."""
+    region, nation = load_tables(spark, sf_dir, "region", "nation")
+    return (
+        nation.join(F.broadcast(region),
+                    nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("n_name")), ","
+            ).alias("nations"),
+            F.count("*").alias("n_nations"),
+        )
+    )
