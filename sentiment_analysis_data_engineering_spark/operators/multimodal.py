@@ -35,6 +35,7 @@ __all__ = [
     "attach_media_metadata",
     "decode_image",
     "extract_features",
+    "resize_image",
     "sample_frames",
 ]
 
@@ -171,3 +172,51 @@ def sample_frames(df: DataFrame, *, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+
+def resize_image(
+    df: DataFrame, *, height: int = 4, width: int = 4, strict: bool = False
+) -> DataFrame:
+    """Resize STUB on the same mapInPandas seam as decode_image —
+    (media_id, height, width, pixels array<float>), row-major.
+
+    The fake path decodes (8x8 deterministic grid) then nearest-
+    neighbor samples to (height, width) — the real implementation
+    swaps in Pillow's ``Image.resize`` inside the same batch loop;
+    schema, Arrow batching, and partition behavior are identical.
+    ``strict=True`` raises NotImplementedError from the executor, the
+    honest no-codec behavior."""
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("pixels", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if strict:
+                raise NotImplementedError(
+                    "image resize requires Pillow; container has no codecs "
+                    "(engine stub — plumbing is real, resize is not)"
+                )
+            ids, pixels = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["content"]):
+                px = _fake_decode(bytes(payload))
+                ys = np.linspace(0, px.shape[0] - 1, height).round().astype(int)
+                xs = np.linspace(0, px.shape[1] - 1, width).round().astype(int)
+                ids.append(int(mid))
+                pixels.append(px[np.ix_(ys, xs)].ravel().tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "height": height,
+                    "width": width,
+                    "pixels": pixels,
+                }
+            )
+
+    return df.select("media_id", "content").mapInPandas(batches, out_schema)

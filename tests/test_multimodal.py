@@ -57,3 +57,26 @@ def test_sample_frames_schedule(spark):
     df = spark.createDataFrame(rows, schema)
     out = mm.sample_frames(df, every_ms=1000).collect()
     assert [r.frame_ts_ms for r in out] == [0, 1000, 2000, 3000]
+
+
+def test_resize_image_shape_and_determinism(spark, media):
+    from sentiment_analysis_data_engineering_spark.operators import multimodal as mm
+
+    out = mm.resize_image(media, height=4, width=4)
+    rows = out.collect()
+    assert all(len(r.pixels) == 16 for r in rows)
+    assert all(r.height == 4 and r.width == 4 for r in rows)
+    again = {r.media_id: r.pixels for r in mm.resize_image(media, height=4, width=4).collect()}
+    assert {r.media_id: r.pixels for r in rows} == again
+    # resized pixels are a subsample of the decoded grid's value range
+    assert all(0.0 <= p <= 1.0 for r in rows for p in r.pixels)
+
+
+def test_resize_image_strict_raises(spark, media):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import PythonException
+    from sentiment_analysis_data_engineering_spark.operators import multimodal as mm
+
+    with pytest.raises((PythonException, Py4JJavaError)):
+        mm.resize_image(media, strict=True).collect()
