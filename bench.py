@@ -36,6 +36,7 @@ HEADLINE = [
     "top_unshipped_orders",
     "pivot_event_counts",
     "percentiles_by_segment",
+    "nation_pair_volume",
     "asof_join_last_signup",
     "range_join_error_windows",
     # LLM-pipeline extensions

@@ -1036,3 +1036,42 @@ def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
         ).alias("revenue"),
         F.count("*").alias("n_lines"),
     )
+
+
+@query(
+    "top_revenue_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS total_cents
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_cents
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_cents = (SELECT max(total_cents) FROM rev)
+    """,
+)
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum total revenue —
+    aggregate once, compare against the global max via a rank-less
+    window (max over empty partition spec = one scalar broadcast by
+    Spark's window exec), keep ties. Revenue in integer cents for
+    engine-exact comparison."""
+    from pyspark.sql import Window
+
+    lineitem, supplier = load_tables(spark, sf_dir, "lineitem", "supplier")
+    rev = lineitem.groupBy("l_suppkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("long")
+        ).alias("total_cents")
+    )
+    top = rev.withColumn(
+        "_max", F.max("total_cents").over(Window.partitionBy())
+    ).filter(F.col("total_cents") == F.col("_max"))
+    return top.join(F.broadcast(supplier),
+                    top.l_suppkey == supplier.s_suppkey).select(
+        "s_suppkey", "s_name", "total_cents"
+    )
