@@ -1075,3 +1075,75 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                     top.l_suppkey == supplier.s_suppkey).select(
         "s_suppkey", "s_name", "total_cents"
     )
+
+
+@query(
+    "sole_late_supplier_waitlist",
+    oracle="""
+    WITH li AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             (l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY) AS is_late
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    lines AS (SELECT DISTINCT l_orderkey, l_suppkey, is_late FROM li)
+    SELECT s.s_name, count(*) AS numwait
+    FROM lines a JOIN supplier s ON s.s_suppkey = a.l_suppkey
+    WHERE a.is_late
+      AND EXISTS (SELECT 1 FROM lines b
+                  WHERE b.l_orderkey = a.l_orderkey
+                    AND b.l_suppkey <> a.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lines c
+                      WHERE c.l_orderkey = a.l_orderkey
+                        AND c.l_suppkey <> a.l_suppkey
+                        AND c.is_late)
+    GROUP BY s.s_name
+    """,
+)
+def sole_late_supplier_waitlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY late shipper on
+    multi-supplier orders ("late" = shipped >90 days after the order
+    date), counted per supplier.
+
+    The correlated EXISTS / NOT EXISTS pair compiles to one left_semi
+    and one left_anti join on the orderkey — both against the same
+    deduplicated (order, supplier, late) frame, which is pinned-free
+    because each side projects different columns. No row-level
+    subquery execution anywhere."""
+    lineitem, orders, supplier = load_tables(
+        spark, sf_dir, "lineitem", "orders", "supplier"
+    )
+    li = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+            ).alias("is_late"),
+        )
+        .distinct()
+    )
+    a = li.filter(F.col("is_late"))
+    others = li.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk"),
+        F.col("is_late").alias("_late"),
+    )
+    with_other = a.join(
+        others,
+        (a.l_orderkey == others._ok) & (a.l_suppkey != others._sk),
+        "left_semi",
+    )
+    sole_late = with_other.join(
+        others.filter(F.col("_late")),
+        (with_other.l_orderkey == others._ok)
+        & (with_other.l_suppkey != others._sk),
+        "left_anti",
+    )
+    return (
+        sole_late.join(
+            F.broadcast(supplier), sole_late.l_suppkey == supplier.s_suppkey
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
