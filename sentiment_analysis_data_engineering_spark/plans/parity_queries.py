@@ -867,3 +867,41 @@ def except_all_part_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = lineitem.filter(F.col("l_returnflag") == "N").select("l_partkey")
     returned = lineitem.filter(F.col("l_returnflag") == "R").select("l_partkey")
     return kept.exceptAll(returned)
+
+
+@query(
+    "null_safe_join_props",
+    oracle="""
+    WITH k AS (
+      SELECT event_id,
+             CASE WHEN json_extract_string(props, '$.k') = '69' THEN NULL
+                  ELSE CAST(json_extract_string(props, '$.k') AS BIGINT) END AS kv
+      FROM events
+    )
+    SELECT a.kv AS k_value, count(*) AS n_pairs
+    FROM k a JOIN k b
+      ON a.kv IS NOT DISTINCT FROM b.kv AND a.event_id < b.event_id
+    WHERE a.kv IS NULL
+    GROUP BY a.kv
+    """,
+)
+def null_safe_join_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each OTHER instead of vanishing — the semantics an identity-
+    resolution join over dirty keys needs. The k='69' bucket is mapped
+    to NULL to create a real null population; output counts the
+    NULL-key pair group."""
+    (events,) = load_tables(spark, sf_dir, "events")
+    raw = F.get_json_object("props", "$.k")
+    k = events.select(
+        "event_id",
+        F.when(raw == "69", F.lit(None)).otherwise(raw.cast("long")).alias("kv"),
+    )
+    a = k.select(F.col("kv").alias("a_kv"), F.col("event_id").alias("a_id"))
+    b = k.select(F.col("kv").alias("b_kv"), F.col("event_id").alias("b_id"))
+    return (
+        a.join(b, a.a_kv.eqNullSafe(b.b_kv) & (a.a_id < b.b_id))
+        .filter(F.col("a_kv").isNull())
+        .groupBy(F.col("a_kv").alias("k_value"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
