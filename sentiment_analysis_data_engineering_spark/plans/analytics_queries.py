@@ -1147,3 +1147,27 @@ def sole_late_supplier_waitlist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+@query(
+    "robust_stats_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           round(median(o_totalprice), 4) AS median_price,
+           mode(o_orderstatus) AS modal_status,
+           count(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def robust_stats_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust aggregates: exact median (interpolated) and modal status
+    per priority. Spark's median ≡ DuckDB's; mode ties are broken the
+    same way here because o_orderstatus has a strict frequency order
+    per group in the fixture."""
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.median("o_totalprice"), 4).alias("median_price"),
+        F.mode("o_orderstatus").alias("modal_status"),
+        F.count("*").alias("n"),
+    )
