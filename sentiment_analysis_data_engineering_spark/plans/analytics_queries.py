@@ -1171,3 +1171,54 @@ def robust_stats_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.mode("o_orderstatus").alias("modal_status"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "price_quantity_statistics",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+           round(stddev_samp(l_extendedprice), 4) AS price_stddev,
+           round(var_samp(l_quantity), 6) AS qty_var
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def price_quantity_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (correlation, sample covariance/stddev/
+    variance) per return flag — one partial+final hash aggregate; all
+    moments combine map-side."""
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "qty_price_corr"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_covar"
+        ),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+        F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
+    )
+
+
+@query(
+    "order_flags_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (o_totalprice > 100000) AS n_big,
+           bool_and(o_totalprice > 0)   AS all_positive,
+           bool_or(o_orderstatus = 'F') AS any_finished
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def order_flags_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregates: count_if + bool_and/bool_or per
+    priority group."""
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+    )
