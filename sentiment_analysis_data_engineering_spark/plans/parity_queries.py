@@ -905,3 +905,37 @@ def null_safe_join_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a_kv").alias("k_value"))
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+@query(
+    "date_functions_report",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_diff('day', DATE '1995-01-01',
+                          CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_95,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH,
+                    '%Y-%m-%d') AS plus_3_months,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+             AS month_end,
+           CAST(isodow(CAST(o_orderdate AS DATE)) AS BIGINT) AS iso_weekday,
+           CAST(quarter(CAST(o_orderdate AS DATE)) AS BIGINT) AS qtr
+    FROM orders
+    """,
+)
+def date_functions_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function surface (F1/F2's wider family): datediff,
+    add_months, last_day, ISO weekday, quarter — all JVM date
+    expressions in one narrow scan. ISO weekday = Spark's
+    ``weekday() + 1`` (Mon=1..Sun=7, DuckDB isodow)."""
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.datediff(d, F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_95"),
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus_3_months"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        (F.weekday(d) + 1).cast("long").alias("iso_weekday"),
+        F.quarter(d).cast("long").alias("qtr"),
+    )
