@@ -1,0 +1,85 @@
+"""Property-based invariants (hypothesis) for the operators whose
+correctness is a LAW over all inputs, not a fixture fact."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from sentiment_analysis_data_engineering_spark.operators import dedup as dd
+from sentiment_analysis_data_engineering_spark.operators.packing import pack_sequences
+from sentiment_analysis_data_engineering_spark.operators.sampling import hash_bucket
+
+_slow = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    docs=st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(1, 300)),
+        min_size=1, max_size=60, unique_by=lambda t: t[0],
+    ),
+    budget=st.integers(16, 512),
+)
+@_slow
+def test_packing_laws(spark, docs, budget):
+    df = spark.createDataFrame(docs, "doc_id long, n_tokens long")
+    out = pack_sequences(df, "doc_id", "n_tokens", budget=budget,
+                         num_partitions=4).collect()
+    # law 1: bijection on doc ids
+    assert sorted(r.doc_id for r in out) == sorted(d for d, _ in docs)
+    # law 2: no multi-doc pack exceeds the budget
+    packs: dict[int, list] = {}
+    for r in out:
+        packs.setdefault(r.pack_id, []).append(r)
+    for members in packs.values():
+        if len(members) > 1:
+            assert sum(m.n_tokens for m in members) <= budget
+
+
+@given(ids=st.lists(st.integers(0, 10**12), min_size=1, max_size=80,
+                    unique=True))
+@_slow
+def test_hash_bucket_laws(spark, ids):
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    one = df.select("doc_id", hash_bucket("doc_id", "s").alias("b"))
+    two = df.repartition(5).select(
+        "doc_id", hash_bucket("doc_id", "s").alias("b")
+    )
+    a = {r.doc_id: r.b for r in one.collect()}
+    b = {r.doc_id: r.b for r in two.collect()}
+    # law: bucket is a pure function of (salt, id) — partitioning-free
+    assert a == b
+    assert all(0 <= v < 10_000 for v in a.values())
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1, max_size=40,
+    )
+)
+@_slow
+def test_connected_components_laws(spark, edges):
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    comp = {r.id: r.comp for r in dd.connected_components(df).collect()}
+    # law 1: every endpoint is labeled
+    nodes = {n for e in edges for n in e}
+    assert set(comp) == nodes
+    # law 2: both endpoints of every edge share a component
+    for a, b in edges:
+        assert comp[a] == comp[b]
+    # law 3: the label is the component's minimum node id
+    groups: dict[int, list] = {}
+    for n, c in comp.items():
+        groups.setdefault(c, []).append(n)
+    for c, members in groups.items():
+        assert c == min(members)
