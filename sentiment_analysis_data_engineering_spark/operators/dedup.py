@@ -547,43 +547,163 @@ def connected_components(
 # --------------------------------------------------------------------------
 
 
-def embedding_cosine_pairs(
-    df: DataFrame,
-    vec_col: str,
-    id_col: str,
-    *,
-    threshold: float = 0.95,
-) -> DataFrame:
-    """Near-duplicate pairs by embedding cosine ≥ threshold.
-
-    Brute-force O(n²) form — correct baseline for modest n (the ANN
-    module's LSH bucketing is the scale path; see similarity.py). The
-    dot product and norms are `aggregate`/`zip_with` JVM expressions
-    over array<double>, summed in element order so an oracle can
-    reproduce them exactly.
-    """
+def _cosine_base(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """(_id, _v double[], _norm) — norms once per vector, element-order
+    sums so a SQL oracle reproduces the arithmetic exactly."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = df.select(
+    return df.select(
         F.col(id_col).alias("_id"),
         v.alias("_v"),
         F.sqrt(
             F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
         ).alias("_norm"),
     )
-    a = base.select(
-        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_norm").alias("_na")
-    )
-    b = base.select(
-        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_norm").alias("_nb")
-    )
-    dot = F.aggregate(
+
+
+def _pair_dot() -> Column:
+    return F.aggregate(
         F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    threshold: float = 0.95,
+    method: str = "auto",
+    n_blocks: int | None = None,
+    num_planes: int = 64,
+    bands: int = 16,
+    dim: int = 64,
+    persist: bool = True,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold —
+    (id_a, id_b, cosine), id_a < id_b.
+
+    Two scale-safe plans, both equi-joins (no theta join, so no
+    BroadcastNestedLoopJoin/CartesianProduct ever appears):
+
+    - ``method="exact"`` — triangle block-grid self-join. Each vector
+      hashes to one of B blocks; side A explodes to cells (p, q≥p),
+      side B to cells (p≤q, q); the equi-join on the (p, q) cell key
+      realizes every unordered block pair exactly once. The O(n²)
+      pair work is inherent to an exact threshold join over dense
+      vectors (no sound pruning exists at low thresholds), but it is
+      spread evenly over B(B+1)/2 cells of (n/B)² pairs — a balanced
+      hash join keyed on the cell, ~B/2× row replication in the
+      shuffle, parallelism B(B+1)/2 instead of a single nested-loop
+      task. B defaults to 2·defaultParallelism (cap 64).
+    - ``method="lsh"`` — hyperplane-LSH banding (similarity.py's
+      deterministic sign-bit sketches) generates candidates via an
+      equi-join on (band, band-value); exact cosine refines. Linear
+      shuffle, candidate-proportional work — THE path for true
+      near-dup thresholds, with the standard LSH recall caveat:
+      a pair separated by > num_planes·θ/π planes can miss. At
+      cosine ≥ 0.8 (θ ≤ 37°) the default 64 planes/16 bands gives
+      miss-probability < 1e-4 per pair; at τ = 0.4 the angle is so
+      wide no banding holds recall — use "exact".
+    - ``method="auto"`` — "lsh" when threshold ≥ 0.8 else "exact".
+
+    The brute-force theta-join form this replaces survives only in
+    tests (tests/test_dedup.py) as the verification baseline.
+    """
+    if method == "auto":
+        method = "lsh" if threshold >= 0.8 else "exact"
+    if method not in ("exact", "lsh"):
+        raise ValueError(f"unknown method {method!r}")
+
+    base = _pin(_cosine_base(_spread(df, id_col), vec_col, id_col), persist)
+
+    if method == "exact":
+        spark = df.sparkSession
+        b_blocks = n_blocks or min(64, spark.sparkContext.defaultParallelism * 2)
+        blk = F.pmod(F.xxhash64(F.col("_id")), F.lit(b_blocks)).cast("int")
+        side_a = (
+            base.withColumn("_blk", blk)
+            .withColumn("_q", F.explode(F.sequence(F.col("_blk"), F.lit(b_blocks - 1))))
+            .select(
+                F.col("_id").alias("_ida"), F.col("_v").alias("_va"),
+                F.col("_norm").alias("_na"),
+                F.col("_blk").alias("_p"), F.col("_q"),
+            )
+        )
+        side_b = (
+            base.withColumn("_blk", blk)
+            .withColumn("_p", F.explode(F.sequence(F.lit(0), F.col("_blk"))))
+            .select(
+                F.col("_id").alias("_idb"), F.col("_v").alias("_vb"),
+                F.col("_norm").alias("_nb"),
+                F.col("_p"), F.col("_blk").alias("_q"),
+            )
+        )
+        pairs = (
+            side_a.join(side_b, ["_p", "_q"])
+            # off-diagonal cells see each unordered pair once (any id
+            # order); diagonal cells see both orders — keep one.
+            .filter((F.col("_p") != F.col("_q")) | (F.col("_ida") < F.col("_idb")))
+            # x*y and the element-order sum are operand-commutative in
+            # IEEE754, so dot/norm arithmetic is bit-identical whichever
+            # side holds the smaller id — no operand canonicalization
+            # needed, only the id ordering.
+            .select(
+                F.least("_ida", "_idb").alias("id_a"),
+                F.greatest("_ida", "_idb").alias("id_b"),
+                "_va", "_vb", "_na", "_nb",
+            )
+        )
+    else:
+        from .similarity import hyperplane_signature
+
+        band_bits = num_planes // bands
+        mask = (1 << band_bits) - 1
+        sig = base.withColumn(
+            "_sig",
+            hyperplane_signature("_v", num_planes=num_planes, dim=dim),
+        )
+        banded = _pin(
+            sig.select(
+                "_id",
+                F.explode(
+                    F.array(*[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.shiftright(F.col("_sig"), i * band_bits)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("bval"),
+                        )
+                        for i in range(bands)
+                    ])
+                ).alias("_b"),
+            ).select("_id", F.col("_b.band").alias("_band"), F.col("_b.bval").alias("_bval")),
+            persist,
+        )
+        cand = (
+            banded.select(F.col("_id").alias("id_a"), "_band", "_bval")
+            .join(banded.select(F.col("_id").alias("id_b"), "_band", "_bval"),
+                  ["_band", "_bval"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        pairs = (
+            cand.join(
+                base.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
+                            F.col("_norm").alias("_na")),
+                "id_a",
+            )
+            .join(
+                base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
+                            F.col("_norm").alias("_nb")),
+                "id_b",
+            )
+        )
+
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(dot / (F.col("_na") * F.col("_nb")), 6))
+        pairs.withColumn("cosine", F.round(_pair_dot() / (F.col("_na") * F.col("_nb")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -90,10 +90,84 @@ def test_embedding_cosine_pairs(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     pairs = {
         (r.id_a, r.id_b): r.cosine
-        for r in dd.embedding_cosine_pairs(df, "embedding", "vec_id", threshold=0.95).collect()
+        for r in dd.embedding_cosine_pairs(
+            df, "embedding", "vec_id", threshold=0.95, dim=4
+        ).collect()
     }
     assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
     assert len(pairs) == 1
+
+
+def _brute_force_pairs(df, threshold):
+    """The replaced O(n²) theta-join form — kept here as the test-time
+    verification baseline for both scale-safe methods."""
+    from pyspark.sql import functions as F
+
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = df.select(
+        F.col("vec_id").alias("_id"), v.alias("_v"),
+        F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)).alias("_n"),
+    )
+    a = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
+                    F.col("_n").alias("_na"))
+    b = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
+                    F.col("_n").alias("_nb"))
+    dot = F.aggregate(F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(dot / (F.col("_na") * F.col("_nb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def _clustered_vectors(n=60, dim=16, clusters=5, seed=3):
+    import random
+
+    rng = random.Random(seed)
+    centers = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(clusters)]
+    rows = []
+    for i in range(n):
+        c = centers[i % clusters]
+        rows.append((i, [x + rng.gauss(0, 0.02) for x in c]))
+    return rows
+
+
+def test_embedding_cosine_exact_matches_brute_force(spark):
+    df = spark.createDataFrame(
+        _clustered_vectors(), "vec_id long, embedding array<float>"
+    )
+    expect = sorted(map(tuple, _brute_force_pairs(df, 0.3).collect()))
+    got = sorted(map(tuple, dd.embedding_cosine_pairs(
+        df, "embedding", "vec_id", threshold=0.3, method="exact", n_blocks=4
+    ).collect()))
+    assert got == expect and len(got) > 0
+
+
+def test_embedding_cosine_exact_plan_has_no_nested_loop(spark):
+    df = spark.createDataFrame(
+        _clustered_vectors(n=20), "vec_id long, embedding array<float>"
+    )
+    out = dd.embedding_cosine_pairs(
+        df, "embedding", "vec_id", threshold=0.3, method="exact", n_blocks=4
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_cosine_lsh_matches_brute_force_at_high_threshold(spark):
+    # tight clusters (cos ≈ 1 within, ~random across): the LSH path must
+    # recover exactly the brute-force pair set at a near-dup threshold.
+    df = spark.createDataFrame(
+        _clustered_vectors(dim=16), "vec_id long, embedding array<float>"
+    )
+    expect = sorted(map(tuple, _brute_force_pairs(df, 0.95).collect()))
+    got = sorted(map(tuple, dd.embedding_cosine_pairs(
+        df, "embedding", "vec_id", threshold=0.95, method="lsh", dim=16
+    ).collect()))
+    assert got == expect and len(got) > 0
 
 
 def test_word_ngrams_short_doc(spark):
