@@ -41,6 +41,7 @@ __all__ = [
     "embedding_cosine_pairs",
     "connected_components",
     "blocking_edges",
+    "release_pinned",
 ]
 
 
@@ -58,6 +59,9 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
     return df.repartition(n, F.col(id_col))
 
 
+_PINNED: list[DataFrame] = []
+
+
 def _pin(df: DataFrame, persist: bool) -> DataFrame:
     """Persist (memory, spill to disk) a frame that the surrounding
     plan references more than once. Without it, each reference
@@ -67,10 +71,31 @@ def _pin(df: DataFrame, persist: bool) -> DataFrame:
     renames on the two join sides defeat. Persisted frames here are
     signature-sized (O(docs × num_hashes) longs), orders of magnitude
     smaller than the corpus; at cluster scale MEMORY_AND_DISK spills
-    rather than OOMs, and Spark's LRU evicts them once the query's
-    jobs finish. Benchmarked ~40% off the verified-LSH wall clock at
-    sf0.1."""
-    return df.persist(StorageLevel.MEMORY_AND_DISK) if persist else df
+    rather than OOMs. Benchmarked ~40% off the verified-LSH wall
+    clock at sf0.1.
+
+    Storage lifecycle: persisted blocks (incl. disk spill) are freed
+    only by an explicit unpersist or context shutdown — NOT by job
+    completion. Each pin is recorded; long-lived sessions that invoke
+    these pipelines repeatedly should call :func:`release_pinned`
+    after materializing each output (or pass ``persist=False``)."""
+    if not persist:
+        return df
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PINNED.append(df)
+    return df
+
+
+def release_pinned() -> int:
+    """Unpersist every frame pinned by this module's operators since
+    the last call; returns how many were released. Safe to call after
+    the operator's output has been materialized (written/collected) —
+    lazily-held outputs will transparently recompute instead."""
+    n = 0
+    while _PINNED:
+        _PINNED.pop().unpersist()
+        n += 1
+    return n
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -519,6 +544,7 @@ def connected_components(
         .withColumn("comp", F.col("id"))
         .localCheckpoint(eager=False)
     )
+    changed = True
     for _ in range(max_iter):
         neighbor_min = (
             und.join(labels, und["s"] == labels["id"])
@@ -539,6 +565,17 @@ def connected_components(
         labels = new_labels.select("id", "comp")
         if not changed:
             break
+    if changed:
+        # Falling through with labels still moving would hand the caller
+        # plausible-looking but WRONG clusters (split components). Label
+        # propagation needs ~graph-diameter iterations; dup graphs are
+        # near-cliques (2-3), so hitting the cap means the edge set is
+        # not a dup graph — fail loudly rather than mis-cluster.
+        raise RuntimeError(
+            f"connected_components did not converge in max_iter={max_iter} "
+            "iterations (graph diameter exceeds the cap); raise max_iter "
+            "or pre-contract the graph"
+        )
     return labels
 
 

@@ -70,10 +70,32 @@ def merge_rollup(
 
     batch = aggregate(new_rows, merge=False)
 
+    # First-run detection must be precise: ONLY "the rollup does not
+    # exist yet" may fall through to merged=batch. Swallowing arbitrary
+    # read failures (permissions, corrupt footers) here would silently
+    # overwrite touched partitions with batch-only aggregates and drop
+    # history — so anything else re-raises.
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import AnalysisException
+
     try:
         existing = scan(spark, target)
-    except Exception:
-        existing = None
+    except AnalysisException as exc:
+        get_cls = getattr(exc, "getCondition", None) or getattr(
+            exc, "getErrorClass", lambda: None
+        )
+        cls = get_cls() or ""
+        if "PATH_NOT_FOUND" in cls or "TABLE_OR_VIEW_NOT_FOUND" in cls or (
+            not cls and "Path does not exist" in str(exc)
+        ):
+            existing = None
+        else:
+            raise
+    except Py4JJavaError as exc:
+        if "FileNotFoundException" in str(exc.java_exception):
+            existing = None
+        else:
+            raise
 
     if existing is None:
         merged = batch

@@ -31,14 +31,32 @@ __all__ = ["salted_join", "salted_sum_count"]
 
 
 def _salt_col(df: DataFrame, buckets: int) -> Column:
-    """Deterministic per-row salt in [0, buckets).
+    """Per-row salt in [0, buckets), RNG-free.
 
-    Hashes all columns of the row (xxhash64 — JVM-side, codegen'd), so
-    rows of a hot key spread uniformly without any RNG: same input ⇒
-    same salt ⇒ reproducible partitioning, which matters for plan
-    debugging and for streaming restarts.
+    A pure content hash fails the archetypal hot-key case — many fully
+    IDENTICAL rows all hash to ONE salt and nothing spreads — and
+    xxhash64 rejects map-typed columns at analysis. So the salt mixes
+    (a) xxhash64 over the hashable columns (spreads distinct rows of a
+    hot key deterministically) with (b) a per-row ordinal from
+    ``monotonically_increasing_id`` (spreads identical duplicates).
+    The ordinal depends on the input's partition layout, so salt
+    VALUES are only reproducible across runs when upstream
+    partitioning is stable — join/aggregate RESULTS are partitioning-
+    independent either way (salt never changes semantics).
     """
-    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(buckets))
+    hashable = [c for c, t in df.dtypes if not t.startswith("map<")]
+    parts: list[Column] = [F.col(c) for c in hashable]
+    parts.append(F.monotonically_increasing_id())
+    return F.pmod(F.xxhash64(*parts), F.lit(buckets))
+
+
+#: join types where replicating the right side once per salt value is
+#: semantics-preserving: the replicated side never emits unmatched rows.
+_SAFE_SALTED_HOW = {
+    "inner", "left", "left_outer", "leftouter",
+    "left_semi", "leftsemi", "semi",
+    "left_anti", "leftanti", "anti",
+}
 
 
 def salted_join(
@@ -59,7 +77,16 @@ def salted_join(
     its size — use when ``other`` is the small-but-not-broadcastable
     side. For broadcast-sized ``other``, a plain broadcast join already
     has no skew problem; for two huge sides, prefer AQE skew-join.
+
+    Only inner/left/left_semi/left_anti are accepted: with ``right`` or
+    ``full``, an unmatched right row would surface once per salt value
+    (``buckets`` duplicates) — flip the sides or use AQE instead.
     """
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in _SAFE_SALTED_HOW}:
+        raise ValueError(
+            f"salted_join(how={how!r}) would duplicate unmatched rows of the "
+            "replicated side; supported: inner, left, left_semi, left_anti"
+        )
     on = list(on)
     left = skewed.withColumn("_salt", _salt_col(skewed, buckets))
     right = other.withColumn(

@@ -76,3 +76,51 @@ def test_tfidf_ignores_empty_docs(weird):
     ids = {r.doc_id for r in out.collect()}
     assert 1 not in ids and 2 not in ids and 3 not in ids
     assert {4, 5} <= ids
+
+
+# --------------------------------------------------------------------------
+# Guard rails added after the round-1 review
+# --------------------------------------------------------------------------
+
+
+def test_salted_join_rejects_outer_how(spark):
+    from sentiment_analysis_data_engineering_spark.operators.skew import salted_join
+
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(df, df, ["k"], how=how)
+
+
+def test_salt_spreads_identical_duplicate_rows(spark):
+    from sentiment_analysis_data_engineering_spark.operators.skew import _salt_col
+
+    # the archetypal hot key: one row repeated — a pure content hash
+    # would put every copy in ONE salt bucket
+    df = spark.createDataFrame([("hot", 1)] * 500, "k string, v long")
+    n = df.select(_salt_col(df, 16).alias("s")).distinct().count()
+    assert n > 8
+
+
+def test_salt_survives_map_columns(spark):
+    from sentiment_analysis_data_engineering_spark.operators.skew import salted_sum_count
+
+    df = spark.createDataFrame(
+        [("a", 1, {"x": "y"})] * 10, "k string, v long, m map<string,string>"
+    )
+    out = salted_sum_count(df, ["k"], ["v"]).collect()
+    assert out[0].n == 10 and out[0].sum_v == 10
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    chain = [(i, i + 1) for i in range(25)]
+    df = spark.createDataFrame(chain, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dd.connected_components(df, max_iter=3)
+
+
+def test_release_pinned_frees_storage(spark, weird):
+    dd.release_pinned()  # drain pins left by earlier tests
+    dd.ngram_jaccard_pairs(weird, "text", "doc_id").count()
+    assert dd.release_pinned() >= 1
+    assert dd.release_pinned() == 0

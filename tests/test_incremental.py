@@ -70,3 +70,22 @@ def test_untouched_partitions_survive(spark, sf_dir, tmp_path):
     ).collect()[0][0]
     n0 = daily(events).filter(F.col("day") == "2024-01-05").count()
     assert n == 2 * n0
+
+
+def test_unreadable_target_raises_not_overwrites(spark, sf_dir, tmp_path):
+    """A target that EXISTS but fails to read must raise — silently
+    treating it as 'no rollup yet' would overwrite touched partitions
+    with batch-only aggregates and drop history."""
+    import pytest
+
+    (events,) = load_tables(spark, sf_dir, "events")
+    target = tmp_path / "corrupt_rollup"
+    target.mkdir()
+    (target / "part-00000.parquet").write_bytes(b"this is not parquet")
+
+    with pytest.raises(Exception) as exc_info:
+        merge_rollup(spark, daily(events), str(target),
+                     keys=["day", "event_type"], partition_col="day",
+                     measures=MEASURES)
+    # and the garbage file was not clobbered by a fresh write
+    assert (target / "part-00000.parquet").read_bytes() == b"this is not parquet"

@@ -70,7 +70,9 @@ def test_connected_components_laws(spark, edges):
     if not edges:
         return
     df = spark.createDataFrame(edges, "id_a long, id_b long")
-    comp = {r.id: r.comp for r in dd.connected_components(df).collect()}
+    # worst-case generated graph is a 31-node path (diameter 30): give
+    # label propagation enough iterations to converge rather than raise
+    comp = {r.id: r.comp for r in dd.connected_components(df, max_iter=40).collect()}
     # law 1: every endpoint is labeled
     nodes = {n for e in edges for n in e}
     assert set(comp) == nodes
