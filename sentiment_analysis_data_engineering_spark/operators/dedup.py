@@ -383,26 +383,56 @@ def minhash_lsh_pairs(
 # --------------------------------------------------------------------------
 
 
-def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def simhash(
+    df: DataFrame, text_col: str, id_col: str, *, hash_fn: str = "xxhash64"
+) -> DataFrame:
     """64-bit SimHash per document — (id, simhash long).
 
-    Token hashes via xxhash64; bit b of the output is the sign of
-    Σ_tokens (±1 depending on bit b of the token hash). Shape: explode
-    tokens → ONE hash aggregate with 64 codegen'd conditional sums →
-    pack the 64 signs into a long with plain bit ops. Spark's
-    higher-order array functions are interpreted (CodegenFallback), so
-    the earlier zero-shuffle per-row fold was ~13x slower than this
-    compiled aggregate; map-side partials keep the shuffle at one
-    64-column row per doc per map task. Null-text docs drop out at the
-    explode (no tokens → nothing to near-match)."""
+    Bit b of the output is the sign of Σ_tokens (±1 depending on bit b
+    of the token hash). Shape: explode tokens → ONE hash aggregate with
+    64 codegen'd conditional sums → pack the 64 signs into a long with
+    plain bit ops. Spark's higher-order array functions are interpreted
+    (CodegenFallback), so the earlier zero-shuffle per-row fold was
+    ~13x slower than this compiled aggregate; map-side partials keep
+    the shuffle at one 64-column row per doc per map task. Null-text
+    docs drop out at the explode (no tokens → nothing to near-match).
+
+    ``hash_fn``: "xxhash64" (default — fastest, Spark-specific) or
+    "md5" (the 64-bit value is the first 16 hex digits of md5(token),
+    split as two 32-bit halves). md5 exists in every engine, so an
+    external SQL oracle (e.g. DuckDB) can recompute the identical
+    simhash bit-for-bit — the cross-engine verification mode."""
     th = df.select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_t"))
-    th = th.select("_id", F.xxhash64("_t").alias("_h"))
+    if hash_fn == "xxhash64":
+        th = th.select("_id", F.xxhash64("_t").alias("_h"))
+
+        def bit(b: int) -> Column:
+            return F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1))
+
+    elif hash_fn == "md5":
+        # two 32-bit halves of the leading 64 md5 bits; parsed via
+        # conv(hex) which stays inside the positive long range, so ANSI
+        # mode never overflows. Bits 0-31 come from the low half,
+        # 32-63 from the high half.
+        th = th.select(
+            "_id",
+            F.conv(F.substring(F.md5("_t"), 1, 8), 16, 10)
+            .cast("long").alias("_hhi"),
+            F.conv(F.substring(F.md5("_t"), 9, 8), 16, 10)
+            .cast("long").alias("_hlo"),
+        )
+
+        def bit(b: int) -> Column:
+            col = F.col("_hlo") if b < 32 else F.col("_hhi")
+            return F.shiftright(col, b % 32).bitwiseAND(F.lit(1))
+
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
     counts = th.groupBy("_id").agg(
         *[
             F.sum(
-                F.when(
-                    F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-                ).otherwise(F.lit(-1))
+                F.when(bit(b) == 1, F.lit(1)).otherwise(F.lit(-1))
             ).alias(f"_c{b}")
             for b in range(64)
         ]
@@ -423,6 +453,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     chunks: int = 4,
     persist: bool = True,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
@@ -433,7 +464,7 @@ def simhash_pairs(
     equi-join on (chunk_idx, chunk_value). The chunk frame is pinned
     (_pin) — both self-join sides reference it.
     """
-    sh = simhash(_spread(df, id_col), text_col, id_col).select(
+    sh = simhash(_spread(df, id_col), text_col, id_col, hash_fn=hash_fn).select(
         F.col(id_col).alias("_id"), "simhash"
     )
     chunk_bits = 64 // chunks

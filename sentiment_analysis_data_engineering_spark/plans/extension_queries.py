@@ -5,9 +5,12 @@ counterpart; SURVEY.md §7.2.6).
 Oracle notes:
 - md5 / regex / list lambdas exist in both engines → text analysis and
   exact/n-gram dedup are fully oracle-checked.
-- xxhash64 (MinHash/SimHash/LSH planes) is Spark-only → those queries
-  are rows-only in the driver gate, but their *verified* outputs (exact
-  Jaccard / Hamming / cosine) are deterministic and unit-tested.
+- sketch-based queries are oracle-checked through CONTRACTS rather
+  than rows-only: MinHash-LSH against the exact-Jaccard pair set
+  (recall equality), SimHash in portable md5-hash mode recomputed
+  bit-for-bit by DuckDB, ANN via per-query recall bounds vs the exact
+  scan, packing via conservation invariants. Only MLlib KMeans (seed/
+  partitioning-dependent) and the multimodal decode remain rows-only.
 - embeddings are float32; BOTH engines cast elements to double BEFORE
   any arithmetic, and every similarity is rounded to 6 dp so summation
   order can't flip a comparison.
@@ -206,25 +209,111 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash_lsh")
+@query(
+    "dedup_minhash_lsh",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(t) >= 5
+                    THEN [array_to_string(t[i:i+4], ' ') for i in range(1, len(t)-3)]
+                    ELSE [array_to_string(t, ' ')] END) AS g
+      FROM toks
+    ),
+    sh AS (SELECT doc_id, unnest(g) AS s FROM grams),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.2
+    """,
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + LSH(16 bands) candidates, verified with exact
-    Jaccard ≥ 0.2. Rows-only in the gate (xxhash64 is Spark-specific);
-    the verification join makes the output exact, and unit tests pin
-    recall against ngram_jaccard ground truth."""
+    Jaccard ≥ 0.2 — (id_a, id_b, jaccard).
+
+    The oracle is the full exact-Jaccard pair set at the same
+    threshold, i.e. the driver gate checks an end-to-end RECALL
+    EQUALITY contract: banding (S-curve midpoint ≈ 0.5) plus the
+    exact-Jaccard verification stage must reproduce the exact
+    ground-truth pair set on this corpus. A missed candidate or a
+    drifted signature breaks the hash match. (xxhash64 itself is
+    Spark-side only; what's checked is the verified output, whose
+    arithmetic — array_intersect counts over distinct 5-gram
+    shingles — both engines share.)"""
     (documents,) = load_tables(spark, sf_dir, "documents")
     return dd.minhash_lsh_pairs(
         documents, "text", "doc_id",
         num_hashes=64, bands=16, shingle_size=5, verify_threshold=0.2,
+    ).select("id_a", "id_b", "jaccard")
+
+
+def _simhash_oracle() -> str:
+    """DuckDB recomputes the ENTIRE SimHash pipeline bit-for-bit:
+    md5-derived 64-bit token hashes (two 32-bit halves — portable to
+    any engine), 64 sign-sums, sign packing, 4×16-bit pigeonhole
+    chunk join, bit_count(xor) Hamming refine. Generated SQL: 64
+    conditional-sum columns + 64 pack terms."""
+    bits = []
+    for b in range(64):
+        src = f"(hlo >> {b})" if b < 32 else f"(hhi >> {b - 32})"
+        bits.append(f"sum(CASE WHEN ({src} & 1) = 1 THEN 1 ELSE -1 END) AS c{b}")
+    packs = []
+    for b in range(64):
+        # 1<<63 overflows DuckDB's left shift; the sign bit is the
+        # min-long literal instead
+        term = "(-9223372036854775808)::BIGINT" if b == 63 else f"(1::BIGINT << {b})"
+        packs.append(f"(CASE WHEN c{b} > 0 THEN {term} ELSE 0::BIGINT END)")
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    h AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(t),1,8))::BIGINT AS hhi,
+             ('0x' || substring(md5(t),9,8))::BIGINT AS hlo
+      FROM tok
+    ),
+    c AS (SELECT doc_id, {', '.join(bits)} FROM h GROUP BY doc_id),
+    s AS (SELECT doc_id, ({' + '.join(packs)}) AS simhash FROM c),
+    e AS (
+      SELECT doc_id, simhash, ci, (simhash >> (ci*16)) & 65535 AS cv
+      FROM s, (VALUES (0),(1),(2),(3)) chunk(ci)
+    ),
+    p AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS ha, b.simhash AS hb
+      FROM e a JOIN e b ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
     )
+    SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+    FROM p WHERE bit_count(xor(ha, hb)) <= 3
+    """
 
 
-@query("dedup_simhash")
+@query("dedup_simhash", oracle=_simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming ≤ 3 via 4-chunk pigeonhole).
-    Rows-only (xxhash64 token hashes)."""
+
+    Runs in portable-hash mode (``hash_fn="md5"``) so the DuckDB
+    oracle can rebuild the identical 64-bit sketches and the gate
+    hash-checks the full pipeline — signatures, banding recall, and
+    Hamming refine. The xxhash64 default stays the production path
+    (same plan, cheaper hash)."""
     (documents,) = load_tables(spark, sf_dir, "documents")
-    return dd.simhash_pairs(documents, "text", "doc_id", max_hamming=3)
+    return dd.simhash_pairs(
+        documents, "text", "doc_id", max_hamming=3, hash_fn="md5"
+    )
 
 
 @query(
@@ -433,31 +522,74 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_lsh_topk")
+#: per-query recall lower bounds the approximate indexes must clear
+#: against the exact top-k, measured with margin on the driver corpora
+#: (LSH ≥ 0.8 and IVF ≥ 0.6 at every sf; both methods are fully
+#: deterministic, so these hold exactly, not in expectation).
+_ANN_RECALL_ORACLE = """
+SELECT vec_id AS query_id,
+       CAST(5 AS BIGINT) AS n_results,
+       TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 10
+"""
+
+
+def _ann_recall_contract(approx: DataFrame, exact: DataFrame, bound: float) -> DataFrame:
+    """Self-auditing form of an ANN query: emit, per query vector, how
+    many results the index returned and whether its recall against the
+    exact top-k clears ``bound``. The gate hash-checks that every query
+    returns a full k and passes — a drifted plane, broken banding, or
+    recall regression flips a row and fails the driver comparison."""
+    hits = (
+        approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("_hits"))
+    )
+    return (
+        approx.groupBy("query_id")
+        .agg(F.count("*").alias("n_results"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_results",
+            (F.coalesce("_hits", F.lit(0)) >= F.lit(bound) * 5).alias("recall_ok"),
+        )
+    )
+
+
+@query("ann_lsh_topk", oracle=_ANN_RECALL_ORACLE)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via deterministic random-hyperplane LSH
-    (12 planes, 6 bands) + exact re-rank within candidates. Rows-only
-    (hash-derived planes); recall vs exact top-k is unit-tested."""
+    (12 planes, 6 bands) + exact re-rank within candidates, reported
+    as the per-query recall contract vs the exact scan (≥ 0.8)."""
     (embeddings,) = load_tables(spark, sf_dir, "embeddings")
     queries_df = embeddings.filter(F.col("vec_id") < 10)
-    return sim.lsh_cosine_topk(
+    approx = sim.lsh_cosine_topk(
         queries_df, embeddings, vec_col="embedding", id_col="vec_id",
         k=5, num_planes=12, bands=6, dim=64,
     )
+    exact = sim.cosine_topk(
+        queries_df, embeddings, vec_col="embedding", id_col="vec_id", k=5
+    )
+    return _ann_recall_contract(approx, exact, 0.8)
 
 
-@query("ann_ivf_topk")
+@query("ann_ivf_topk", oracle=_ANN_RECALL_ORACLE)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via IVF-Flat: deterministic sampled coarse
     quantizer (16 cells), queries probe their 4 nearest cells, exact
-    cosine re-rank inside candidates. Rows-only (cell assignment is
-    model-derived); recall vs exact top-k is unit-tested."""
+    cosine re-rank inside candidates; reported as the per-query recall
+    contract vs the exact scan (≥ 0.6)."""
     (embeddings,) = load_tables(spark, sf_dir, "embeddings")
     queries_df = embeddings.filter(F.col("vec_id") < 10)
-    return sim.ivf_cosine_topk(
+    approx = sim.ivf_cosine_topk(
         queries_df, embeddings, vec_col="embedding", id_col="vec_id",
         k=5, n_centroids=16, n_probe=4,
     )
+    exact = sim.cosine_topk(
+        queries_df, embeddings, vec_col="embedding", id_col="vec_id", k=5
+    )
+    return _ann_recall_contract(approx, exact, 0.6)
 
 
 # --------------------------------------------------------------------------
@@ -647,25 +779,63 @@ def embedding_kmeans_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sequence_packing_stats")
+@query(
+    "sequence_packing_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n
+      FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           TRUE AS packed_once_ok,
+           TRUE AS budget_ok,
+           TRUE AS n_packs_lower_ok
+    FROM t
+    """,
+)
 def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy token-budget sequence packing (budget 512) over documents,
-    reported as pack-fill statistics (docs-per-pack → pack count, mean
-    fill ratio). Rows-only: the greedy fold is order-sequential per
-    partition, not SQL-expressible; invariants (budget respected, every
-    doc packed once, determinism) are unit-tested in test_packing.py."""
+    reported as its partitioning-INDEPENDENT conservation contract:
+    every doc packed exactly once, token mass conserved, every
+    multi-doc pack within budget (an over-budget doc is allowed a
+    singleton pack), and the pack count at least the perfect-packing
+    lower bound ⌈total/512⌉. The greedy fold itself is sequential per
+    partition (not SQL-expressible; per-pack layout is pinned in
+    test_packing.py) — but these invariants are exactly what a DuckDB
+    oracle CAN check, so the gate hash-verifies them instead of
+    recording rows-only."""
     from ..operators.packing import pack_sequences
 
     (documents,) = load_tables(spark, sf_dir, "documents")
     docs = documents.select("doc_id", tx.token_count("text").alias("n_tokens"))
     packed = pack_sequences(docs, "doc_id", "n_tokens", budget=512)
+    per_pack = packed.groupBy("pack_id").agg(
+        F.count("*").alias("_pdocs"), F.sum("n_tokens").alias("_fill")
+    )
+    pack_stats = per_pack.agg(
+        F.count("*").alias("_n_packs"),
+        F.every(
+            (F.col("_fill") <= 512) | (F.col("_pdocs") == 1)
+        ).alias("budget_ok"),
+    )
+    doc_stats = packed.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("doc_id").alias("_n_distinct"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
     return (
-        packed.groupBy("pack_id")
-        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("fill"))
-        .groupBy("n_docs")
-        .agg(
-            F.count("*").alias("n_packs"),
-            F.round(F.avg(F.col("fill") / 512.0), 4).alias("avg_fill_ratio"),
+        doc_stats.crossJoin(pack_stats)  # two 1-row frames
+        .select(
+            "n_docs",
+            "total_tokens",
+            (F.col("_n_distinct") == F.col("n_docs")).alias("packed_once_ok"),
+            "budget_ok",
+            (
+                F.col("_n_packs")
+                >= F.ceil(F.col("total_tokens") / F.lit(512.0))
+            ).alias("n_packs_lower_ok"),
         )
     )
 

