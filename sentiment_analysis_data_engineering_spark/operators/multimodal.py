@@ -1,12 +1,17 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-Extension layer (no reference counterpart). The container has no
-image/audio codecs, so the DECODE step is stubbed (deterministic fake
-or NotImplementedError), while everything Spark-side is real and
-tested: the schema contract, Arrow-batched ``mapInPandas`` plumbing,
-batch shapes, and partition behavior. Swapping the stub for Pillow/
-librosa/pyav is a one-function change inside the batch iterator.
+Extension layer (no reference counterpart). Decode support:
+
+- **BMP (24-bit uncompressed BI_RGB) decodes for real** — a
+  dependency-free header+pixel parser implemented right in the
+  ``mapInPandas`` batch fn (`_decode_bmp`), plus an `encode_bmp`
+  counterpart so fixtures carry genuine encoded bytes and tests can
+  assert decode(encode(x)) == x.
+- Compressed formats (JPEG/PNG/audio/video) still stub: the container
+  ships no codecs, so those payloads take the deterministic-fake or
+  NotImplementedError path. Swapping in Pillow/librosa/pyav is a
+  one-function change inside the same batch iterator.
 
 Design for 100 TB of media:
 - binary payloads never pass through Python row-at-a-time — only
@@ -34,9 +39,11 @@ __all__ = [
     "MEDIA_SCHEMA",
     "attach_media_metadata",
     "decode_image",
+    "encode_bmp",
     "extract_features",
     "resize_image",
     "sample_frames",
+    "synthesize_bmp_media",
 ]
 
 #: The engine's media-table contract: payload + typed metadata.
@@ -80,24 +87,106 @@ def attach_media_metadata(df: DataFrame, kind: str, mime: str) -> DataFrame:
 
 
 def _fake_decode(payload: bytes) -> np.ndarray:
-    """Deterministic stand-in for a real image decode: a seeded 8x8
-    'pixel' grid derived from the payload's sha256. Replace with
-    Pillow's ``Image.open`` when codecs are available."""
+    """Deterministic stand-in for decoding formats the container has no
+    codec for: a seeded 8x8 'pixel' grid derived from the payload's
+    sha256. Replace with Pillow's ``Image.open`` when available."""
     digest = hashlib.sha256(payload).digest()
     rng = np.frombuffer(digest * 2, dtype=np.uint8)[: 8 * 8]
     return rng.reshape(8, 8).astype(np.float32) / 255.0
 
 
-DECODE_IS_STUBBED = True  # flip when real codecs are installed
+def encode_bmp(width: int, height: int, pixel_bytes: bytes) -> bytes:
+    """Assemble a real 24-bit uncompressed (BI_RGB) BMP file.
+
+    ``pixel_bytes`` is row-major top-down RGB, length = width*height*3.
+    BMP stores rows bottom-up, BGR, padded to 4-byte boundaries — this
+    writer performs that transform, and `_decode_bmp` inverts it."""
+    if len(pixel_bytes) != width * height * 3:
+        raise ValueError("pixel_bytes must be width*height*3 long")
+    px = np.frombuffer(pixel_bytes, dtype=np.uint8).reshape(height, width, 3)
+    bgr = px[::-1, :, ::-1]  # bottom-up rows, RGB→BGR
+    row_size = (width * 3 + 3) & ~3
+    pad = row_size - width * 3
+    rows = []
+    for r in range(height):
+        rows.append(bgr[r].tobytes() + b"\x00" * pad)
+    pixel_data = b"".join(rows)
+    dib = (
+        (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little", signed=True)
+        + height.to_bytes(4, "little", signed=True)  # positive: bottom-up
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")  # BI_RGB
+        + len(pixel_data).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    header = (
+        b"BM"
+        + (14 + 40 + len(pixel_data)).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+        + (14 + 40).to_bytes(4, "little")
+    )
+    return header + dib + pixel_data
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Parse a 24-bit uncompressed BMP into (height, width, 3) float32
+    RGB in [0, 1]. Raises ValueError on anything but BI_RGB 24bpp."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP payload")
+    offset = int.from_bytes(payload[10:14], "little")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, comp={compression})")
+    bottom_up = height > 0
+    height = abs(height)
+    row_size = (width * 3 + 3) & ~3
+    data = np.frombuffer(
+        payload, dtype=np.uint8, count=row_size * height, offset=offset
+    ).reshape(height, row_size)
+    bgr = data[:, : width * 3].reshape(height, width, 3)
+    if bottom_up:
+        bgr = bgr[::-1]
+    rgb = bgr[:, :, ::-1]
+    # float64 so v/255.0 and downstream means are the exact IEEE ops a
+    # double-based SQL oracle performs
+    return rgb.astype(np.float64) / 255.0
+
+
+def _decode_any(payload: bytes, strict: bool) -> np.ndarray:
+    """Real BMP parse when the payload is BMP; otherwise the honest
+    no-codec behavior (strict → NotImplementedError) or the
+    deterministic fake (returned as a 1-channel grid)."""
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if strict:
+        raise NotImplementedError(
+            "only uncompressed 24-bit BMP decodes in-container; other "
+            "formats need Pillow/libav (not installed)"
+        )
+    return _fake_decode(payload)[..., np.newaxis]
+
+
+#: BMP decodes for real (see _decode_bmp); other formats remain stubbed
+#: behind strict/_fake_decode until codec libraries are available.
+DECODE_IS_STUBBED = False
+STUBBED_FORMATS = ("jpeg", "png", "audio", "video")
 
 
 def decode_image(df: DataFrame, *, strict: bool = False) -> DataFrame:
     """Decode the binary payload into (media_id, height, width, mean_px).
 
-    ``strict=True`` raises NotImplementedError from inside the executor
-    batch (the honest behavior when a real decode is required);
-    ``strict=False`` runs the deterministic fake so the full plumbing —
-    Arrow batches in, Arrow batches out — is exercised end to end.
+    BMP payloads (24-bit BI_RGB) decode FOR REAL — header parse, row
+    unpadding, bottom-up/BGR undoing — inside the Arrow batch loop;
+    ``mean_px`` is the mean over every channel value in [0, 1]. For
+    other formats: ``strict=True`` raises NotImplementedError from the
+    executor (the honest no-codec behavior), ``strict=False`` runs the
+    deterministic fake so plumbing stays exercised end to end.
     """
 
     out_schema = T.StructType(
@@ -111,14 +200,9 @@ def decode_image(df: DataFrame, *, strict: bool = False) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if strict:
-                raise NotImplementedError(
-                    "image decode requires Pillow; container has no codecs "
-                    "(engine stub — plumbing is real, decode is not)"
-                )
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["content"]):
-                px = _fake_decode(bytes(payload))
+                px = _decode_any(bytes(payload), strict)
                 rows.append(
                     (int(mid), px.shape[0], px.shape[1], float(px.mean()))
                 )
@@ -127,6 +211,40 @@ def decode_image(df: DataFrame, *, strict: bool = False) -> DataFrame:
             )
 
     return df.select("media_id", "content").mapInPandas(batches, out_schema)
+
+
+def synthesize_bmp_media(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """FIXTURE GENERATOR: one real 24-bit BMP payload per id —
+    (media_id, content binary).
+
+    Fully deterministic and closed-form so an external oracle can
+    predict the decode result without parsing BMP: width = 8 + id % 9,
+    height = 8 + id % 7, and pixel byte i of the row-major top-down
+    RGB stream is (id*31 + i) % 256. Runs through the same Arrow
+    ``mapInPandas`` seam the decoders use."""
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, blobs = [], []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = 8 + mid % 9, 8 + mid % 7
+                n = w * h * 3
+                pix = ((mid * 31 + np.arange(n)) % 256).astype(np.uint8)
+                ids.append(mid)
+                blobs.append(encode_bmp(w, h, pix.tobytes()))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
+        batches, out_schema
+    )
 
 
 def extract_features(df: DataFrame, *, dim: int = 16) -> DataFrame:
@@ -180,12 +298,12 @@ def resize_image(
     """Resize STUB on the same mapInPandas seam as decode_image —
     (media_id, height, width, pixels array<float>), row-major.
 
-    The fake path decodes (8x8 deterministic grid) then nearest-
-    neighbor samples to (height, width) — the real implementation
-    swaps in Pillow's ``Image.resize`` inside the same batch loop;
-    schema, Arrow batching, and partition behavior are identical.
-    ``strict=True`` raises NotImplementedError from the executor, the
-    honest no-codec behavior."""
+    BMP payloads decode for real (see decode_image) and are resized as
+    grayscale (channel mean) via nearest-neighbor sampling; other
+    formats use the deterministic fake grid, or raise from the
+    executor with ``strict=True``. The real interpolating upgrade
+    (Pillow's ``Image.resize``) swaps into the same batch loop;
+    schema, Arrow batching, and partition behavior are identical."""
 
     out_schema = T.StructType(
         [
@@ -198,14 +316,9 @@ def resize_image(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if strict:
-                raise NotImplementedError(
-                    "image resize requires Pillow; container has no codecs "
-                    "(engine stub — plumbing is real, resize is not)"
-                )
             ids, pixels = [], []
             for mid, payload in zip(pdf["media_id"], pdf["content"]):
-                px = _fake_decode(bytes(payload))
+                px = _decode_any(bytes(payload), strict).mean(axis=2)
                 ys = np.linspace(0, px.shape[0] - 1, height).round().astype(int)
                 xs = np.linspace(0, px.shape[1] - 1, width).round().astype(int)
                 ids.append(int(mid))

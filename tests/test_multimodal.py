@@ -80,3 +80,75 @@ def test_resize_image_strict_raises(spark, media):
 
     with pytest.raises((PythonException, Py4JJavaError)):
         mm.resize_image(media, strict=True).collect()
+
+
+# --------------------------------------------------------------------------
+# Real BMP decode (round 2): dependency-free 24-bit BI_RGB codec
+# --------------------------------------------------------------------------
+
+
+def _gradient_bmp(w=6, h=4):
+    pix = bytes((x * 7 + c) % 256 for x in range(w * h) for c in range(3))
+    return pix, mm.encode_bmp(w, h, pix)
+
+
+def test_bmp_roundtrip_exact():
+    import numpy as np
+
+    pix, blob = _gradient_bmp()
+    assert blob[:2] == b"BM"
+    decoded = mm._decode_bmp(blob)
+    assert decoded.shape == (4, 6, 3)
+    expect = np.frombuffer(pix, dtype=np.uint8).reshape(4, 6, 3) / 255.0
+    assert np.array_equal(decoded, expect)
+
+
+def test_bmp_row_padding_handled():
+    # width 3 → 9-byte rows padded to 12: the padding must not leak
+    import numpy as np
+
+    pix = bytes(range(3 * 2 * 3))
+    blob = mm.encode_bmp(3, 2, pix)
+    decoded = mm._decode_bmp(blob)
+    expect = np.frombuffer(pix, dtype=np.uint8).reshape(2, 3, 3) / 255.0
+    assert np.array_equal(decoded, expect)
+
+
+def test_decode_image_real_bmp_strict(spark):
+    rows = [(i,) for i in range(5)]
+    ids = spark.createDataFrame(rows, "media_id long")
+    media = mm.attach_media_metadata(
+        mm.synthesize_bmp_media(ids), kind="image", mime="image/bmp"
+    )
+    out = {r.media_id: r for r in mm.decode_image(media, strict=True).collect()}
+    assert len(out) == 5
+    for i in range(5):
+        assert out[i].width == 8 + i % 9 and out[i].height == 8 + i % 7
+        # closed-form mean of ((i*31 + j) % 256) / 255 over all bytes
+        n = out[i].width * out[i].height * 3
+        want = sum((i * 31 + j) % 256 for j in range(n)) / n / 255.0
+        assert abs(out[i].mean_px - want) < 1e-9
+
+
+def test_decode_image_non_bmp_still_strict_raises(media):
+    with pytest.raises(Exception) as exc:
+        mm.decode_image(media, strict=True).collect()
+    assert "NotImplementedError" in str(exc.value) or "BMP" in str(exc.value)
+
+
+def test_resize_real_bmp_grayscale_subsample(spark):
+    import numpy as np
+
+    ids = spark.createDataFrame([(3,)], "media_id long")
+    media = mm.attach_media_metadata(
+        mm.synthesize_bmp_media(ids), kind="image", mime="image/bmp"
+    )
+    (row,) = mm.resize_image(media, height=2, width=2, strict=True).collect()
+    w, h = 8 + 3 % 9, 8 + 3 % 7
+    n = w * h * 3
+    full = (np.array([(3 * 31 + j) % 256 for j in range(n)])
+            .reshape(h, w, 3) / 255.0).mean(axis=2)
+    ys = np.linspace(0, h - 1, 2).round().astype(int)
+    xs = np.linspace(0, w - 1, 2).round().astype(int)
+    expect = full[np.ix_(ys, xs)].ravel()
+    assert np.allclose(row.pixels, expect, atol=1e-6)
