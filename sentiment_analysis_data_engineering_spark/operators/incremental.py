@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.io import replace_partition, scan
+from ..sources.io import replace_partition, scan_or_none
 
 __all__ = ["merge_rollup"]
 
@@ -71,31 +71,10 @@ def merge_rollup(
     batch = aggregate(new_rows, merge=False)
 
     # First-run detection must be precise: ONLY "the rollup does not
-    # exist yet" may fall through to merged=batch. Swallowing arbitrary
-    # read failures (permissions, corrupt footers) here would silently
-    # overwrite touched partitions with batch-only aggregates and drop
-    # history — so anything else re-raises.
-    from py4j.protocol import Py4JJavaError
-    from pyspark.errors import AnalysisException
-
-    try:
-        existing = scan(spark, target)
-    except AnalysisException as exc:
-        get_cls = getattr(exc, "getCondition", None) or getattr(
-            exc, "getErrorClass", lambda: None
-        )
-        cls = get_cls() or ""
-        if "PATH_NOT_FOUND" in cls or "TABLE_OR_VIEW_NOT_FOUND" in cls or (
-            not cls and "Path does not exist" in str(exc)
-        ):
-            existing = None
-        else:
-            raise
-    except Py4JJavaError as exc:
-        if "FileNotFoundException" in str(exc.java_exception):
-            existing = None
-        else:
-            raise
+    # exist yet" may fall through to merged=batch (scan_or_none
+    # re-raises anything else — a swallowed transient read failure
+    # would overwrite touched partitions with batch-only aggregates).
+    existing = scan_or_none(spark, target)
 
     if existing is None:
         merged = batch

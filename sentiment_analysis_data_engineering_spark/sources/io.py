@@ -33,8 +33,10 @@ __all__ = [
     "scan",
     "scan_csv",
     "scan_jsonl",
+    "scan_or_none",
     "append",
     "idempotent_append",
+    "merge_upsert",
     "replace_partition",
     "upsert_partitions",
     "write_balanced_shards",
@@ -63,6 +65,40 @@ def scan(
     if columns:
         df = df.select(*columns)
     return df
+
+
+def scan_or_none(
+    spark: SparkSession,
+    path_or_table: str,
+    *,
+    columns: list[str] | None = None,
+) -> DataFrame | None:
+    """``scan`` that returns None ONLY when the target does not exist
+    yet — the first-write probe every incremental writer needs. Any
+    other failure (permissions, corrupt footers) re-raises: treating a
+    transient read error as "no data yet" would make the caller
+    silently rebuild the table from one batch and drop history."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import AnalysisException
+
+    try:
+        return scan(spark, path_or_table, columns=columns)
+    except AnalysisException as exc:
+        get_cls = getattr(exc, "getCondition", None) or getattr(
+            exc, "getErrorClass", lambda: None
+        )
+        cls = get_cls() or ""
+        if (
+            "PATH_NOT_FOUND" in cls
+            or "TABLE_OR_VIEW_NOT_FOUND" in cls
+            or (not cls and "Path does not exist" in str(exc))
+        ):
+            return None
+        raise
+    except Py4JJavaError as exc:  # pragma: no cover - JVM-path variant
+        if "FileNotFoundException" in str(exc.java_exception):
+            return None
+        raise
 
 
 def scan_csv(
@@ -139,10 +175,7 @@ def idempotent_append(
     partition columns, only partition metadata-sized data moves.
     """
     keys = list(keys)
-    try:
-        existing = scan(spark, target, columns=keys)
-    except Exception:
-        existing = None  # first write: target doesn't exist yet
+    existing = scan_or_none(spark, target, columns=keys)
     new_rows = df if existing is None else anti_join_new_rows(df, existing, keys)
     # Two actions on new_rows (count + write): cache to avoid recompute,
     # then release. At scale the anti join runs once either way.
@@ -185,10 +218,7 @@ def upsert_partitions(
             F.sum(row_hash.cast("decimal(38,0)")).alias("_h"),
         )
 
-    try:
-        existing = scan(spark, target)
-    except Exception:
-        existing = None
+    existing = scan_or_none(spark, target)
 
     if existing is None:
         changed = df
@@ -224,6 +254,128 @@ def upsert_partitions(
     finally:
         changed.unpersist()
     return n
+
+
+def merge_upsert(
+    spark: SparkSession,
+    df: DataFrame,
+    target: str,
+    keys: Iterable[str],
+    *,
+    partition_by: list[str],
+    when_matched: str = "replace",
+    when_new: str = "insert",
+) -> dict[str, int]:
+    """MERGE-on-key upsert: the row-level completion of the write-path
+    story (the reference leans on BigQuery ACID for this, README.md:7;
+    ``upsert_partitions`` handles whole-partition replacement, this
+    handles per-KEY updates and inserts in one call).
+
+    Semantics of ``MERGE INTO target USING df ON keys``:
+    - ``when_matched``: "replace" (incoming row supersedes the stored
+      row with its key) or "ignore" (stored row wins);
+    - ``when_new``: "insert" or "ignore".
+
+    Scale shape: only TOUCHED partitions are rewritten — the union of
+    (a) partitions the incoming rows land in and (b) partitions whose
+    stored rows match an incoming key (so a row whose partition value
+    CHANGES is removed from its old partition — no stale duplicate).
+    (b) is one key-pruned semi join against the incoming keys; stored
+    rows in untouched partitions are never read past their keys, never
+    rewritten. The merged result is localCheckpoint-materialized
+    before the write because dynamic partition overwrite cannot read
+    and replace the same files in one job; its size is bounded by the
+    touched partitions, not the table.
+
+    Atomicity: each partition swap is a directory-level commit (same
+    guarantee as ``replace_partition``) — a crash mid-job can leave
+    SOME touched partitions updated and others not, unlike BigQuery's
+    transactional MERGE. A table format with a commit log (Delta,
+    Iceberg) slots into this exact seam when multi-partition atomicity
+    is required.
+
+    Known limit (inherent to dynamic partition overwrite): a touched
+    partition whose rows ALL migrate to other partitions ends up with
+    zero output rows, and a zero-row partition cannot be expressed in
+    the overwrite — its stale directory survives. Callers moving keys
+    across partitions wholesale should follow with an explicit
+    partition delete, or use a log-based table format.
+
+    Returns ``{"updated": ..., "inserted": ..., "rows_written": ...}``.
+    """
+    if when_matched not in ("replace", "ignore"):
+        raise ValueError(f"when_matched must be replace|ignore, got {when_matched!r}")
+    if when_new not in ("insert", "ignore"):
+        raise ValueError(f"when_new must be insert|ignore, got {when_new!r}")
+    keys = list(keys)
+
+    existing = scan_or_none(spark, target)
+    if existing is None:
+        if when_new == "ignore":
+            return {"updated": 0, "inserted": 0, "rows_written": 0}
+        df = df.cache()
+        try:
+            n = df.count()
+            if n:
+                replace_partition(spark, df, target, partition_by)
+        finally:
+            df.unpersist()
+        return {"updated": 0, "inserted": n, "rows_written": n}
+
+    # partition cols round-trip through directory names type-inferred;
+    # align the stored side to the incoming schema
+    incoming_types = dict(df.dtypes)
+    existing = existing.select(
+        *[F.col(c).cast(incoming_types[c]) for c in df.columns]
+    )
+
+    df = df.cache()
+    try:
+        existing_keys = existing.select(*keys)
+        matched = df.join(existing_keys, keys, "left_semi").cache()
+        new_rows = df.join(existing_keys, keys, "left_anti").cache()
+        try:
+            n_matched = matched.count()
+            n_new = new_rows.count()
+
+            touched = (
+                df.select(*partition_by)
+                .unionByName(
+                    existing.join(
+                        F.broadcast(df.select(*keys).distinct()), keys, "left_semi"
+                    ).select(*partition_by)
+                )
+                .distinct()
+            )
+            current = existing.join(F.broadcast(touched), partition_by, "left_semi")
+
+            survivors = (
+                current.join(F.broadcast(matched.select(*keys).distinct()),
+                             keys, "left_anti")
+                if when_matched == "replace"
+                else current
+            )
+            out = survivors
+            if when_matched == "replace":
+                out = out.unionByName(matched)
+            if when_new == "insert":
+                out = out.unionByName(new_rows)
+
+            # materialize OFF the target files before overwriting them
+            out = out.localCheckpoint(eager=True)
+            n_written = out.count()
+            if n_written:
+                replace_partition(spark, out, target, partition_by)
+        finally:
+            matched.unpersist()
+            new_rows.unpersist()
+    finally:
+        df.unpersist()
+    return {
+        "updated": n_matched if when_matched == "replace" else 0,
+        "inserted": n_new if when_new == "insert" else 0,
+        "rows_written": n_written,
+    }
 
 
 def replace_partition(

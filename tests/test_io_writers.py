@@ -182,3 +182,115 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
     # the join consumes the bucketed scans directly: no join-key exchange
     assert "Exchange hashpartitioning(l_orderkey" not in plan
     assert "Exchange hashpartitioning(o_orderkey" not in plan
+
+
+# --------------------------------------------------------------------------
+# merge_upsert: MERGE-on-key completion of the write-path story (round 2)
+# --------------------------------------------------------------------------
+
+
+def _merge_fixture(spark, tmp_path, name):
+    from sentiment_analysis_data_engineering_spark.sources.io import replace_partition
+
+    target = str(tmp_path / name)
+    base = spark.createDataFrame(
+        [(1, "2024-01", "a", 10.0), (2, "2024-01", "b", 20.0),
+         (3, "2024-02", "c", 30.0), (4, "2024-02", "d", 40.0)],
+        "id long, month string, name string, value double",
+    )
+    replace_partition(spark, base, target, ["month"])
+    return target
+
+
+def _read(spark, target):
+    from pyspark.sql import functions as F
+
+    return {
+        r.id: (r.month, r.name, r.value)
+        for r in spark.read.parquet(target)
+        .withColumn("month", F.col("month").cast("string")).collect()
+    }
+
+
+def test_merge_upsert_update_and_insert_one_call(spark, tmp_path):
+    from sentiment_analysis_data_engineering_spark.sources.io import merge_upsert
+
+    target = _merge_fixture(spark, tmp_path, "merge1")
+    batch = spark.createDataFrame(
+        [(2, "2024-01", "b2", 21.0),     # update existing key
+         (5, "2024-02", "e", 50.0)],     # brand-new key
+        "id long, month string, name string, value double",
+    )
+    stats = merge_upsert(spark, batch, target, ["id"], partition_by=["month"])
+    # both partitions are touched (update in 01, insert into 02), so all
+    # 3 surviving stored rows rewrite alongside the 2 incoming rows
+    assert stats == {"updated": 1, "inserted": 1, "rows_written": 5}
+    got = _read(spark, target)
+    assert got[2] == ("2024-01", "b2", 21.0)          # updated in place
+    assert got[5] == ("2024-02", "e", 50.0)           # inserted
+    assert got[1] == ("2024-01", "a", 10.0)           # untouched neighbors
+    assert got[3] == ("2024-02", "c", 30.0) and len(got) == 5
+
+
+def test_merge_upsert_key_moves_partition(spark, tmp_path):
+    from sentiment_analysis_data_engineering_spark.sources.io import merge_upsert
+
+    target = _merge_fixture(spark, tmp_path, "merge2")
+    batch = spark.createDataFrame(
+        [(2, "2024-03", "b-moved", 22.0)],  # key 2 moves 2024-01 → 2024-03
+        "id long, month string, name string, value double",
+    )
+    stats = merge_upsert(spark, batch, target, ["id"], partition_by=["month"])
+    assert stats["updated"] == 1 and stats["inserted"] == 0
+    got = _read(spark, target)
+    assert got[2] == ("2024-03", "b-moved", 22.0)
+    # the OLD partition no longer carries the moved key (no stale dup)
+    assert len(got) == 4
+
+
+def test_merge_upsert_matched_ignore_keeps_stored_rows(spark, tmp_path):
+    from sentiment_analysis_data_engineering_spark.sources.io import merge_upsert
+
+    target = _merge_fixture(spark, tmp_path, "merge3")
+    batch = spark.createDataFrame(
+        [(2, "2024-01", "CLOBBER", 99.0), (6, "2024-01", "f", 60.0)],
+        "id long, month string, name string, value double",
+    )
+    stats = merge_upsert(spark, batch, target, ["id"],
+                         partition_by=["month"], when_matched="ignore")
+    # only 2024-01 is touched: its 2 stored rows + the 1 insert rewrite
+    assert stats == {"updated": 0, "inserted": 1, "rows_written": 3}
+    got = _read(spark, target)
+    assert got[2] == ("2024-01", "b", 20.0)   # stored row won
+    assert got[6] == ("2024-01", "f", 60.0)
+
+
+def test_merge_upsert_first_write_creates_target(spark, tmp_path):
+    from sentiment_analysis_data_engineering_spark.sources.io import merge_upsert
+
+    target = str(tmp_path / "merge4")
+    batch = spark.createDataFrame(
+        [(1, "2024-01", "a", 1.0)],
+        "id long, month string, name string, value double",
+    )
+    stats = merge_upsert(spark, batch, target, ["id"], partition_by=["month"])
+    assert stats == {"updated": 0, "inserted": 1, "rows_written": 1}
+    assert _read(spark, target) == {1: ("2024-01", "a", 1.0)}
+
+
+def test_merge_upsert_untouched_partition_files_not_rewritten(spark, tmp_path):
+    import os
+    from sentiment_analysis_data_engineering_spark.sources.io import merge_upsert
+
+    target = _merge_fixture(spark, tmp_path, "merge5")
+    feb = os.path.join(target, "month=2024-02")
+    before = {f: os.path.getmtime(os.path.join(feb, f))
+              for f in os.listdir(feb) if f.endswith(".parquet")}
+    batch = spark.createDataFrame(
+        [(1, "2024-01", "a2", 11.0)],
+        "id long, month string, name string, value double",
+    )
+    merge_upsert(spark, batch, target, ["id"], partition_by=["month"])
+    after = {f: os.path.getmtime(os.path.join(feb, f))
+             for f in os.listdir(feb) if f.endswith(".parquet")}
+    assert before == after  # 2024-02 untouched on disk
