@@ -39,11 +39,26 @@ HEADLINE = [
     "nation_pair_volume",
     "asof_join_last_signup",
     "range_join_error_windows",
+    # heavy TPC-H-shaped analytics tier (round 2: regression-visible)
+    "sole_late_supplier_waitlist",
+    "min_cost_supplier_per_part",
+    "top_revenue_supplier",
+    "disjunctive_predicate_revenue",
+    "customers_above_nation_avg",
+    "rolling_7day_customer_revenue",
+    "cube_order_stats",
+    "grouping_sets_revenue",
+    "customer_balance_deciles",
+    "outer_join_customer_orders",
+    "daily_event_gapfill",
+    "window_sliding_6h",
     # LLM-pipeline extensions
     "dedup_exact",
+    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_clusters",
+    "dedup_embedding_cosine",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
@@ -53,6 +68,8 @@ HEADLINE = [
     "corpus_curation",
     "tfidf_top_terms",
     "stratified_sample_langs",
+    "sequence_packing_stats",
+    "multimodal_decode_features",
 ]
 
 
@@ -71,6 +88,8 @@ def main() -> None:
     # numbers then measure steady-state throughput, not one-time JVM
     # compilation. This mirrors how a long-lived cluster runs: codegen
     # compile cost is paid once per query shape, not per batch.
+    from sentiment_analysis_data_engineering_spark.operators.dedup import release_pinned
+
     warm_dir = "/root/testdata/sf0.001"
     for name in HEADLINE:
         fn = qs.get(name)
@@ -80,6 +99,8 @@ def main() -> None:
             fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
         except Exception:
             pass  # warm-up must never sink the bench
+        finally:
+            release_pinned()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -90,6 +111,9 @@ def main() -> None:
         df = fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # dedup/LSH queries pin signature frames for intra-query reuse;
+        # drain between queries so storage stays flat across the run
+        release_pinned()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)

@@ -59,6 +59,10 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
     return df.repartition(n, F.col(id_col))
 
 
+#: strong refs on purpose: Spark's CacheManager keys cached data on the
+#: logical plan and frees it only via unpersist — a GC'd Python wrapper
+#: would leave the storage pinned AND unreachable. release_pinned() is
+#: the one cleanup path, so the refs must stay alive until it runs.
 _PINNED: list[DataFrame] = []
 
 
@@ -353,9 +357,14 @@ def minhash_lsh_pairs(
     # Verify CANDIDATES ONLY: banding already pruned the pair space, so
     # fetch each side's shingle ARRAY and intersect per row
     # (array_intersect) — zero explodes, candidate-proportional work.
-    doc_sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(word_ngrams(text_col, shingle_size)).alias("_shs"),
+    # Pinned: BOTH verify-join sides reference this frame, and the
+    # shingle transform is the most expensive scalar work in the plan.
+    doc_sh = _pin(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(word_ngrams(text_col, shingle_size)).alias("_shs"),
+        ),
+        persist,
     )
     a = doc_sh.select(
         F.col("_id").alias("id_a"), F.col("_shs").alias("_sha")
@@ -413,13 +422,13 @@ def simhash(
         # two 32-bit halves of the leading 64 md5 bits; parsed via
         # conv(hex) which stays inside the positive long range, so ANSI
         # mode never overflows. Bits 0-31 come from the low half,
-        # 32-63 from the high half.
-        th = th.select(
+        # 32-63 from the high half. The digest is projected ONCE and
+        # the halves substring it — md5 per (token, half) doubled the
+        # hash cost when inlined.
+        th = th.select("_id", F.md5("_t").alias("_md5")).select(
             "_id",
-            F.conv(F.substring(F.md5("_t"), 1, 8), 16, 10)
-            .cast("long").alias("_hhi"),
-            F.conv(F.substring(F.md5("_t"), 9, 8), 16, 10)
-            .cast("long").alias("_hlo"),
+            F.conv(F.substring("_md5", 1, 8), 16, 10).cast("long").alias("_hhi"),
+            F.conv(F.substring("_md5", 9, 8), 16, 10).cast("long").alias("_hlo"),
         )
 
         def bit(b: int) -> Column:

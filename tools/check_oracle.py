@@ -94,6 +94,8 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
+    from sentiment_analysis_data_engineering_spark.operators.dedup import release_pinned
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -105,6 +107,8 @@ def main() -> int:
             print(f"FAIL  {name}: spark raised\n{traceback.format_exc()}")
             n_fail += 1
             continue
+        finally:
+            release_pinned()  # keep executor storage flat across queries
         if name not in oracles:
             n_rows_only += 1
             print(f"rows  {name}: {len(spark_pdf)} rows (no oracle) "
