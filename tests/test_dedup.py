@@ -235,3 +235,65 @@ def test_stratified_hash_sample_rates(spark):
     assert 0.7 < rates["en"] / 1000 < 0.9
     assert 0.12 < rates["de"] / 1000 < 0.28
     assert "zh" not in rates
+
+
+# --------------------------------------------------------------------------
+# Skew-guard rehearsal: degenerate mass-duplicate corpora must stay bounded
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def hot_corpus(spark):
+    """300 byte-identical copies of one stop-shingle-heavy doc (the
+    10x-skew rehearsal, scaled to test time) + a planted near-dup pair
+    + unique filler docs."""
+    hot = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, hot) for i in range(300)]
+    rows += [
+        (1000, "completely different text about distributed query engines ok"),
+        (1001, "completely different text about distributed query engines yes"),
+    ]
+    rows += [(2000 + i, f"unique filler document number {i} with its own words {i*i}")
+             for i in range(50)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ngram_guard_bounds_hot_shingle_candidates(hot_corpus):
+    # cap 100 < 300 copies: every shingle of the hot doc exceeds the cap
+    # and is dropped, so the 300²/2 hot-hot candidate pairs never form;
+    # the planted near-dup pair must still surface.
+    pairs = dd.ngram_jaccard_pairs(
+        hot_corpus, "text", "doc_id", n=5, threshold=0.2, max_bucket_size=100
+    ).collect()
+    ids = {(r.id_a, r.id_b) for r in pairs}
+    assert (1000, 1001) in ids
+    assert not any(a < 300 and b < 300 for a, b in ids)
+    # identical mass-duplicates are exact-dedup's job, and it stays O(n)
+    exact = dd.exact_dedup(hot_corpus, "text", "doc_id").collect()
+    hot_row = next(r for r in exact if r.n_copies == 300)
+    assert hot_row.keep_id == 0
+
+
+def test_lsh_bucket_guard_bounds_hot_bucket_candidates(hot_corpus):
+    # identical docs share every band bucket → one 300-doc bucket per
+    # band; cap 100 drops those buckets, so no hot-hot pair survives
+    # candidate generation, while the near-dup pair still pairs up.
+    pairs = dd.minhash_lsh_pairs(
+        hot_corpus, "text", "doc_id",
+        num_hashes=64, bands=16, verify_threshold=0.2, max_bucket_size=100,
+    ).collect()
+    ids = {(r.id_a, r.id_b) for r in pairs}
+    assert (1000, 1001) in ids
+    assert not any(a < 300 and b < 300 for a, b in ids)
+
+
+def test_lsh_guard_off_finds_hot_pairs_with_bounded_cap(hot_corpus):
+    # sanity inversion: with the cap ABOVE the hot-group size the hot
+    # pairs DO form — proving the guard (not a tokenization artifact)
+    # is what bounded the candidate space above.
+    pairs = dd.minhash_lsh_pairs(
+        hot_corpus.filter("doc_id < 20 or doc_id >= 1000"), "text", "doc_id",
+        num_hashes=64, bands=16, verify_threshold=0.2, max_bucket_size=1000,
+    ).collect()
+    ids = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 1) in ids and (1000, 1001) in ids

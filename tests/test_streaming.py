@@ -229,3 +229,57 @@ def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
         "2024-01-01 10:00:00", 0
     )
     assert total_10 == 2  # the late row contributed nowhere
+
+
+def test_checkpointed_restart_exactly_once_across_crash(spark, tmp_path):
+    """Simulated crash BETWEEN micro-batches: run 1 commits one batch
+    then dies; run 2 resumes from the SAME checkpoint. The combination
+    of checkpoint offsets + anti-join sink must deliver exactly-once:
+    every source row lands in the target exactly one time."""
+    import pytest
+    from pyspark.sql import functions as F
+    from sentiment_analysis_data_engineering_spark.sources.io import idempotent_append
+
+    # 4 source files → 4 micro-batches at maxFilesPerTrigger=1
+    src = str(tmp_path / "src")
+    rows = spark.range(40).select(
+        F.col("id").alias("event_id"), (F.col("id") % 7).alias("user_id")
+    )
+    rows.repartition(4).write.parquet(src)
+
+    target = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    seen_batches: list[int] = []
+
+    def crashing_batch(batch_df, batch_id):
+        if len(seen_batches) == 1:
+            raise RuntimeError("injected crash between micro-batches")
+        seen_batches.append(batch_id)
+        idempotent_append(batch_df.sparkSession, batch_df, target, ["event_id"])
+
+    def start(batch_fn):
+        stream = (
+            spark.readStream.schema("event_id long, user_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(batch_fn)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    with pytest.raises(Exception, match="injected crash"):
+        start(crashing_batch)
+    committed = spark.read.parquet(target).count()
+    assert 0 < committed < 40  # partial progress really happened
+
+    def clean_batch(batch_df, batch_id):
+        idempotent_append(batch_df.sparkSession, batch_df, target, ["event_id"])
+
+    start(clean_batch)  # resume from the same checkpoint
+    got = spark.read.parquet(target)
+    assert got.count() == 40
+    assert got.select("event_id").distinct().count() == 40
