@@ -814,14 +814,14 @@ def embedding_cosine_pairs(
             )
         )
     else:
-        from .similarity import hyperplane_signature
+        from .similarity import signatures_arrow
 
         band_bits = num_planes // bands
         mask = (1 << band_bits) - 1
-        sig = base.withColumn(
-            "_sig",
-            hyperplane_signature("_v", num_planes=num_planes, dim=dim),
-        )
+        # one Arrow matmul pass per corpus scan — at 64 planes × 64 dims
+        # the literal-folded expression sketch costs more in plan
+        # analysis/codegen than the data pass (see similarity.py).
+        sig = signatures_arrow(base, "_v", "_id", num_planes=num_planes, dim=dim)
         banded = _pin(
             sig.select(
                 "_id",

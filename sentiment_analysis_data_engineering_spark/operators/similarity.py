@@ -128,6 +128,136 @@ def hyperplane_signature(
     return sig
 
 
+def _plane_matrix(num_planes: int, dim: int):
+    """The deterministic ±1 hyperplanes as a (dim, num_planes) numpy
+    matrix — same ``_plane_component`` values the expression form bakes
+    into literals, just materialized once for BLAS."""
+    import numpy as np
+
+    return np.array(
+        [[_plane_component(p, d) for p in range(num_planes)] for d in range(dim)],
+        dtype=np.float64,
+    )
+
+
+def signatures_arrow(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    num_planes: int,
+    dim: int,
+    vec_out: str | None = None,
+) -> DataFrame:
+    """(id, [vec,] sig) in ONE Arrow pass — the constant-plan-size twin
+    of ``hyperplane_signature``.
+
+    The expression form bakes num_planes × dim literals into the plan;
+    fine at 12×64, but at 64×64 the tree alone costs more in analysis +
+    codegen than the data pass (see the block-grid engine note in
+    operators/dedup.py). Here the plane matrix lives in the closure
+    (task-serialized once), each Arrow batch computes all sign bits as
+    a single (rows × dim) @ (dim × planes) matmul, and bits pack into
+    the same long the expression form produces. Sign(dot) under float64
+    matmul vs the sequential fold differs only for |dot| ≲ 1e-13 —
+    never observed on the driver corpora (recall contracts verify).
+
+    Narrow map, no shuffle; scales to any corpus size batch-by-batch.
+    """
+    import numpy as np
+    import pandas as pd
+
+    M = _plane_matrix(num_planes, dim)
+    weights = (1 << np.arange(num_planes, dtype=np.int64)).astype(np.int64)
+    src = df.select(
+        F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v")
+    )
+    keep_vec = vec_out is not None
+    schema = (
+        f"_id long, {vec_out} array<double>, _sig long"
+        if keep_vec
+        else "_id long, _sig long"
+    )
+
+    def tag(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            bits = (V @ M) >= 0.0
+            sig = (bits.astype(np.int64) * weights[None, :]).sum(axis=1)
+            out = {"_id": pdf["_id"].to_numpy()}
+            if keep_vec:
+                out[vec_out] = pdf["_v"]
+            out["_sig"] = sig
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(tag, schema)
+
+
+def _ivf_tag_arrow(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    cents: list[list[float]],
+    *,
+    role: str,
+    n_probe: int = 1,
+) -> DataFrame:
+    """Cell-tag one side of the IVF join in a single Arrow pass: each
+    batch scores all vectors against all centroids as one matmul.
+    ``role="corpus"`` emits (neighbor_id, _cv, _cn, cell) with the
+    argmax cell (first index on exact ties, matching the expression
+    form's ``array_position``); ``role="query"`` emits one row per
+    probe, the ``n_probe`` highest-scoring cells. Narrow map — the
+    centroid matrix rides the task closure, no shuffle, no collect."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.array(cents, dtype=np.float64).T  # (dim, n_cells)
+    src = df.select(
+        F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v")
+    )
+    if role == "corpus":
+        schema = "neighbor_id long, _cv array<double>, _cn double, cell long"
+
+        def tag(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                V = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+                yield pd.DataFrame(
+                    {
+                        "neighbor_id": pdf["_id"].to_numpy(),
+                        "_cv": pdf["_v"],
+                        "_cn": np.sqrt((V * V).sum(axis=1)),
+                        "cell": (V @ C).argmax(axis=1),
+                    }
+                )
+
+    else:
+        schema = "query_id long, _qv array<double>, _qn double, cell long"
+
+        def tag(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                V = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+                probes = np.argsort(-(V @ C), axis=1, kind="stable")[:, :n_probe]
+                n = len(pdf)
+                idx = np.repeat(np.arange(n), n_probe)
+                yield pd.DataFrame(
+                    {
+                        "query_id": pdf["_id"].to_numpy()[idx],
+                        "_qv": pdf["_v"].iloc[idx],
+                        "_qn": np.sqrt((V * V).sum(axis=1))[idx],
+                        "cell": probes.reshape(-1),
+                    }
+                )
+
+    return src.mapInPandas(tag, schema)
+
+
 def ivf_cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -137,6 +267,7 @@ def ivf_cosine_topk(
     k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 4,
+    engine: str = "arrow",
 ) -> DataFrame:
     """IVF-Flat approximate top-k: a coarse quantizer of ``n_centroids``
     cells partitions the corpus; each query probes only its ``n_probe``
@@ -154,7 +285,16 @@ def ivf_cosine_topk(
 
     Scale shape: corpus scans once to tag cells (narrow), shuffles once
     on cell id; queries broadcast. Recall tunes with n_probe/n_centroids.
+
+    ``engine="arrow"`` (default) tags cells via one ``mapInPandas``
+    matmul per side — plan size stays constant in n_centroids × dim,
+    where the expression form bakes every centroid component into
+    literals (2 × 16 × 64 here) and pays for it in analysis + codegen
+    before the first row moves. ``engine="sql"`` keeps the pure-JVM
+    expression path.
     """
+    if engine not in ("arrow", "sql"):
+        raise ValueError(f"unknown engine {engine!r}")
     # --- model build: deterministic centroid sample (tiny action) ----
     sample = (
         corpus.select(id_col, vec_col)
@@ -168,51 +308,59 @@ def ivf_cosine_topk(
         n = sum(x * x for x in v) ** 0.5 or 1.0
         cents.append([x / n for x in v])
 
-    def cell_scores(v: Column) -> Column:
-        return F.array(*[
-            F.aggregate(
-                F.zip_with(v, F.array(*[F.lit(c) for c in cent]),
-                           lambda x, y: x * y),
-                F.lit(0.0), lambda acc, x: acc + x,
-            )
-            for cent in cents
-        ])
-
-    # corpus: argmax cell (1-based array_position → 0-based cell id).
-    # The L2 norm is computed HERE, once per corpus vector — the
-    # re-rank join below references each vector once per candidate
-    # pair, and an interpreted 64-element fold per pair is pure waste.
-    c = _spread(corpus, id_col).select(
-        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("_cv")
-    )
-    c = c.withColumn("_scores", cell_scores(F.col("_cv"))).select(
-        "neighbor_id",
-        "_cv",
-        _norm(F.col("_cv")).alias("_cn"),
-        (F.array_position("_scores", F.array_max("_scores")) - 1).alias("cell"),
-    )
-
-    # queries: top-n_probe cells via sort of (score, idx) structs
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("_qv")
-    ).withColumn("_qn", _norm(F.col("_qv")))
-    ranked = F.slice(
-        F.reverse(
-            F.array_sort(
-                F.transform(
-                    cell_scores(F.col("_qv")),
-                    lambda s, i: F.struct(s.alias("s"), i.alias("i")),
+    if engine == "arrow":
+        c = _ivf_tag_arrow(
+            _spread(corpus, id_col), vec_col, id_col, cents, role="corpus"
+        )
+        qcells = _ivf_tag_arrow(
+            queries, vec_col, id_col, cents, role="query", n_probe=n_probe
+        )
+    else:
+        def cell_scores(v: Column) -> Column:
+            return F.array(*[
+                F.aggregate(
+                    F.zip_with(v, F.array(*[F.lit(c) for c in cent]),
+                               lambda x, y: x * y),
+                    F.lit(0.0), lambda acc, x: acc + x,
                 )
-            )
-        ),
-        1,
-        n_probe,
-    )
-    qcells = (
-        q.withColumn("_probe", F.explode(ranked))
-        .withColumn("cell", F.col("_probe.i").cast("long"))
-        .drop("_probe")
-    )
+                for cent in cents
+            ])
+
+        # corpus: argmax cell (1-based array_position → 0-based cell id).
+        # The L2 norm is computed HERE, once per corpus vector — the
+        # re-rank join below references each vector once per candidate
+        # pair, and an interpreted 64-element fold per pair is pure waste.
+        c = _spread(corpus, id_col).select(
+            F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("_cv")
+        )
+        c = c.withColumn("_scores", cell_scores(F.col("_cv"))).select(
+            "neighbor_id",
+            "_cv",
+            _norm(F.col("_cv")).alias("_cn"),
+            (F.array_position("_scores", F.array_max("_scores")) - 1).alias("cell"),
+        )
+
+        # queries: top-n_probe cells via sort of (score, idx) structs
+        q = queries.select(
+            F.col(id_col).alias("query_id"), _as_double(vec_col).alias("_qv")
+        ).withColumn("_qn", _norm(F.col("_qv")))
+        ranked = F.slice(
+            F.reverse(
+                F.array_sort(
+                    F.transform(
+                        cell_scores(F.col("_qv")),
+                        lambda s, i: F.struct(s.alias("s"), i.alias("i")),
+                    )
+                )
+            ),
+            1,
+            n_probe,
+        )
+        qcells = (
+            q.withColumn("_probe", F.explode(ranked))
+            .withColumn("cell", F.col("_probe.i").cast("long"))
+            .drop("_probe")
+        )
 
     scored = (
         c.join(F.broadcast(qcells), "cell")
@@ -244,6 +392,7 @@ def lsh_cosine_topk(
     num_planes: int = 12,
     dim: int = 64,
     bands: int = 6,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Approximate top-k: candidates must share at least one LSH band
     with the query (multi-probe via banding, like MinHash-LSH), then
@@ -252,20 +401,31 @@ def lsh_cosine_topk(
     Scale shape: corpus computes its sketch in one scan and shuffles on
     (band, band_value); queries do the same; candidate generation is an
     equi-join on the band key. Recall tunes with num_planes/bands.
+
+    ``engine="arrow"`` (default) sketches each side via one
+    ``signatures_arrow`` matmul pass (constant plan size);
+    ``engine="sql"`` keeps the literal-folded expression sketch. Either
+    way the band explode carries only (id, band, bval) — vectors rejoin
+    later, once per survivor, not once per band row.
     """
+    if engine not in ("arrow", "sql"):
+        raise ValueError(f"unknown engine {engine!r}")
     band_bits = num_planes // bands
 
     def with_bands(df: DataFrame, role: str) -> DataFrame:
-        sig = hyperplane_signature(vec_col, num_planes=num_planes, dim=dim)
-        base = df.select(
-            F.col(id_col).alias(f"{role}_id"),
-            _as_double(vec_col).alias(f"_{role}v"),
-            sig.alias("_sig"),
-        )
+        if engine == "arrow":
+            base = signatures_arrow(
+                df, vec_col, id_col, num_planes=num_planes, dim=dim
+            ).withColumnRenamed("_id", f"{role}_id")
+        else:
+            base = df.select(
+                F.col(id_col).alias(f"{role}_id"),
+                hyperplane_signature(vec_col, num_planes=num_planes, dim=dim)
+                .alias("_sig"),
+            )
         mask = (1 << band_bits) - 1
         return base.select(
             f"{role}_id",
-            f"_{role}v",
             F.explode(
                 F.array(
                     *[
@@ -279,7 +439,7 @@ def lsh_cosine_topk(
                     ]
                 )
             ).alias("_b"),
-        ).select(f"{role}_id", f"_{role}v",
+        ).select(f"{role}_id",
                  F.col("_b.band").alias("band"), F.col("_b.bval").alias("bval"))
 
     qb = with_bands(queries, "query")
