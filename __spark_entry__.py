@@ -73,6 +73,9 @@ _GATE_FIRST = [
     "array_functions_report",
     "text_clean_and_mask",
     "sequence_packing_stats",
+    # -- new this round: need a first driver entry
+    "gopher_repetition_signals",
+    "benchmark_contamination",
     # -- changed or oracle-upgraded this round: need a fresh driver entry
     "dedup_embedding_cosine",
     "dedup_minhash_lsh",
@@ -85,8 +88,6 @@ _GATE_FIRST = [
     # -- representative r1-green anchors (regression canaries)
     "star_join_revenue",
     "dedup_clusters",
-    "predicate_scan",
-    "window_moving_avg",
 ]
 
 

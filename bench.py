@@ -65,6 +65,8 @@ HEADLINE = [
     "skew_salted_join_agg",
     "text_quality_score",
     "doc_fingerprint",
+    "gopher_repetition_signals",
+    "benchmark_contamination",
     "corpus_curation",
     "tfidf_top_terms",
     "stratified_sample_langs",

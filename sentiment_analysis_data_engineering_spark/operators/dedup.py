@@ -41,6 +41,7 @@ __all__ = [
     "embedding_cosine_pairs",
     "connected_components",
     "blocking_edges",
+    "contamination_screen",
     "release_pinned",
 ]
 
@@ -150,6 +151,52 @@ def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFram
     return (
         df.select(F.col(id_col).alias("_id"),
                   F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("_sh"))
+    )
+
+
+def contamination_screen(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    eval_pred: Column,
+    *,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination screen: flag every training document
+    sharing at least one word n-gram shingle with the held-out/eval
+    split (the standard 'n-gram overlap' decontamination rule, e.g.
+    GPT-3 appendix C / PaLM §7 — public methodology).
+
+    ``eval_pred`` partitions the corpus: rows where it holds are the
+    eval split, the rest are training docs to screen. Output is one row
+    PER TRAINING DOC — (id, shared_shingles, contaminated) — so clean
+    docs are asserted clean, not silently absent.
+
+    Scale shape: one corpus scan builds distinct-per-doc shingles; the
+    eval side (benchmarks are tiny relative to a 100 TB corpus) reduces
+    to a distinct shingle set that BROADCASTS into an equi-join — the
+    training side never shuffles on the shingle, only on the doc id for
+    the final count. No cross join, no theta join.
+    """
+    ev_shingles = (
+        _doc_shingles(df.filter(eval_pred), text_col, id_col, n)
+        .select("_sh")
+        .distinct()
+    )
+    hits = (
+        _doc_shingles(_spread(df.filter(~eval_pred), id_col), text_col, id_col, n)
+        .join(F.broadcast(ev_shingles), "_sh")
+        .groupBy("_id")
+        .agg(F.count("*").alias("shared_shingles"))
+    )
+    train = df.filter(~eval_pred).select(F.col(id_col).alias("_id"))
+    return (
+        train.join(hits, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("shared_shingles", F.lit(0)).alias("shared_shingles"),
+            (F.coalesce("shared_shingles", F.lit(0)) > 0).alias("contaminated"),
+        )
     )
 
 

@@ -32,6 +32,7 @@ __all__ = [
     "tfidf_top_terms",
     "clean_text",
     "mask_pii",
+    "repetition_signals",
 ]
 
 
@@ -207,6 +208,62 @@ def tfidf_top_terms(
 
 
 #: Cleaning patterns (ASCII-anchored, engine-portable regexes).
+def _max_run(sorted_arr: Column) -> Column:
+    """Length of the longest run of equal adjacent elements in a SORTED
+    array — i.e. the count of the most frequent element. One fold with
+    (prev, run, best) struct state; no explode, no shuffle."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
+def repetition_signals(col: Column | str) -> dict[str, Column]:
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    §A1.1, adapted to token counts — the fixture corpus is single-line,
+    so line-level fractions are vacuous here):
+
+    - ``dup_token_share``  (n_tokens − n_distinct_tokens) / n_tokens —
+                           the share of token occurrences that are
+                           repeats of an earlier token;
+    - ``top_bigram_share`` occurrences of the most frequent word bigram
+                           / total bigrams.
+
+    Both are pure per-row expressions — array_distinct and a sorted-run
+    fold — so the operator is a narrow full-scan with ZERO shuffles at
+    any corpus size. Ratios are try_divide'd (empty docs → NULL, not a
+    dead job) and rounded to 6 dp for oracle replication.
+    """
+    toks = tokens(_c(col))
+    n = F.size(toks).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0)).cast("int")),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0)).cast("int")),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    n_bigrams = F.size(bigrams).cast("long")
+    return {
+        "n_tokens": n,
+        "dup_token_share": F.round(F.try_divide(n - n_distinct, n), 6),
+        "n_bigrams": n_bigrams,
+        "top_bigram_share": F.round(
+            F.try_divide(_max_run(F.array_sort(bigrams)), n_bigrams), 6
+        ),
+    }
+
+
 _URL_RE = r"https?://[^\s]+"
 _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 

@@ -927,3 +927,95 @@ def array_functions_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             3,
         ).alias("long_words"),
     )
+
+
+@query(
+    "gopher_repetition_signals",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    base AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+             CASE WHEN len(t) >= 2
+                  THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+                  ELSE CAST([] AS VARCHAR[]) END AS bg
+      FROM toks
+    ),
+    bgc AS (
+      SELECT doc_id, max(cnt) AS topn FROM (
+        SELECT doc_id, b, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(bg) AS b FROM base) GROUP BY 1, 2
+      ) GROUP BY 1
+    )
+    SELECT b.doc_id,
+           b.n_tokens,
+           round((b.n_tokens - b.n_distinct) / b.n_tokens, 6) AS dup_token_share,
+           CAST(len(b.bg) AS BIGINT) AS n_bigrams,
+           round(c.topn / len(b.bg), 6) AS top_bigram_share,
+           (coalesce(round((b.n_tokens - b.n_distinct) / b.n_tokens, 6) > 0.6, FALSE)
+            OR coalesce(round(c.topn / len(b.bg), 6) > 0.08, FALSE)) AS flagged
+    FROM base b LEFT JOIN bgc c USING (doc_id)
+    """,
+)
+def gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document
+    (operators/text.py::repetition_signals): duplicate-token share and
+    top-bigram share, plus the filter flag at Gopher-adapted thresholds
+    (dup > 0.6 or top-bigram > 0.08). Pure per-row expressions — the
+    whole operator is a narrow scan with zero shuffles."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    sig = tx.repetition_signals("text")
+    dup, top = sig["dup_token_share"], sig["top_bigram_share"]
+    return documents.select(
+        "doc_id",
+        sig["n_tokens"].alias("n_tokens"),
+        dup.alias("dup_token_share"),
+        sig["n_bigrams"].alias("n_bigrams"),
+        top.alias("top_bigram_share"),
+        (F.coalesce(dup > 0.6, F.lit(False))
+         | F.coalesce(top > 0.08, F.lit(False))).alias("flagged"),
+    )
+
+
+@query(
+    "benchmark_contamination",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(t) >= 5
+                    THEN [array_to_string(t[i:i+4], ' ') for i in range(1, len(t)-3)]
+                    ELSE [array_to_string(t, ' ')] END) AS g
+      FROM toks
+    ),
+    sh AS (SELECT doc_id, unnest(g) AS s FROM grams),
+    ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+    hits AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS shared_shingles
+      FROM sh JOIN ev USING (s)
+      WHERE doc_id % 50 <> 0
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(h.shared_shingles, 0) AS BIGINT) AS shared_shingles,
+           coalesce(h.shared_shingles, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % 50 <> 0
+    """,
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-gram-overlap decontamination screen: docs with doc_id % 50 = 0
+    stand in for the held-out benchmark split; every other doc reports
+    how many distinct shingles it shares with that split
+    (operators/dedup.py::contamination_screen — eval shingles broadcast,
+    training side never shuffles on the shingle)."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return dd.contamination_screen(
+        documents, "text", "doc_id", F.col("doc_id") % 50 == 0, n=5
+    )

@@ -297,3 +297,27 @@ def test_lsh_guard_off_finds_hot_pairs_with_bounded_cap(hot_corpus):
     ).collect()
     ids = {(r.id_a, r.id_b) for r in pairs}
     assert (0, 1) in ids and (1000, 1001) in ids
+
+
+def test_contamination_screen(spark):
+    from pyspark.sql import functions as F
+
+    # doc 0 = eval; doc 1 copies a 5-token window from it; doc 2 disjoint
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),
+            (1, "intro alpha beta gamma delta epsilon outro"),
+            (2, "one two three four five six seven"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dd.contamination_screen(
+            docs, "text", "doc_id", F.col("doc_id") == 0, n=5
+        ).collect()
+    }
+    assert set(out) == {1, 2}  # eval doc excluded, clean doc present
+    # doc 1 shares exactly the one complete 5-gram of the copied run
+    assert out[1].contaminated and out[1].shared_shingles == 1
+    assert not out[2].contaminated and out[2].shared_shingles == 0

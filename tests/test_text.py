@@ -80,3 +80,40 @@ def test_mask_pii_preserves_structure(spark):
     )
     out = df.select(tx.mask_pii("text").alias("m")).collect()[0].m
     assert out == "call [NUM] or [EMAIL] via [URL] today"
+
+
+def test_repetition_signals_hand_computed(spark):
+    # "a b a b c": tokens=5, distinct=3 -> dup 2/5 = 0.4
+    # bigrams: "a b","b a","a b","b c" -> 4 total, top "a b" x2 -> 0.5
+    sig = tx.repetition_signals("text")
+    row = (
+        spark.createDataFrame([("a b a b c",)], "text string")
+        .select(
+            sig["n_tokens"].alias("n"),
+            sig["dup_token_share"].alias("dup"),
+            sig["n_bigrams"].alias("nb"),
+            sig["top_bigram_share"].alias("top"),
+        )
+        .first()
+    )
+    assert row.n == 5 and row.nb == 4
+    assert row.dup == 0.4
+    assert row.top == 0.5
+
+
+def test_repetition_signals_degenerate_docs(spark):
+    sig = tx.repetition_signals("text")
+    rows = (
+        spark.createDataFrame([("word",), ("x x x x",)], "text string")
+        .select(
+            sig["n_tokens"].alias("n"),
+            sig["dup_token_share"].alias("dup"),
+            sig["top_bigram_share"].alias("top"),
+        )
+        .collect()
+    )
+    one, rep = rows
+    # single token: no bigrams -> NULL share, dup 0
+    assert one.n == 1 and one.dup == 0.0 and one.top is None
+    # pure repetition: dup (4-1)/4, top bigram "x x" = 3/3
+    assert rep.dup == 0.75 and rep.top == 1.0
