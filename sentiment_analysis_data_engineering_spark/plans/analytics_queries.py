@@ -804,23 +804,31 @@ def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: the cheapest observed supplier per part
-    (lineitem stands in for partsupp). Aggregate → per-part top-1 via
-    row_number window (deterministic tiebreak on suppkey) → decorate
-    with part/supplier names; the window shuffle reuses the aggregate's
-    (partkey) partitioning."""
-    from pyspark.sql import Window
-
+    (lineitem stands in for partsupp). Per-part argmin in ONE hash
+    aggregate via min(struct(price, suppkey)) — lexicographic struct
+    ordering gives the deterministic suppkey tiebreak, the partial
+    aggregate combines map-side, and the per-(part,supplier) pre-agg +
+    row_number window (a second shuffle) this replaces provably picks
+    the same row: min over all lines of (price, suppkey) equals min
+    over per-supplier minima."""
     lineitem, part, supplier = load_tables(
         spark, sf_dir, "lineitem", "part", "supplier"
     )
-    cost = lineitem.groupBy("l_partkey", "l_suppkey").agg(
-        F.min("l_extendedprice").alias("best_price")
-    )
-    w = Window.partitionBy("l_partkey").orderBy("best_price", "l_suppkey")
     best = (
-        cost.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        lineitem.groupBy("l_partkey")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("l_extendedprice").alias("p"),
+                    F.col("l_suppkey").alias("s"),
+                )
+            ).alias("_m")
+        )
+        .select(
+            "l_partkey",
+            F.col("_m.p").alias("best_price"),
+            F.col("_m.s").alias("l_suppkey"),
+        )
     )
     return (
         best.join(part, best.l_partkey == part.p_partkey)
@@ -1126,15 +1134,20 @@ def sole_late_supplier_waitlist(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-supplier orders ("late" = shipped >90 days after the order
     date), counted per supplier.
 
-    The correlated EXISTS / NOT EXISTS pair compiles to one left_semi
-    and one left_anti join on the orderkey — both against the same
-    deduplicated (order, supplier, late) frame, which is pinned-free
-    because each side projects different columns. No row-level
-    subquery execution anywhere."""
+    The correlated EXISTS ("some other supplier on the order") / NOT
+    EXISTS ("no other LATE supplier") pair reduces to per-order counts
+    over the deduplicated (order, supplier, late) frame: a supplier
+    row qualifies iff it is late, the order has ≥ 2 suppliers, and
+    exactly 1 late supplier (itself). One groupBy on (order, supplier)
+    plus one window on the order key — two key-compatible shuffles —
+    replaces the semi + anti self-join pair, which walked the same
+    frame three times."""
+    from pyspark.sql import Window
+
     lineitem, orders, supplier = load_tables(
         spark, sf_dir, "lineitem", "orders", "supplier"
     )
-    li = (
+    per_supp = (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .select(
             "l_orderkey",
@@ -1144,23 +1157,14 @@ def sole_late_supplier_waitlist(spark: SparkSession, sf_dir: str) -> DataFrame:
                 > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
             ).alias("is_late"),
         )
-        .distinct()
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("is_late").alias("is_late"))
     )
-    a = li.filter(F.col("is_late"))
-    others = li.select(
-        F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk"),
-        F.col("is_late").alias("_late"),
-    )
-    with_other = a.join(
-        others,
-        (a.l_orderkey == others._ok) & (a.l_suppkey != others._sk),
-        "left_semi",
-    )
-    sole_late = with_other.join(
-        others.filter(F.col("_late")),
-        (with_other.l_orderkey == others._ok)
-        & (with_other.l_suppkey != others._sk),
-        "left_anti",
+    w = Window.partitionBy("l_orderkey")
+    sole_late = (
+        per_supp.withColumn("_n_supps", F.count("*").over(w))
+        .withColumn("_n_late", F.sum(F.col("is_late").cast("int")).over(w))
+        .filter(F.col("is_late") & (F.col("_n_supps") > 1) & (F.col("_n_late") == 1))
     )
     return (
         sole_late.join(
