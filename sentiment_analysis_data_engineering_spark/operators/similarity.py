@@ -249,7 +249,7 @@ def _ivf_tag_arrow(
                 yield pd.DataFrame(
                     {
                         "query_id": pdf["_id"].to_numpy()[idx],
-                        "_qv": pdf["_v"].iloc[idx],
+                        "_qv": pdf["_v"].to_numpy()[idx],
                         "_qn": np.sqrt((V * V).sum(axis=1))[idx],
                         "cell": probes.reshape(-1),
                     }
