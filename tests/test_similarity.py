@@ -114,3 +114,29 @@ def test_kmeans_clusters_assigns_every_vector(spark, sf_dir):
     a = {r.vec_id: r.cluster for r in out.collect()}
     b = {r.vec_id: r.cluster for r in again.collect()}
     assert a == b
+
+
+def test_signatures_arrow_matches_expression_form(spark):
+    # the arrow matmul pass must produce the SAME packed long as the
+    # literal-folded expression sketch, bit for bit, on real data
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    arrow = sim.signatures_arrow(
+        emb, "embedding", "vec_id", num_planes=12, dim=64
+    )
+    sql = emb.select(
+        F.col("vec_id").alias("_id"),
+        sim.hyperplane_signature("embedding", num_planes=12, dim=64).alias("_sig"),
+    )
+    assert arrow.exceptAll(sql).isEmpty() and sql.exceptAll(arrow).isEmpty()
+
+
+def test_lsh_ivf_engines_agree(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    for fn, kw in (
+        (sim.lsh_cosine_topk, dict(k=3, num_planes=12, bands=6, dim=64)),
+        (sim.ivf_cosine_topk, dict(k=3, n_centroids=8, n_probe=3)),
+    ):
+        a = fn(q, emb, vec_col="embedding", id_col="vec_id", engine="arrow", **kw)
+        s = fn(q, emb, vec_col="embedding", id_col="vec_id", engine="sql", **kw)
+        assert a.exceptAll(s).isEmpty() and s.exceptAll(a).isEmpty(), fn.__name__
