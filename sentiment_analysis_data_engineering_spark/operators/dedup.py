@@ -812,7 +812,12 @@ def embedding_cosine_pairs(
     if engine not in ("arrow", "sql"):
         raise ValueError(f"unknown engine {engine!r}")
 
-    base = _pin(_cosine_base(_spread(df, id_col), vec_col, id_col), persist)
+    base = _cosine_base(_spread(df, id_col), vec_col, id_col)
+    if not (method == "exact" and engine == "arrow"):
+        # the sql-exact and lsh plans reference base 2-3 times; the
+        # arrow-exact plan consumes it exactly once, so pinning would
+        # only add a cache write of the full vector frame.
+        base = _pin(base, persist)
 
     if method == "exact":
         spark = df.sparkSession
