@@ -76,6 +76,7 @@ _GATE_FIRST = [
     # -- new this round: need a first driver entry
     "gopher_repetition_signals",
     "benchmark_contamination",
+    "mixture_weighted_sample_sources",
     # -- changed or oracle-upgraded this round: need a fresh driver entry
     "dedup_embedding_cosine",
     "dedup_minhash_lsh",

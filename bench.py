@@ -70,6 +70,7 @@ HEADLINE = [
     "corpus_curation",
     "tfidf_top_terms",
     "stratified_sample_langs",
+    "mixture_weighted_sample_sources",
     "sequence_packing_stats",
     "multimodal_decode_features",
 ]

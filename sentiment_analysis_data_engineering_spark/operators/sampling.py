@@ -20,10 +20,15 @@ from __future__ import annotations
 
 from collections.abc import Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hash_bucket", "hash_sample", "stratified_hash_sample"]
+__all__ = [
+    "hash_bucket",
+    "hash_sample",
+    "stratified_hash_sample",
+    "mixture_weighted_sample",
+]
 
 _BUCKETS = 10_000
 
@@ -67,3 +72,60 @@ def stratified_hash_sample(
     for value, frac in sorted(fractions.items()):
         thr = F.when(col == value, F.lit(int(round(frac * _BUCKETS)))).otherwise(thr)
     return df.filter(hash_bucket(id_col, salt) < thr)
+
+
+def mixture_weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    weights: Mapping[str, float],
+    *,
+    target_fraction: float,
+    default_weight: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Resample a corpus toward a target source MIXTURE — the standard
+    pretraining data-mixing step (e.g. The Pile / LLaMA mixture tables:
+    "web 60%, books 20%, code 20%" — public methodology).
+
+    Given per-stratum weights w_s and a target size of
+    ``target_fraction × N`` rows, the classic solver sets each
+    stratum's keep-fraction to
+
+        f_s = min(1, w_s · target_fraction · N / n_s)
+
+    (strata too small to fill their quota are kept whole — capped at 1;
+    weights are used as given and need not sum to 1). The solve happens
+    IN-PLAN: per-stratum counts are one tiny aggregate (a column-pruned
+    scan), the unpartitioned window that totals them runs over
+    #strata rows, and the resulting thresholds broadcast back into the
+    corpus scan — so the big side stays a narrow filter, no collect, no
+    RNG, and the same ``hash_bucket`` determinism as every sampler
+    here: partition-, retry-, and cluster-layout-independent.
+    """
+    w: Column = F.lit(float(default_weight))
+    scol = F.col(stratum_col)
+    for value, wt in sorted(weights.items()):
+        w = F.when(scol == value, F.lit(float(wt))).otherwise(w)
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("_n"))
+    # NB: "_N" would silently REPLACE "_n" — Spark resolves column
+    # names case-insensitively by default.
+    counts = counts.withColumn("_tot", F.sum("_n").over(Window.partitionBy()))
+    thresholds = counts.select(
+        stratum_col,
+        F.round(
+            F.least(
+                F.lit(1.0),
+                w * F.lit(float(target_fraction)) * F.col("_tot") / F.col("_n"),
+            )
+            * _BUCKETS,
+            0,
+        )
+        .cast("long")
+        .alias("_thr"),
+    )
+    return (
+        df.join(F.broadcast(thresholds), stratum_col)
+        .filter(hash_bucket(id_col, salt) < F.col("_thr"))
+        .drop("_thr")
+    )

@@ -740,6 +740,45 @@ def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mixture_weighted_sample_sources",
+    oracle="""
+    WITH n AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
+    t AS (SELECT CAST(sum(n_s) AS BIGINT) AS N FROM n),
+    thr AS (
+      SELECT source,
+             CAST(round(least(1.0,
+               (CASE source WHEN 'src0' THEN 0.3
+                            WHEN 'src1' THEN 0.2
+                            WHEN 'src2' THEN 0.1
+                            ELSE 0.02 END) * 0.4 * N / n_s) * 10000, 0)
+               AS BIGINT) AS thr
+      FROM n, t
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN thr USING (source)
+    WHERE CAST('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8)
+               AS BIGINT) % 10000 < thr
+    """,
+)
+def mixture_weighted_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining data mixing: resample the corpus to 40% of its size
+    with source weights src0=0.3, src1=0.2, src2=0.1, rest 0.02 —
+    per-stratum keep-fraction min(1, w·target·N/n_s) solved in-plan
+    (tiny count aggregate broadcast back as thresholds), membership by
+    the same deterministic md5 buckets the oracle replays."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return sp.mixture_weighted_sample(
+        documents,
+        "doc_id",
+        "source",
+        {"src0": 0.3, "src1": 0.2, "src2": 0.1},
+        target_fraction=0.4,
+        default_weight=0.02,
+        salt="mix",
+    ).select("doc_id", "source")
+
+
+@query(
     "tfidf_top_terms",
     oracle="""
     WITH toks AS (

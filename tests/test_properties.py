@@ -85,3 +85,34 @@ def test_connected_components_laws(spark, edges):
         groups.setdefault(c, []).append(n)
     for c, members in groups.items():
         assert c == min(members)
+
+
+def test_mixture_weighted_sample_solver(spark):
+    from sentiment_analysis_data_engineering_spark.operators.sampling import (
+        hash_bucket,
+        mixture_weighted_sample,
+    )
+    from pyspark.sql import functions as F
+
+    # 3 strata: 100 / 100 / 10 rows
+    rows = [(i, "a") for i in range(100)] + \
+           [(100 + i, "b") for i in range(100)] + \
+           [(200 + i, "c") for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    out = mixture_weighted_sample(
+        df, "id", "src", {"a": 0.5, "c": 0.5}, target_fraction=0.5, salt="t"
+    )
+    got = {r.src: r.cnt for r in out.groupBy("src").agg(F.count("*").alias("cnt")).collect()}
+    # c: w*t*N/n = 0.5*0.5*210/10 = 5.25 -> capped at 1.0 -> all 10 kept
+    assert got.get("c") == 10
+    # b: default weight 0 -> dropped entirely
+    assert "b" not in got
+    # a: fraction 0.5*0.5*210/100 = 0.525 -> threshold 5250 buckets;
+    # exact membership must equal the hash_bucket predicate
+    expect = df.filter((F.col("src") == "a") & (hash_bucket("id", "t") < 5250)).count()
+    assert got.get("a") == expect
+    # determinism: same call -> identical set
+    again = mixture_weighted_sample(
+        df, "id", "src", {"a": 0.5, "c": 0.5}, target_fraction=0.5, salt="t"
+    )
+    assert out.exceptAll(again).isEmpty() and again.exceptAll(out).isEmpty()
