@@ -77,6 +77,7 @@ _GATE_FIRST = [
     "gopher_repetition_signals",
     "benchmark_contamination",
     "mixture_weighted_sample_sources",
+    "document_chunks",
     # -- changed or oracle-upgraded this round: need a fresh driver entry
     "dedup_embedding_cosine",
     "dedup_minhash_lsh",
@@ -86,9 +87,8 @@ _GATE_FIRST = [
     "ann_ivf_topk",
     "multimodal_decode_features",
     "embedding_kmeans_sizes",
-    # -- representative r1-green anchors (regression canaries)
+    # -- representative r1-green anchor (regression canary)
     "star_join_revenue",
-    "dedup_clusters",
 ]
 
 

@@ -71,6 +71,7 @@ HEADLINE = [
     "tfidf_top_terms",
     "stratified_sample_langs",
     "mixture_weighted_sample_sources",
+    "document_chunks",
     "sequence_packing_stats",
     "multimodal_decode_features",
 ]

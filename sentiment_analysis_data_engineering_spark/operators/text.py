@@ -33,6 +33,7 @@ __all__ = [
     "clean_text",
     "mask_pii",
     "repetition_signals",
+    "chunk_token_windows",
 ]
 
 
@@ -262,6 +263,45 @@ def repetition_signals(col: Column | str) -> dict[str, Column]:
             F.try_divide(_max_run(F.array_sort(bigrams)), n_bigrams), 6
         ),
     }
+
+
+def chunk_token_windows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    chunk_size: int = 32,
+    stride: int = 16,
+) -> DataFrame:
+    """Sliding-window document chunking — the standard pretraining/RAG
+    segmentation: token windows of ``chunk_size`` starting every
+    ``stride`` tokens (overlapping when stride < chunk_size), the last
+    window truncated at the document end.
+
+    Output: (id, chunk_idx, n_chunk_tokens, chunk_text), chunk_idx
+    dense from 0 in document order. One generate (explode of the start
+    offsets) over a narrow scan — ZERO shuffles at any corpus size; the
+    chunk count is ceil(n_tokens / stride), so output volume is
+    bounded by (chunk_size/stride)× the corpus, a knob the caller owns.
+    """
+    toks = tokens(_c(text_col))
+    n = F.size(toks)
+    src = df.select(
+        F.col(id_col), toks.alias("_t"), n.alias("_n")
+    ).withColumn(
+        "_start",
+        F.explode(F.sequence(F.lit(0), F.greatest(F.col("_n") - 1, F.lit(0)),
+                             F.lit(stride))),
+    )
+    return src.select(
+        F.col(id_col),
+        (F.col("_start") / stride).cast("long").alias("chunk_idx"),
+        F.least(F.lit(chunk_size), F.col("_n") - F.col("_start"))
+        .cast("long")
+        .alias("n_chunk_tokens"),
+        F.array_join(F.slice("_t", F.col("_start") + 1, F.lit(chunk_size)), " ")
+        .alias("chunk_text"),
+    )
 
 
 _URL_RE = r"https?://[^\s]+"

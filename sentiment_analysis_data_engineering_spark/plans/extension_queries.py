@@ -969,6 +969,30 @@ def array_functions_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "document_chunks",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST(i // 16 AS BIGINT) AS chunk_idx,
+           CAST(least(32, len(t) - i) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(t[i+1 : i+32], ' ') AS chunk_text
+    FROM toks, unnest(range(0, greatest(len(t), 1), 16)) AS u(i)
+    """,
+)
+def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (32-token windows, stride 16) via
+    operators/text.py::chunk_token_windows — one explode of start
+    offsets over a narrow scan, zero shuffles; the standard
+    pretraining/RAG segmentation step."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return tx.chunk_token_windows(
+        documents, "text", "doc_id", chunk_size=32, stride=16
+    )
+
+
+@query(
     "gopher_repetition_signals",
     oracle="""
     WITH toks AS (

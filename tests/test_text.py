@@ -117,3 +117,22 @@ def test_repetition_signals_degenerate_docs(spark):
     assert one.n == 1 and one.dup == 0.0 and one.top is None
     # pure repetition: dup (4-1)/4, top bigram "x x" = 3/3
     assert rep.dup == 0.75 and rep.top == 1.0
+
+
+def test_chunk_token_windows(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(5))), (2, "solo")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        tx.chunk_token_windows(docs, "text", "doc_id", chunk_size=3, stride=2)
+        .collect(),
+        key=lambda r: (r.doc_id, r.chunk_idx),
+    )
+    got = [(r.doc_id, r.chunk_idx, r.n_chunk_tokens, r.chunk_text) for r in rows]
+    assert got == [
+        (1, 0, 3, "t0 t1 t2"),
+        (1, 1, 3, "t2 t3 t4"),
+        (1, 2, 1, "t4"),
+        (2, 0, 1, "solo"),
+    ]
