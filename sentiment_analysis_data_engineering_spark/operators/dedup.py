@@ -701,9 +701,11 @@ def _exact_pairs_arrow(
     block slices travel ONCE through Arrow (n·~B/2 rows of vectors —
     megabytes, not the gigabytes the pair rows would be) and numpy
     computes the whole cell's cosines as one float64 matmul. Emits RAW
-    cosines filtered with 1e-9 slack; the caller re-rounds and
-    re-filters in Spark so rounding semantics (HALF_UP) are identical
-    to the SQL path. float64 matmul vs the sequential fold differs by
+    cosines pre-filtered with 1e-6 slack — strictly wider than the
+    5e-7 half-ulp that HALF_UP rounding at 6 dp can add, so no pair
+    the SQL path would round up past the threshold is ever dropped;
+    the caller re-rounds and re-filters in Spark so the final
+    threshold semantics are identical to the SQL path. float64 matmul vs the sequential fold differs by
     ~1e-16 relative — invisible at 6 dp (oracle-verified)."""
     import numpy as np
     import pandas as pd
@@ -739,7 +741,7 @@ def _exact_pairs_arrow(
         C = (A @ B.T) / np.outer(na, nb)
         ia = a["_id"].to_numpy()
         ib = b["_id"].to_numpy()
-        mask = C >= threshold - 1e-9
+        mask = C >= threshold - 1e-6
         if p == q:
             mask &= ia[:, None] < ib[None, :]
         r, c = np.nonzero(mask)

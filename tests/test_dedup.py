@@ -321,3 +321,27 @@ def test_contamination_screen(spark):
     # doc 1 shares exactly the one complete 5-gram of the copied run
     assert out[1].contaminated and out[1].shared_shingles == 1
     assert not out[2].contaminated and out[2].shared_shingles == 0
+
+
+def test_embedding_cosine_arrow_keeps_round_up_boundary_pairs(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    # raw cosine 0.4 - 3e-7 rounds UP to 0.400000 at 6 dp, so the SQL
+    # path keeps the pair at threshold 0.4; the arrow engine's raw
+    # pre-filter must not drop it (regression: slack was 1e-9 < half
+    # an ulp at 6 dp)
+    c = 0.4 - 3e-7
+    rows = [(0, [1.0, 0.0]), (1, [c, math.sqrt(1 - c * c)])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {}
+    for engine in ("arrow", "sql"):
+        out[engine] = sorted(
+            (r.id_a, r.id_b, r.cosine)
+            for r in dd.embedding_cosine_pairs(
+                df, "embedding", "vec_id", threshold=0.4, method="exact",
+                engine=engine, persist=False,
+            ).collect()
+        )
+    assert out["arrow"] == out["sql"] == [(0, 1, 0.4)]
