@@ -78,6 +78,7 @@ _GATE_FIRST = [
     "benchmark_contamination",
     "mixture_weighted_sample_sources",
     "document_chunks",
+    "quality_percentile_prune",
     # -- changed or oracle-upgraded this round: need a fresh driver entry
     "dedup_embedding_cosine",
     "dedup_minhash_lsh",

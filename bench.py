@@ -66,6 +66,7 @@ HEADLINE = [
     "text_quality_score",
     "doc_fingerprint",
     "gopher_repetition_signals",
+    "quality_percentile_prune",
     "benchmark_contamination",
     "corpus_curation",
     "tfidf_top_terms",

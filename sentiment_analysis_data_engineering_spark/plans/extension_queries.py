@@ -969,6 +969,59 @@ def array_functions_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quality_percentile_prune",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, lang,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+             CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS BIGINT)
+               AS n_punct,
+             CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, lang,
+             floor((0.4 * least(n_tokens / 64.0, 1.0)
+                 + 0.3 * (1.0 - least(round(n_punct / n_chars, 6) * 10, 1.0))
+                 + 0.3 * (1.0 - least(round(n_digit / n_chars, 6) * 10, 1.0)))
+                 * 10000 + 0.5) / 10000.0
+               AS quality
+      FROM f
+    ),
+    r AS (
+      SELECT doc_id, lang, quality,
+             percent_rank() OVER (PARTITION BY lang
+                                  ORDER BY quality DESC, doc_id) AS pr
+      FROM q
+    )
+    SELECT doc_id, lang, quality FROM r WHERE pr <= 0.8
+    """,
+)
+def quality_percentile_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative quality pruning: keep the top 80% of documents PER
+    LANGUAGE by composite quality score (percent_rank window with a
+    deterministic doc_id tiebreak) — the curation step that applies a
+    per-stratum budget instead of one absolute threshold, so
+    low-resource languages aren't wiped out by a global cut. One
+    shuffle on the stratum key."""
+    from pyspark.sql import Window
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    q = documents.select(
+        "doc_id", "lang", tx.quality_score("text").alias("quality")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return (
+        q.withColumn("_pr", F.percent_rank().over(w))
+        .filter(F.col("_pr") <= 0.8)
+        .select("doc_id", "lang", "quality")
+    )
+
+
+@query(
     "document_chunks",
     oracle="""
     WITH toks AS (
