@@ -79,6 +79,7 @@ _GATE_FIRST = [
     "mixture_weighted_sample_sources",
     "document_chunks",
     "quality_percentile_prune",
+    "dedup_survivor_selection",
     # -- changed or oracle-upgraded this round: need a fresh driver entry
     "dedup_embedding_cosine",
     "dedup_minhash_lsh",

@@ -58,6 +58,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_clusters",
+    "dedup_survivor_selection",
     "dedup_embedding_cosine",
     "ann_cosine_topk",
     "ann_lsh_topk",

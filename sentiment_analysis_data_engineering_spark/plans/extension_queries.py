@@ -969,6 +969,104 @@ def array_functions_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_survivor_selection",
+    oracle="""
+    WITH RECURSIVE
+    keys AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS k1,
+             array_to_string(
+               (string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                             ' '))[1:5], ' ') AS k2
+      FROM documents
+    ),
+    e1 AS (SELECT min(doc_id) OVER (PARTITION BY k1) AS a, doc_id AS b
+           FROM keys WHERE k1 IS NOT NULL),
+    e2 AS (SELECT min(doc_id) OVER (PARTITION BY k2) AS a, doc_id AS b
+           FROM keys WHERE k2 IS NOT NULL),
+    star AS (
+      SELECT a, b FROM e1 WHERE a <> b
+      UNION
+      SELECT a, b FROM e2 WHERE a <> b
+    ),
+    edges AS (SELECT a, b FROM star UNION SELECT b AS a, a AS b FROM star),
+    walk(id, comp) AS (
+      SELECT DISTINCT a AS id, a AS comp FROM edges
+      UNION
+      SELECT e.b AS id, w.comp FROM walk w JOIN edges e ON e.a = w.id
+    ),
+    cc AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
+    f AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+             CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS BIGINT)
+               AS n_punct,
+             CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id,
+             floor((0.4 * least(n_tokens / 64.0, 1.0)
+                 + 0.3 * (1.0 - least(round(n_punct / n_chars, 6) * 10, 1.0))
+                 + 0.3 * (1.0 - least(round(n_digit / n_chars, 6) * 10, 1.0)))
+                 * 10000 + 0.5) / 10000.0
+               AS quality
+      FROM f
+    ),
+    labeled AS (
+      SELECT q.doc_id,
+             CAST(coalesce(cc.comp, q.doc_id) AS BIGINT) AS component,
+             q.quality
+      FROM q LEFT JOIN cc ON cc.id = q.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, component, quality,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY quality DESC, doc_id) AS rn
+      FROM labeled
+    )
+    SELECT doc_id, component, quality, rn = 1 AS keep FROM ranked
+    """,
+)
+def dedup_survivor_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative selection — the step after duplicate clustering:
+    every document labeled with its duplicate component (its own id
+    when unclustered) and a ``keep`` flag marking the cluster survivor,
+    chosen as highest quality score with a deterministic doc_id
+    tiebreak. One window shuffle on the component key on top of the
+    connected-components labels; the oracle replays the full chain
+    (recursive-CTE components + quality replica + ranked selection)."""
+    from pyspark.sql import Window
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    norm = tx.normalize_text(F.col("text"))
+    edges = dd.blocking_edges(
+        documents,
+        "doc_id",
+        F.md5(norm.cast("binary")),
+        F.array_join(F.slice(F.split(norm, " "), 1, 5), " "),
+    )
+    cc = dd.connected_components(edges)
+    full = (
+        documents.select("doc_id", tx.quality_score("text").alias("quality"))
+        .join(cc, documents.doc_id == cc.id, "left")
+        .select(
+            "doc_id",
+            F.coalesce("comp", "doc_id").alias("component"),
+            "quality",
+        )
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return (
+        full.withColumn("_rn", F.row_number().over(w))
+        .select("doc_id", "component", "quality", (F.col("_rn") == 1).alias("keep"))
+    )
+
+
+@query(
     "quality_percentile_prune",
     oracle="""
     WITH f AS (
