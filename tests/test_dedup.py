@@ -345,3 +345,24 @@ def test_embedding_cosine_arrow_keeps_round_up_boundary_pairs(spark):
             ).collect()
         )
     assert out["arrow"] == out["sql"] == [(0, 1, 0.4)]
+
+
+def test_dedup_survivor_selection_invariants(spark):
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as e
+
+    out = e.queries()["dedup_survivor_selection"](
+        spark, "/root/testdata/sf0.001"
+    )
+    # exactly one survivor per component, and it has the component's
+    # max quality
+    agg = out.groupBy("component").agg(
+        F.sum(F.col("keep").cast("int")).alias("n_keep"),
+        F.max("quality").alias("maxq"),
+        F.max(F.when(F.col("keep"), F.col("quality"))).alias("keptq"),
+    )
+    bad = agg.filter((F.col("n_keep") != 1) | (F.col("maxq") != F.col("keptq")))
+    assert bad.isEmpty()
+    # every document appears exactly once
+    assert out.count() == out.select("doc_id").distinct().count() == 500
