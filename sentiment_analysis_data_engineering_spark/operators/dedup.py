@@ -296,6 +296,14 @@ def minhash_signatures(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(word_ngrams(text_col, shingle_size))).alias("_sh"),
     )
+    return _signatures_from_shingle_rows(sh, num_hashes)
+
+
+def _signatures_from_shingle_rows(sh: DataFrame, num_hashes: int) -> DataFrame:
+    """The hash + min-aggregate core of ``minhash_signatures`` over an
+    already-exploded (_id, _sh) frame — shared so callers that have the
+    shingles materialized for other stages (the LSH verify join) don't
+    pay the word_ngrams transform a second time."""
     hashed = sh.select(
         "_id",
         F.xxhash64("_sh").alias("_h1"),
@@ -344,9 +352,21 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     df = _spread(df, id_col)
+    # Shingle ARRAYS are computed ONCE per document: the signature path
+    # explodes this frame, and the verify join below reads the arrays
+    # directly — without the shared pin the word_ngrams transform (the
+    # most expensive scalar work in the plan) would run twice over the
+    # corpus.
+    doc_sh = _pin(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(word_ngrams(text_col, shingle_size)).alias("_shs"),
+        ),
+        persist and verify_threshold is not None,
+    )
     sig = _pin(
-        minhash_signatures(
-            df, text_col, id_col, num_hashes=num_hashes, shingle_size=shingle_size
+        _signatures_from_shingle_rows(
+            doc_sh.select("_id", F.explode("_shs").alias("_sh")), num_hashes
         ),
         persist,
     )
@@ -402,17 +422,9 @@ def minhash_lsh_pairs(
     if verify_threshold is None:
         return pairs
     # Verify CANDIDATES ONLY: banding already pruned the pair space, so
-    # fetch each side's shingle ARRAY and intersect per row
-    # (array_intersect) — zero explodes, candidate-proportional work.
-    # Pinned: BOTH verify-join sides reference this frame, and the
-    # shingle transform is the most expensive scalar work in the plan.
-    doc_sh = _pin(
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.array_distinct(word_ngrams(text_col, shingle_size)).alias("_shs"),
-        ),
-        persist,
-    )
+    # fetch each side's shingle ARRAY (the pinned doc_sh frame computed
+    # once above) and intersect per row (array_intersect) — zero
+    # explodes, candidate-proportional work.
     a = doc_sh.select(
         F.col("_id").alias("id_a"), F.col("_shs").alias("_sha")
     )
