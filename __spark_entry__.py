@@ -80,6 +80,7 @@ _GATE_FIRST = [
     "document_chunks",
     "quality_percentile_prune",
     "dedup_survivor_selection",
+    "train_val_test_split",
     # -- changed or oracle-upgraded this round: need a fresh driver entry
     "dedup_embedding_cosine",
     "dedup_minhash_lsh",

@@ -73,6 +73,7 @@ HEADLINE = [
     "tfidf_top_terms",
     "stratified_sample_langs",
     "mixture_weighted_sample_sources",
+    "train_val_test_split",
     "document_chunks",
     "sequence_packing_stats",
     "multimodal_decode_features",

@@ -740,6 +740,40 @@ def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "train_val_test_split",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, lang,
+             CAST('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 10000 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN bucket < 9000 THEN 'train'
+                WHEN bucket < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by salted md5
+    bucket — membership is a pure function of the id, so the split is
+    identical across reruns, partitionings, and engines (no RNG), and a
+    document can never leak between splits when the corpus regrows.
+    Narrow filter-free projection: zero shuffles."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    b = sp.hash_bucket("doc_id", "split")
+    return documents.select(
+        "doc_id",
+        "lang",
+        F.when(b < 9000, F.lit("train"))
+        .when(b < 9500, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+@query(
     "mixture_weighted_sample_sources",
     oracle="""
     WITH n AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
