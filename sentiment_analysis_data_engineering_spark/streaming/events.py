@@ -210,6 +210,44 @@ def run_idempotent_append_stream(
     q.awaitTermination()
 
 
+def run_merge_upsert_stream(
+    stream_df: DataFrame,
+    target: str,
+    keys: list[str],
+    *,
+    partition_by: list[str],
+    checkpoint: str,
+) -> None:
+    """Streaming MERGE-on-key sink — ST3's streaming twin: each
+    micro-batch routes through the batch ``merge_upsert`` (matched keys
+    replaced, new keys inserted, only touched partitions rewritten).
+
+    Replay safety (foreachBatch is at-least-once): re-merging a replayed
+    micro-batch replaces matched keys with the SAME rows and inserts
+    nothing new — the merge is idempotent per batch content, so a crash
+    between a batch's commit and the checkpoint advance converges to the
+    identical table on restart. Contract shared with the batch writer:
+    incoming rows carry at most one row per key per micro-batch (merge
+    semantics union all matched incoming rows; duplicate in-batch keys
+    would both land).
+    """
+    from ..sources.io import merge_upsert
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        merge_upsert(
+            batch_df.sparkSession, batch_df, target, keys,
+            partition_by=partition_by,
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str, *, output_mode: str = "append"
 ) -> DataFrame:

@@ -283,3 +283,46 @@ def test_checkpointed_restart_exactly_once_across_crash(spark, tmp_path):
     got = spark.read.parquet(target)
     assert got.count() == 40
     assert got.select("event_id").distinct().count() == 40
+
+
+def test_merge_upsert_stream_updates_and_inserts_across_restart(spark, tmp_path):
+    """Streaming MERGE sink: run 1 seeds the table from a first source
+    batch; run 2 (same checkpoint) merges a second batch that UPDATES
+    half the keys and INSERTS new ones. Final table must equal the
+    batch-merge of the two generations: every key once, updated rows
+    superseding seeds."""
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_data_engineering_spark.streaming.events import run_merge_upsert_stream
+
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k long, part long, val string"
+
+    def start():
+        stream = spark.readStream.schema(schema).parquet(src)
+        run_merge_upsert_stream(
+            stream, target, ["k"], partition_by=["part"], checkpoint=ckpt
+        )
+
+    # generation 1: keys 0-9
+    spark.createDataFrame(
+        [(i, i % 2, f"v1-{i}") for i in range(10)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    start()
+    assert spark.read.parquet(target).count() == 10
+
+    # generation 2 (new file, resumed checkpoint): update 0-4, insert 10-12
+    spark.createDataFrame(
+        [(i, i % 2, f"v2-{i}") for i in range(5)]
+        + [(i, i % 2, f"v2-{i}") for i in range(10, 13)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    start()
+
+    got = {r.k: r.val for r in spark.read.parquet(target).collect()}
+    assert len(got) == 13  # every key exactly once
+    assert all(got[i] == f"v2-{i}" for i in range(5))          # updated
+    assert all(got[i] == f"v1-{i}" for i in range(5, 10))      # untouched
+    assert all(got[i] == f"v2-{i}" for i in range(10, 13))     # inserted
