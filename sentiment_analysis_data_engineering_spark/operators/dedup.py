@@ -52,11 +52,15 @@ __all__ = [
 
 
 def _spread(df: DataFrame, id_col: str) -> DataFrame:
-    """Repartition on the id so single-file inputs don't serialize the
-    heavy per-row compute onto one task, and so self-joins downstream
-    find an identical Exchange to reuse (ReusedExchange) instead of
-    recomputing the whole subtree per side."""
+    """Repartition on the id ONLY when the input is under-partitioned
+    (fewer partitions than cores), so single-file inputs don't
+    serialize the heavy per-row compute onto one task. A
+    well-partitioned large corpus skips the exchange entirely — plan
+    reuse across self-join sides is provided by _pin (persist), not by
+    this repartition, so skipping it is safe."""
     n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
     return df.repartition(n, F.col(id_col))
 
 

@@ -38,9 +38,15 @@ __all__ = [
 
 
 def _spread(df: DataFrame, id_col: str) -> DataFrame:
-    """Repartition on the id: single-file corpora otherwise run the
-    whole signature/cosine compute in ONE task."""
+    """Repartition on the id ONLY when the input is under-partitioned
+    (fewer partitions than cores — e.g. a single-file bench corpus
+    that would otherwise run the whole signature/cosine compute in ONE
+    task). A well-partitioned 100 TB corpus already has >= parallelism
+    partitions, and inserting an unconditional corpus-wide exchange
+    there costs far more than the small-input skew it cures."""
     n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
     return df.repartition(n, F.col(id_col))
 
 

@@ -430,10 +430,10 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "late_ship_priority_counts",
     oracle="""
     SELECT l_returnflag,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate > o.o_orderdate
     GROUP BY l_returnflag
@@ -474,16 +474,66 @@ def late_ship_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile window: global decile assignment then per-decile stats.
-    Global ORDER BY window is single-partition by nature — fine for a
-    ranked-report tail; at 100 TB the percentile form
-    (percentiles_by_segment) is the scalable substitute."""
+    """EXACT ntile(10) without the single-partition global window.
+
+    Strategy (all heavy stages parallel):
+      1. range-repartition on the total order (c_acctbal, c_custkey) —
+         the sort key is tie-free, so partition p holds a contiguous
+         key range and every row in p+1 sorts after every row in p;
+      2. per-partition ``row_number`` (window PARTITION BY the physical
+         partition id — parallel) plus a broadcast cumulative-offset
+         join gives the exact global rank. The offset frame is one row
+         per partition (O(cores), ~KBs at any corpus size), so its
+         cumsum window and the broadcast are both trivially cheap;
+      3. closed-form ntile arithmetic: with N rows, the first N%10
+         buckets take ceil(N/10) rows, the rest floor(N/10) — matching
+         SQL ntile exactly, so the exact DuckDB oracle is unchanged.
+
+    This removes the last full-table `WindowExec: No Partition Defined`
+    from the query surface; at 100 TB the only global structure is the
+    range exchange (same cost class as any global sort)."""
     (customer,) = load_tables(spark, sf_dir, "customer")
     from pyspark.sql import Window as W
 
-    w = W.orderBy("c_acctbal", "c_custkey")
+    n_part = spark.sparkContext.defaultParallelism
+    ranged = (
+        customer.select("c_acctbal", "c_custkey")
+        .repartitionByRange(n_part, F.col("c_acctbal"), F.col("c_custkey"))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    # One row per physical partition: count, exclusive prefix sum, total.
+    # Prefix sums come from a conditional aggregate over a P×P
+    # self-cross of the histogram (P = cores/executors: 32² here, 10⁶
+    # rows even on a 1000-executor cluster) — no global window at all,
+    # so the WindowExec single-partition warning never fires.
+    hist = ranged.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    other = hist.select(
+        F.col("_pid").alias("_opid"), F.col("_cnt").alias("_ocnt")
+    )
+    offsets = (
+        hist.crossJoin(F.broadcast(other))
+        .groupBy("_pid")
+        .agg(
+            F.sum(
+                F.when(F.col("_opid") < F.col("_pid"), F.col("_ocnt")).otherwise(0)
+            ).alias("_off"),
+            F.sum("_ocnt").alias("_total"),
+        )
+    )
+    w_local = W.partitionBy("_pid").orderBy("c_acctbal", "c_custkey")
+    ranked = ranged.join(F.broadcast(offsets), "_pid").withColumn(
+        "_r", F.row_number().over(w_local) + F.col("_off")
+    )
+    # ntile(10): first `rem` buckets have q+1 rows, the rest q rows.
+    q = F.floor(F.col("_total") / 10)
+    rem = F.col("_total") % 10
+    big = (q + 1) * rem  # rows covered by the (q+1)-sized buckets
+    decile = (
+        F.when(F.col("_r") <= big, F.floor((F.col("_r") - 1) / (q + 1)) + 1)
+        .otherwise(rem + F.floor((F.col("_r") - 1 - big) / F.greatest(q, F.lit(1))) + 1)
+    )
     return (
-        customer.withColumn("decile", F.ntile(10).over(w))
+        ranked.withColumn("decile", decile.cast("int"))
         .groupBy("decile")
         .agg(
             F.count("*").alias("n"),

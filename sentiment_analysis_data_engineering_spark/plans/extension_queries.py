@@ -976,28 +976,34 @@ def text_clean_and_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers,
-           list_sort(list_distinct(
-             regexp_extract_all(lower(text), '[a-z]{8,}')))[1:3] AS long_words
+           coalesce(array_to_string(list_sort(list_distinct(
+             regexp_extract_all(lower(text), '[a-z]{8,}')))[1:3], ' '), '')
+             AS long_words
     FROM documents
     """,
 )
 def array_functions_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-function surface: regexp_extract_all → array, distinct +
-    sort + slice — all JVM array expressions in one narrow scan."""
+    sort + slice — all JVM array expressions in one narrow scan. The
+    array column is joined to a string on output (both sides) because
+    the driver's canonicalizer cannot sort/hash list-typed cells."""
     (documents,) = load_tables(spark, sf_dir, "documents")
     return documents.select(
         "doc_id",
         F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), F.lit(0))).cast("long").alias(
             "n_numbers"
         ),
-        F.slice(
-            F.array_sort(
-                F.array_distinct(
-                    F.regexp_extract_all(F.lower("text"), F.lit("[a-z]{8,}"), F.lit(0))
-                )
+        F.array_join(
+            F.slice(
+                F.array_sort(
+                    F.array_distinct(
+                        F.regexp_extract_all(F.lower("text"), F.lit("[a-z]{8,}"), F.lit(0))
+                    )
+                ),
+                1,
+                3,
             ),
-            1,
-            3,
+            " ",
         ).alias("long_words"),
     )
 

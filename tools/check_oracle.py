@@ -52,6 +52,32 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
         return problems
     if problems:
         return problems
+    # Driver-parity checks: the driver's comparator STRINGIFIES values
+    # before hashing, so differences our float-tolerant loop forgives
+    # are fatal there. Catch them here.
+    for c in sorted(spark_pdf.columns):
+        s_int = pd.api.types.is_integer_dtype(spark_pdf[c])
+        d_int = pd.api.types.is_integer_dtype(duck_pdf[c])
+        s_flt = pd.api.types.is_float_dtype(spark_pdf[c])
+        d_flt = pd.api.types.is_float_dtype(duck_pdf[c])
+        if (s_int and d_flt) or (s_flt and d_int):
+            problems.append(
+                f"col {c}: dtype drift spark={spark_pdf[c].dtype} "
+                f"duck={duck_pdf[c].dtype} — driver stringifies (5 vs 5.0); "
+                f"CAST the oracle (e.g. AS BIGINT) to align"
+            )
+        for side, pdf in (("spark", spark_pdf), ("duck", duck_pdf)):
+            col = pdf[c]
+            if col.dtype == object and len(col) and isinstance(
+                col.iloc[0], (list, np.ndarray, dict)
+            ):
+                problems.append(
+                    f"col {c}: {side} returns {type(col.iloc[0]).__name__}-typed "
+                    f"cells — driver canonicalizer can't sort/hash these; "
+                    f"array_join/array_to_string to a string"
+                )
+    if problems:
+        return problems
     a, b = canon(spark_pdf), canon(duck_pdf)
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
