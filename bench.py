@@ -5,7 +5,10 @@ Prints ONE JSON line:
 
 Each query executes via the noop sink (full plan execution, no driver
 collect), after a warm-up pass that triggers JVM/codegen warm-up on the
-smallest table. Timings are per-query wall clock.
+smallest table. Timings are per-query wall clock, MIN of
+$SPARK_GRAFT_BENCH_RUNS runs (default 3) — sub-second queries jitter
+±40-50% run-to-run locally, and min-of-n reads steady-state throughput
+through that noise.
 """
 
 from __future__ import annotations
@@ -109,18 +112,27 @@ def main() -> None:
         finally:
             release_pinned()
 
+    # n runs per query, report the MIN: sub-second queries jitter up to
+    # ±40-50% run-to-run on a busy local JVM (GC, codegen cache churn),
+    # and min-of-n is the standard way to read steady-state throughput
+    # through that noise so real regressions stand out.
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs.get(name)
         if fn is None:
             continue
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        # dedup/LSH queries pin signature frames for intra-query reuse;
-        # drain between queries so storage stays flat across the run
-        release_pinned()
+        best = None
+        for _ in range(n_runs):
+            t0 = time.time()
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+            # dedup/LSH queries pin signature frames for intra-query
+            # reuse; drain between runs so storage stays flat
+            release_pinned()
+        timings[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)

@@ -16,9 +16,13 @@ from pyspark.sql import types as T
 from .schemas import WAREHOUSE_SCHEMAS
 
 __all__ = [
+    "alter_table_add_columns",
     "create_database",
     "create_table",
     "create_warehouse",
+    "drop_database",
+    "drop_table",
+    "list_tables",
     "register_parquet_views",
 ]
 
@@ -57,6 +61,42 @@ def create_table(
         f"CREATE TABLE IF NOT EXISTS {name} ({_ddl_of(schema)}) "
         f"USING parquet{parts}{loc}"
     )
+
+
+def drop_database(spark: SparkSession, name: str, *, cascade: bool = False) -> None:
+    """S9 — dataset deletion (``BigQueryDeleteDatasetOperator``,
+    imported at ``daily_dag.py:14`` but never invoked by the reference;
+    exposed here so the DDL verb set is complete)."""
+    spark.sql(f"DROP DATABASE IF EXISTS {name}{' CASCADE' if cascade else ''}")
+
+
+def drop_table(spark: SparkSession, name: str) -> None:
+    """S9 — table deletion (``BigQueryDeleteTableOperator``,
+    ``daily_dag.py:15``, imported-but-unused in the reference)."""
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def alter_table_add_columns(
+    spark: SparkSession, name: str, columns: T.StructType
+) -> None:
+    """S9 — additive schema evolution
+    (``BigQueryUpdateTableSchemaOperator``, ``daily_dag.py:20``,
+    imported-but-unused). Only ADD COLUMNS is exposed: it is the one
+    schema change that is metadata-only over immutable parquet files —
+    existing files simply read the new columns as NULL. Type changes
+    or drops would require rewriting data and belong to a log-based
+    table format, not this catalog. Added columns are always nullable
+    (existing rows have no value for them), whatever the field mode."""
+    cols = ", ".join(
+        f"{f.name} {f.dataType.simpleString().upper()}" for f in columns.fields
+    )
+    spark.sql(f"ALTER TABLE {name} ADD COLUMNS ({cols})")
+
+
+def list_tables(spark: SparkSession, database: str) -> list[str]:
+    """S9 — dataset listing (``BigQueryGetDatasetTablesOperator``,
+    ``daily_dag.py:17``, imported-but-unused)."""
+    return [r.tableName for r in spark.sql(f"SHOW TABLES IN {database}").collect()]
 
 
 def create_warehouse(spark: SparkSession, database: str = "warehouse") -> None:

@@ -294,3 +294,39 @@ def test_merge_upsert_untouched_partition_files_not_rewritten(spark, tmp_path):
     after = {f: os.path.getmtime(os.path.join(feb, f))
              for f in os.listdir(feb) if f.endswith(".parquet")}
     assert before == after  # 2024-02 untouched on disk
+
+
+def test_ddl_round_trip(spark, tmp_path):
+    """S7-S9 — the full catalog verb set the reference imports
+    (daily_dag.py:10-23): CREATE dataset/table, GET tables, UPDATE
+    schema (add columns), DELETE table/dataset."""
+    from pyspark.sql import types as T
+
+    from sentiment_analysis_data_engineering_spark import catalog
+
+    db = "ddl_rt"
+    catalog.create_database(spark, db)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("v", T.DoubleType(), True),
+        ]
+    )
+    catalog.create_table(
+        spark, f"{db}.t1", schema, location=str(tmp_path / "t1")
+    )
+    assert catalog.list_tables(spark, db) == ["t1"]
+
+    catalog.alter_table_add_columns(
+        spark,
+        f"{db}.t1",
+        T.StructType([T.StructField("tag", T.StringType(), True)]),
+    )
+    assert [f.name for f in spark.table(f"{db}.t1").schema.fields] == [
+        "id", "v", "tag",
+    ]
+
+    catalog.drop_table(spark, f"{db}.t1")
+    assert catalog.list_tables(spark, db) == []
+    catalog.drop_database(spark, db)
+    assert db not in [r.namespace for r in spark.sql("SHOW DATABASES").collect()]
