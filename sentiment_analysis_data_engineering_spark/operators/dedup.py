@@ -24,6 +24,9 @@ buckets (stop-shingles) are capped via ``max_bucket_size``.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+from typing import Iterator
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -43,6 +46,7 @@ __all__ = [
     "blocking_edges",
     "contamination_screen",
     "release_pinned",
+    "pinned_scope",
 ]
 
 
@@ -105,6 +109,29 @@ def release_pinned() -> int:
         _PINNED.pop().unpersist()
         n += 1
     return n
+
+
+@contextmanager
+def pinned_scope() -> Iterator[None]:
+    """Scope the pin registry to a block: frames pinned inside the
+    ``with`` are unpersisted on exit (LIFO), frames pinned before it
+    are untouched. The storage-safe way for a long-lived session to
+    call the pinning operators (minhash_lsh_pairs, simhash_pairs,
+    embedding_cosine_pairs, ngram_jaccard_pairs)::
+
+        with pinned_scope():
+            pairs = minhash_lsh_pairs(df, "text", "doc_id")
+            pairs.write.parquet(out)   # materialize INSIDE the scope
+
+    Exit unpersists, so outputs must be materialized (written /
+    collected) inside the block — a frame held lazily past the exit
+    recomputes its signatures from scratch on next use."""
+    mark = len(_PINNED)
+    try:
+        yield
+    finally:
+        while len(_PINNED) > mark:
+            _PINNED.pop().unpersist()
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -779,7 +806,7 @@ def embedding_cosine_pairs(
     id_col: str,
     *,
     threshold: float = 0.95,
-    method: str = "auto",
+    method: str = "exact",
     engine: str = "arrow",
     n_blocks: int | None = None,
     num_planes: int = 64,
@@ -819,6 +846,12 @@ def embedding_cosine_pairs(
       miss-probability < 1e-4 per pair; at τ = 0.4 the angle is so
       wide no banding holds recall — use "exact".
     - ``method="auto"`` — "lsh" when threshold ≥ 0.8 else "exact".
+
+    The default is ``"exact"``: an approximation (however small the
+    documented miss probability) is an opt-in, never a silent
+    substitution behind an unchanged signature. Pass ``"lsh"`` or
+    ``"auto"`` explicitly on corpora where the O(n²) exact grid is
+    unaffordable.
 
     The brute-force theta-join form this replaces survives only in
     tests (tests/test_dedup.py) as the verification baseline.

@@ -315,6 +315,7 @@ def merge_upsert(
             return {"updated": 0, "inserted": 0, "rows_written": 0}
         df = df.cache()
         try:
+            _assert_unique_keys(df, keys)
             n = df.count()
             if n:
                 replace_partition(spark, df, target, partition_by)
