@@ -41,12 +41,15 @@ def query(name: str, oracle: str | None = None):
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     """Read driver fixture parquet tables (TESTDATA.md).
 
-    ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects outright. We flip the legacy nanosAsLong escape hatch
-    (runtime SQL conf, safe on any session) and rebuild a proper
-    microsecond timestamp — the fixture's sub-microsecond digits are all
-    zero, so this matches DuckDB's TIMESTAMP view of the same file
-    bit-for-bit.
+    ``events.parquet`` has shipped in two encodings across driver
+    rounds: TIMESTAMP(NANOS) (which Spark's parquet reader rejects
+    unless the legacy nanosAsLong escape hatch is on, yielding a
+    bigint of epoch-nanos) and plain ``timestamp[us]`` (read natively
+    as TIMESTAMP_NTZ). We flip the conf — a no-op for the micros
+    encoding — then rebuild a microsecond timestamp only when the read
+    dtype is the nanos long. Either way the result matches DuckDB's
+    TIMESTAMP view of the same file bit-for-bit (sub-microsecond
+    digits in the nanos fixture are all zero).
     """
     # Self-defend against a non-UTC caller session: the DuckDB oracle is
     # tz-naive, so timestamp-derived year/month must be computed in UTC.
@@ -58,9 +61,17 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame
             from pyspark.sql import functions as F
 
             df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
-            df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
-            )
+            ts_type = dict(df.dtypes).get("ts")
+            if ts_type == "bigint":
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                )
+            elif ts_type == "timestamp_ntz":
+                # canonical engine type for event time is TIMESTAMP
+                # (downstream uses unix_micros etc., which reject NTZ);
+                # under the UTC session this cast is value-preserving
+                # and matches DuckDB's naive reading of the same file
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         else:
             df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
         out.append(df)

@@ -256,6 +256,25 @@ def upsert_partitions(
     return n
 
 
+def _assert_unique_keys(df: DataFrame, keys: list[str]) -> None:
+    """MERGE contract guard: an incoming batch must carry at most one
+    row per key. With in-batch duplicates, ``when_matched="replace"``
+    would union ALL matched copies into the target — duplicate-key rows
+    after a "replace" merge, silently breaking per-key upsert
+    semantics. Failing fast with the offending key beats picking a
+    winner arbitrarily; callers that want last-write-wins should
+    dedupe deterministically (e.g. a row_number window over a version
+    column) before merging. One bounded aggregate job (limit 1) on the
+    batch side — cardinality-bound by the batch, not the table."""
+    dup = df.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).collect()
+    if dup:
+        key_vals = {k: dup[0][k] for k in keys}
+        raise ValueError(
+            f"merge_upsert: incoming batch has multiple rows for key {key_vals}; "
+            "deduplicate per key (deterministic winner) before merging"
+        )
+
+
 def merge_upsert(
     spark: SparkSession,
     df: DataFrame,
@@ -275,6 +294,12 @@ def merge_upsert(
     - ``when_matched``: "replace" (incoming row supersedes the stored
       row with its key) or "ignore" (stored row wins);
     - ``when_new``: "insert" or "ignore".
+
+    Contract: the incoming batch must have at most ONE row per key —
+    enforced (raises ``ValueError`` naming an offending key) because a
+    duplicate-key batch under "replace" would land every copy in the
+    target. Dedupe deterministically upstream if the source can emit
+    multiple versions of a key in one batch.
 
     Scale shape: only TOUCHED partitions are rewritten — the union of
     (a) partitions the incoming rows land in and (b) partitions whose
@@ -332,6 +357,7 @@ def merge_upsert(
 
     df = df.cache()
     try:
+        _assert_unique_keys(df, keys)
         existing_keys = existing.select(*keys)
         matched = df.join(existing_keys, keys, "left_semi").cache()
         new_rows = df.join(existing_keys, keys, "left_anti").cache()

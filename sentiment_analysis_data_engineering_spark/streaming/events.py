@@ -10,9 +10,11 @@ Event-time correctness at scale:
 - streaming dedup uses ``dropDuplicatesWithinWatermark`` keyed on
   event_id, the streaming twin of the idempotent-append writer.
 
-The parquet fixture stores TIMESTAMP(NANOS): the stream reads ts as
-long (nanosAsLong) and rebuilds a microsecond timestamp, exactly like
-the batch path (plans.registry.load_tables).
+The parquet fixture has shipped with ts as TIMESTAMP(NANOS) (read as
+long under nanosAsLong, then rebuilt into a microsecond timestamp) or
+as plain timestamp[us] (read natively): the stream probes the file's
+batch-read schema and adapts, exactly like the batch path
+(plans.registry.load_tables).
 """
 
 from __future__ import annotations
@@ -68,10 +70,22 @@ def read_events_stream(spark: SparkSession, events_path: str) -> DataFrame:
         events_path = str(stage)
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Probe the fixture's encoding with a footer-only batch read: the
+    # nanos fixture surfaces ts as bigint, the micros one as timestamp.
+    batch_schema = spark.read.parquet(events_path).schema
+    if isinstance(batch_schema["ts"].dataType, T.LongType):
+        return (
+            spark.readStream.schema(_EVENTS_LONG_TS)
+            .parquet(events_path)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+    # canonical engine event-time type is TIMESTAMP (UTC session), so
+    # the NTZ encoding is cast — value-preserving, and keeps watermarks
+    # and interval-join arithmetic identical across fixture encodings
     return (
-        spark.readStream.schema(_EVENTS_LONG_TS)
+        spark.readStream.schema(batch_schema)
         .parquet(events_path)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
     )
 
 

@@ -296,6 +296,29 @@ def test_merge_upsert_untouched_partition_files_not_rewritten(spark, tmp_path):
     assert before == after  # 2024-02 untouched on disk
 
 
+def test_merge_upsert_rejects_duplicate_key_batch(spark, tmp_path):
+    """Contract guard: a batch with two rows for one key must raise —
+    under "replace" both copies would otherwise land in the target."""
+    import pytest
+
+    from sentiment_analysis_data_engineering_spark.sources.io import merge_upsert
+
+    target = _merge_fixture(spark, tmp_path, "merge6")
+    dup_batch = spark.createDataFrame(
+        [(2, "2024-01", "v1", 1.0), (2, "2024-01", "v2", 2.0)],
+        "id long, month string, name string, value double",
+    )
+    with pytest.raises(ValueError, match="multiple rows for key"):
+        merge_upsert(spark, dup_batch, target, ["id"], partition_by=["month"])
+    # target unchanged
+    assert len(_read(spark, target)) == 4
+
+    # fresh-target path enforces the same contract
+    with pytest.raises(ValueError, match="multiple rows for key"):
+        merge_upsert(spark, dup_batch, str(tmp_path / "merge6_new"),
+                     ["id"], partition_by=["month"])
+
+
 def test_ddl_round_trip(spark, tmp_path):
     """S7-S9 — the full catalog verb set the reference imports
     (daily_dag.py:10-23): CREATE dataset/table, GET tables, UPDATE
