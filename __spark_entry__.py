@@ -44,6 +44,10 @@ _GATE_FIRST = [
     "embedding_kmeans_sizes",
     "late_ship_priority_counts",
     "array_functions_report",
+    # -- NEW in round 3: never driver-checked
+    "template_doc_flags",
+    "embedding_quantize_error",
+    "ewma_user_value",
     # -- implementation changed in round 3: need a fresh driver entry
     "customer_balance_deciles",
     "ann_cosine_topk",
@@ -90,9 +94,6 @@ _GATE_FIRST = [
     "corpus_curation",
     "dedup_clusters",
     "skew_salted_join_agg",
-    "skew_salted_agg",
-    "stratified_sample_langs",
-    "tfidf_top_terms",
 ]
 assert len(_GATE_FIRST) <= 50, "driver gate checks only the first 50 queries"
 

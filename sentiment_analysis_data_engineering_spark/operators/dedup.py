@@ -45,6 +45,7 @@ __all__ = [
     "connected_components",
     "blocking_edges",
     "contamination_screen",
+    "template_doc_flags",
     "release_pinned",
     "pinned_scope",
 ]
@@ -227,6 +228,77 @@ def contamination_screen(
             F.col("_id").alias(id_col),
             F.coalesce("shared_shingles", F.lit(0)).alias("shared_shingles"),
             (F.coalesce("shared_shingles", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def template_doc_flags(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 5,
+    hot_frac: float = 0.01,
+    hot_min_docs: int = 5,
+    template_ratio: float = 0.5,
+) -> DataFrame:
+    """Templated-document detection via hot-shingle ratio: a document
+    most of whose word n-grams also occur in many OTHER documents is
+    boilerplate/template material (mirror pages, generated listings) —
+    the corpus-level complement of pairwise near-dedup, which misses
+    templates because no single pair clears the Jaccard bar (the
+    C4/RefinedWeb "repetitious content" family of curation rules —
+    public methodology).
+
+    A shingle is *hot* when its document frequency ≥
+    ``max(hot_min_docs, hot_frac · n_docs)``; a doc is flagged when
+    ≥ ``template_ratio`` of its distinct shingles are hot.
+
+    Scale shape: distinct-per-doc shingles exploded once; shingle doc
+    frequency is a map-side-combining hash agg keyed on the shingle;
+    the hot set (small by construction — only shingles repeated across
+    ≥1% of the corpus) equi-joins back (AQE broadcasts it when it
+    fits); the per-doc hot count re-aggregates on the doc id. Three
+    keyed shuffles, no pair join anywhere — cost is linear in corpus
+    shingles, unlike the O(pairs) near-dup operators. The doc-count
+    scalar enters via a 1-row crossJoin broadcast (same pattern as
+    tfidf_top_terms).
+
+    Returns one row per document: (id, n_shingles, hot_shingles,
+    hot_ratio, is_template) — clean docs asserted clean, not absent.
+    """
+    sh = _doc_shingles(df, text_col, id_col, n)
+    n_docs = df.select(F.count("*").alias("_nd"))
+    hot_bar = F.greatest(
+        F.lit(hot_min_docs), F.ceil(F.lit(hot_frac) * F.col("_nd"))
+    )
+    hot = (
+        sh.groupBy("_sh")
+        .agg(F.count("*").alias("_df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("_df") >= hot_bar)
+        .select("_sh")
+    )
+    hot_counts = (
+        sh.join(hot, "_sh")
+        .groupBy("_id")
+        .agg(F.count("*").alias("_hot"))
+    )
+    sizes = df.select(
+        F.col(id_col).alias("_id"),
+        F.size(F.array_distinct(word_ngrams(text_col, n))).alias("n_shingles"),
+    )
+    ratio = F.round(
+        F.coalesce("_hot", F.lit(0)) / F.col("n_shingles"), 6
+    )
+    return (
+        sizes.join(hot_counts, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.coalesce("_hot", F.lit(0)).cast("long").alias("hot_shingles"),
+            ratio.alias("hot_ratio"),
+            (ratio >= template_ratio).alias("is_template"),
         )
     )
 

@@ -34,6 +34,7 @@ __all__ = [
     "hyperplane_signature",
     "ivf_cosine_topk",
     "kmeans_clusters",
+    "quantize_int8_stats",
 ]
 
 
@@ -516,4 +517,62 @@ def kmeans_clusters(
     model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feat)
     return model.transform(feat).select(
         F.col(id_col), F.col("prediction").alias("cluster")
+    )
+
+
+def quantize_int8_stats(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization with reconstruction-error
+    reporting — the storage-reduction step every embedding index at
+    100 TB needs (float32 → int8 is a 4× footprint cut; serving stacks
+    quantize per-vector with a max-abs scale exactly like this).
+
+    Per vector: ``scale = max|x| / 127``; ``q_i = clamp(⌊x_i/scale +
+    0.5⌋, ±127)`` (explicit floor(+0.5) so both engines round
+    identically — no locale/banker's-rounding divergence); rmse over
+    the de-quantized vector measures the loss. All element arithmetic
+    is double (floats are cast up FIRST, per the registry float rule).
+
+    Scale shape: one narrow pass computes per-vector rmse inside
+    whole-stage codegen (``transform``/``aggregate`` higher-order
+    functions — zero Python, zero shuffle), then one map-side-combining
+    hash agg on the group key. All-zero vectors take scale=0 and report
+    rmse 0 rather than NaN.
+
+    Returns per group: (group, n_vecs, avg_rmse, max_rmse) with rmse
+    rounded to 6 dp per vector (order-independent within a vector up to
+    fp addition order; the per-group avg is the caller's to round).
+    """
+    v = _as_double(vec_col)
+    dim = F.size(F.col(vec_col))
+    scale = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
+    q = F.transform(
+        v,
+        lambda x: F.least(
+            F.greatest(F.floor(x / scale + F.lit(0.5)), F.lit(-127.0)),
+            F.lit(127.0),
+        ),
+    )
+    sq_err = F.aggregate(
+        F.zip_with(v, q, lambda x, qi: (x - qi * scale) * (x - qi * scale)),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+    rmse = F.when(scale == 0, F.lit(0.0)).otherwise(
+        F.round(F.sqrt(sq_err / dim), 6)
+    )
+    grp = F.lit("all").alias("grp") if group_col is None else F.col(group_col).alias("grp")
+    return (
+        df.select(grp, rmse.alias("_rmse"))
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.avg("_rmse").alias("avg_rmse"),
+            F.max("_rmse").alias("max_rmse"),
+        )
     )

@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-__all__ = ["as_of_join", "range_join_buckets"]
+__all__ = ["as_of_join", "range_join_buckets", "ewma_last"]
 
 
 def as_of_join(
@@ -125,3 +125,50 @@ def range_join_buckets(
     return joined.filter(
         (F.col(event_ts) >= F.col(win_start)) & (F.col(event_ts) <= F.col(win_end))
     ).drop("_bkt")
+
+
+def ewma_last(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Exponentially-weighted moving average per key, reporting the
+    final (most-recent) smoothed value — the standard time-series
+    smoother (s_1 = x_1; s_i = α·x_i + (1-α)·s_{i-1}).
+
+    Implemented via the closed form
+    ``s_n = (1-α)^(n-1)·x_1 + Σ_{i=2..n} α·(1-α)^(n-i)·x_i``:
+    one window over the key assigns each row its order index, the
+    per-row weight is a scalar expression, and a hash aggregate on the
+    same key sums the weighted values — no recursion, no Python.
+
+    Scale shape: ONE shuffle on the key (the window); the following
+    group-by reuses the same hash partitioning so no second exchange.
+    Weights decay geometrically, so long histories underflow to exact
+    0.0 contributions rather than accumulating error. Ordering ties on
+    ``ts_col`` are broken by ``tiebreak_col`` so the result is
+    deterministic under any partition layout.
+
+    Returns (key, n_events, ewma) with ``ewma`` unrounded — callers
+    that hash-compare across engines should round.
+    """
+    w = W.partitionBy(key_col).orderBy(F.col(ts_col), F.col(tiebreak_col))
+    rn = F.row_number().over(w)
+    n = F.count("*").over(W.partitionBy(key_col))
+    x = F.col(value_col).cast("double")
+    weight = F.when(
+        F.col("_rn") == 1, F.pow(F.lit(1.0 - alpha), F.col("_n") - 1)
+    ).otherwise(F.lit(alpha) * F.pow(F.lit(1.0 - alpha), F.col("_n") - F.col("_rn")))
+    return (
+        df.select(F.col(key_col), x.alias("_x"), rn.alias("_rn"), n.alias("_n"))
+        .withColumn("_w", weight)
+        .groupBy(key_col)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("_x") * F.col("_w")).alias("ewma"),
+        )
+    )

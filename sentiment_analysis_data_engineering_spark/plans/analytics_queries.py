@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.temporal import as_of_join, range_join_buckets
+from ..operators.temporal import as_of_join, ewma_last, range_join_buckets
 from .registry import load_tables, query
 
 # --------------------------------------------------------------------------
@@ -712,6 +712,41 @@ def range_join_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("window_id", "user_id").agg(
         F.count("*").alias("n_in_window")
     )
+
+
+@query(
+    "ewma_user_value",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             count(*)     OVER (PARTITION BY user_id)                       AS n
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value * CASE WHEN rn = 1 THEN power(0.7, n - 1)
+                                  ELSE 0.3 * power(0.7, n - rn) END), 4) AS ewma
+    FROM o
+    GROUP BY user_id
+    """,
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential smoothing (α=0.3) of each user's value series,
+    reporting the final smoothed level — operators/temporal.py::
+    ewma_last's closed-form weighted sum: one window shuffle on
+    user_id, the re-aggregation reuses the same partitioning. The
+    oracle expands the identical closed form over DuckDB windows."""
+    (events,) = load_tables(spark, sf_dir, "events")
+    out = ewma_last(
+        events,
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        tiebreak_col="event_id",
+        alpha=0.3,
+    )
+    return out.select("user_id", "n_events", F.round("ewma", 4).alias("ewma"))
 
 
 # --------------------------------------------------------------------------

@@ -1273,3 +1273,94 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.contamination_screen(
         documents, "text", "doc_id", F.col("doc_id") % 50 == 0, n=5
     )
+
+
+@query(
+    "template_doc_flags",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(t) >= 5
+                    THEN [array_to_string(t[i:i+4], ' ') for i in range(1, len(t)-3)]
+                    ELSE [array_to_string(t, ' ')] END) AS g
+      FROM toks
+    ),
+    sh AS (SELECT doc_id, unnest(g) AS s FROM grams),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    hot AS (
+      SELECT s FROM sh GROUP BY s
+      HAVING count(*) >= (SELECT greatest(5, CAST(ceil(0.01 * n_docs) AS BIGINT))
+                          FROM nd)
+    ),
+    hc AS (SELECT sh.doc_id, count(*) AS hot FROM sh JOIN hot USING (s) GROUP BY 1),
+    sz AS (SELECT doc_id, len(g) AS n_shingles FROM grams)
+    SELECT sz.doc_id,
+           CAST(sz.n_shingles AS BIGINT) AS n_shingles,
+           CAST(coalesce(hc.hot, 0) AS BIGINT) AS hot_shingles,
+           round(coalesce(hc.hot, 0) / sz.n_shingles, 6) AS hot_ratio,
+           round(coalesce(hc.hot, 0) / sz.n_shingles, 6) >= 0.5 AS is_template
+    FROM sz LEFT JOIN hc USING (doc_id)
+    """,
+)
+def template_doc_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Templated-document detection: a doc most of whose distinct
+    5-gram shingles are *hot* (shared by >=max(5, 1% of docs) other
+    docs) is boilerplate the pairwise near-dup operators can't see
+    (operators/dedup.py::template_doc_flags — three keyed shuffles,
+    linear in corpus shingles, no pair join)."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return dd.template_doc_flags(
+        documents, "text", "doc_id",
+        n=5, hot_frac=0.01, hot_min_docs=5, template_ratio=0.5,
+    )
+
+
+@query(
+    "embedding_quantize_error",
+    oracle="""
+    WITH per AS (
+      SELECT label,
+             list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+             embedding
+      FROM embeddings
+    ),
+    err AS (
+      SELECT label,
+             CASE WHEN scale = 0 THEN 0.0 ELSE
+               round(sqrt(list_sum(list_transform(embedding, x ->
+                 power(CAST(x AS DOUBLE)
+                       - least(greatest(floor(CAST(x AS DOUBLE) / scale + 0.5),
+                                        -127.0), 127.0) * scale, 2)))
+                 / len(embedding)), 6)
+             END AS rmse
+      FROM per
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(rmse), 6) AS avg_rmse,
+           max(rmse) AS max_rmse
+    FROM err
+    GROUP BY label
+    """,
+)
+def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization loss per label
+    (operators/similarity.py::quantize_int8_stats): per-vector max-abs
+    scale, explicit floor(+0.5) rounding so both engines quantize
+    bit-identically, rmse folded left-to-right in list order in BOTH
+    engines (same IEEE addition order -> identical doubles pre-round)."""
+    (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    out = sim.quantize_int8_stats(
+        embeddings, vec_col="embedding", id_col="vec_id", group_col="label"
+    )
+    return out.select(
+        F.col("grp").alias("label"),
+        "n_vecs",
+        F.round("avg_rmse", 6).alias("avg_rmse"),
+        "max_rmse",
+    )

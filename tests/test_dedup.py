@@ -366,3 +366,35 @@ def test_dedup_survivor_selection_invariants(spark):
     assert bad.isEmpty()
     # every document appears exactly once
     assert out.count() == out.select("doc_id").distinct().count() == 500
+
+
+def test_template_doc_flags(spark):
+    from sentiment_analysis_data_engineering_spark.operators.dedup import template_doc_flags
+
+    template = "alpha beta gamma delta epsilon zeta"
+    rows = [(i, template) for i in range(6)]          # 6 copies of a template
+    rows.append((100, "one unique doc with its own words entirely"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in template_doc_flags(
+            df, "text", "doc_id",
+            n=5, hot_frac=0.01, hot_min_docs=5, template_ratio=0.5,
+        ).collect()
+    }
+    assert len(out) == 7  # every doc reported, clean ones included
+    for i in range(6):    # both 5-gram shingles shared by 6 >= 5 docs
+        assert out[i].hot_shingles == out[i].n_shingles
+        assert out[i].is_template
+    assert out[100].hot_shingles == 0 and not out[100].is_template
+
+
+def test_template_doc_flags_short_doc_whole_text_shingle(spark):
+    from sentiment_analysis_data_engineering_spark.operators.dedup import template_doc_flags
+
+    rows = [(i, "tiny doc") for i in range(5)] + [(9, "another tiny")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in template_doc_flags(
+        df, "text", "doc_id", hot_min_docs=5).collect()}
+    assert out[0].n_shingles == 1 and out[0].is_template
+    assert not out[9].is_template

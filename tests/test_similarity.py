@@ -140,3 +140,34 @@ def test_lsh_ivf_engines_agree(spark):
         a = fn(q, emb, vec_col="embedding", id_col="vec_id", engine="arrow", **kw)
         s = fn(q, emb, vec_col="embedding", id_col="vec_id", engine="sql", **kw)
         assert a.exceptAll(s).isEmpty() and s.exceptAll(a).isEmpty(), fn.__name__
+
+
+def test_quantize_int8_stats_bounds_and_zero_vector(spark):
+    from sentiment_analysis_data_engineering_spark.operators.similarity import (
+        quantize_int8_stats,
+    )
+
+    rows = [
+        (1, [1.0, -0.5, 0.25, 0.0], "a"),
+        (2, [0.0, 0.0, 0.0, 0.0], "z"),   # all-zero: scale 0 -> rmse 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label string")
+    out = {r.grp: r for r in quantize_int8_stats(
+        df, vec_col="embedding", id_col="vec_id", group_col="label").collect()}
+    # int8 max-abs quantization error is bounded by scale/2 per element
+    assert 0.0 <= out["a"].max_rmse <= (1.0 / 127.0) / 2 + 1e-12
+    assert out["z"].avg_rmse == 0.0 and out["z"].max_rmse == 0.0
+    assert out["a"].n_vecs == 1 and out["z"].n_vecs == 1
+
+
+def test_quantize_int8_stats_exact_levels_lossless(spark):
+    from sentiment_analysis_data_engineering_spark.operators.similarity import (
+        quantize_int8_stats,
+    )
+
+    # values already on the int8 grid (scale = 1/127) round-trip exactly
+    vec = [127.0 / 127.0, -64.0 / 127.0, 1.0 / 127.0, 0.0]
+    df = spark.createDataFrame(
+        [(1, vec)], "vec_id long, embedding array<float>")
+    got = quantize_int8_stats(df, vec_col="embedding", id_col="vec_id").first()
+    assert got.grp == "all" and got.max_rmse == 0.0

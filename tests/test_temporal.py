@@ -103,3 +103,43 @@ def test_asof_join_forward_direction(spark):
     assert got[(1, 10)] == "exact"    # inclusive at equal ts
     assert got[(1, 30)] is None       # nothing after 10:30
     assert got[(2, 5)] is None        # right row is before, not after
+
+
+def test_ewma_last_matches_recursive_definition(spark):
+    from sentiment_analysis_data_engineering_spark.operators.temporal import ewma_last
+
+    rows = [
+        (1, 1, "2024-01-01 10:00:00", 10.0),
+        (2, 1, "2024-01-01 11:00:00", 20.0),
+        (3, 1, "2024-01-01 12:00:00", 30.0),
+        (4, 2, "2024-01-01 10:00:00", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, user long, ts string, v double")
+    df = df.select("id", "user", F.col("ts").cast("timestamp").alias("ts"), "v")
+    out = {
+        r.user: (r.n_events, r.ewma)
+        for r in ewma_last(
+            df, key_col="user", ts_col="ts", value_col="v",
+            tiebreak_col="id", alpha=0.3,
+        ).collect()
+    }
+    # recursive: s1=10, s2=.3*20+.7*10=13, s3=.3*30+.7*13=18.1
+    assert out[1][0] == 3 and abs(out[1][1] - 18.1) < 1e-9
+    assert out[2] == (1, 5.0)  # single row: s1 = x1
+
+
+def test_ewma_last_tiebreak_deterministic(spark):
+    from sentiment_analysis_data_engineering_spark.operators.temporal import ewma_last
+
+    rows = [  # equal ts — order must come from the tiebreak column
+        (2, 1, "2024-01-01 10:00:00", 100.0),
+        (1, 1, "2024-01-01 10:00:00", 0.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, user long, ts string, v double")
+    df = df.select("id", "user", F.col("ts").cast("timestamp").alias("ts"), "v")
+    got = ewma_last(
+        df, key_col="user", ts_col="ts", value_col="v",
+        tiebreak_col="id", alpha=0.5,
+    ).first()
+    # order by (ts, id): x=[0, 100] -> s = .5*100 + .5*0 = 50
+    assert abs(got.ewma - 50.0) < 1e-12
