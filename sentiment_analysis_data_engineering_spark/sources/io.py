@@ -41,6 +41,7 @@ __all__ = [
     "upsert_partitions",
     "write_balanced_shards",
     "write_bucketed",
+    "compact_small_files",
 ]
 
 
@@ -486,3 +487,63 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_rows_per_file: int,
+    shard_key: str,
+) -> dict[str, int]:
+    """Rewrite a parquet directory into size-balanced files — the
+    table-maintenance step every long-lived 100 TB table needs:
+    incremental appends (idempotent_append, streaming sinks) accrete
+    many small files, and small files dominate scan cost at scale
+    (per-file open/footer overhead, starved vectorized readers,
+    scheduler pressure from millions of splits).
+
+    Shape: one columnar count sizes the rewrite, hash-repartition on
+    ``shard_key`` balances rows independent of the current (skewed)
+    file layout, and the swap goes through the Hadoop FileSystem API
+    so the same code path runs on HDFS at scale. The directory swap is
+    two renames — atomic per rename on HDFS, NOT atomic end-to-end; on
+    object stores or under concurrent readers, compaction belongs
+    inside a table format's commit protocol (the reference leans on
+    BigQuery for exactly this, README.md:7). Returns before/after file
+    counts so callers can assert the win.
+    """
+    df = spark.read.parquet(path)
+    n_rows = df.count()
+    n_files = max(1, -(-n_rows // target_rows_per_file))
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+
+    def _count_part_files(p) -> int:
+        it = fs.listFiles(p, True)
+        n = 0
+        while it.hasNext():
+            f = it.next()
+            if f.getPath().getName().startswith("part-"):
+                n += 1
+        return n
+
+    files_before = _count_part_files(jpath)
+    tmp = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compact_tmp")
+    (
+        df.repartition(n_files, F.col(shard_key))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", target_rows_per_file)
+        .parquet(str(tmp))
+    )
+    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compact_old")
+    if not fs.rename(jpath, old):
+        raise IOError(f"compact: could not move {path} aside")
+    if not fs.rename(tmp, jpath):
+        fs.rename(old, jpath)  # roll back so the table stays readable
+        raise IOError(f"compact: could not install compacted {path}")
+    fs.delete(old, True)
+    return {"files_before": files_before, "files_after": _count_part_files(jpath)}

@@ -353,3 +353,25 @@ def test_ddl_round_trip(spark, tmp_path):
     assert catalog.list_tables(spark, db) == []
     catalog.drop_database(spark, db)
     assert db not in [r.namespace for r in spark.sql("SHOW DATABASES").collect()]
+
+
+def test_compact_small_files(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_data_engineering_spark.sources.io import compact_small_files
+
+    path = str(tmp_path / "frag")
+    df = spark.range(1000).withColumn("k", F.col("id") % 7)
+    df.repartition(40).write.parquet(path)  # fragment: 40 tiny files
+
+    stats = compact_small_files(
+        spark, path, target_rows_per_file=500, shard_key="id"
+    )
+    assert stats["files_before"] >= 40
+    assert stats["files_after"] <= 3  # ceil(1000/500) + maxRecordsPerFile slack
+
+    out = spark.read.parquet(path)
+    assert out.count() == 1000
+    assert out.agg(F.sum("id")).first()[0] == 499500  # content preserved
+    assert not (tmp_path / "frag__compact_tmp").exists()
+    assert not (tmp_path / "frag__compact_old").exists()
