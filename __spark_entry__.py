@@ -48,6 +48,7 @@ _GATE_FIRST = [
     "template_doc_flags",
     "embedding_quantize_error",
     "ewma_user_value",
+    "unigram_logprob_score",
     # -- implementation changed in round 3: need a fresh driver entry
     "customer_balance_deciles",
     "ann_cosine_topk",
@@ -93,7 +94,6 @@ _GATE_FIRST = [
     "dedup_exact",
     "corpus_curation",
     "dedup_clusters",
-    "skew_salted_join_agg",
 ]
 assert len(_GATE_FIRST) <= 50, "driver gate checks only the first 50 queries"
 

@@ -84,6 +84,7 @@ HEADLINE = [
     "template_doc_flags",
     "embedding_quantize_error",
     "ewma_user_value",
+    "unigram_logprob_score",
 ]
 
 

@@ -254,20 +254,23 @@ def template_doc_flags(
     ``max(hot_min_docs, hot_frac · n_docs)``; a doc is flagged when
     ≥ ``template_ratio`` of its distinct shingles are hot.
 
-    Scale shape: distinct-per-doc shingles exploded once; shingle doc
-    frequency is a map-side-combining hash agg keyed on the shingle;
-    the hot set (small by construction — only shingles repeated across
-    ≥1% of the corpus) equi-joins back (AQE broadcasts it when it
-    fits); the per-doc hot count re-aggregates on the doc id. Three
-    keyed shuffles, no pair join anywhere — cost is linear in corpus
-    shingles, unlike the O(pairs) near-dup operators. The doc-count
-    scalar enters via a 1-row crossJoin broadcast (same pattern as
-    tfidf_top_terms).
+    Scale shape: distinct-per-doc shingles exploded ONCE and pinned
+    (MEMORY_AND_DISK, same trade the MinHash path takes — without the
+    pin the explode re-runs for each of the three consumers, i.e. three
+    corpus scans); shingle doc frequency is a map-side-combining hash
+    agg keyed on the shingle; the hot set (small by construction — only
+    shingles repeated across ≥1% of the corpus) equi-joins back (AQE
+    broadcasts it when it fits); per-doc sizes and hot counts are two
+    aggs on the doc id. No pair join anywhere — cost is linear in
+    corpus shingles, unlike the O(pairs) near-dup operators. The
+    doc-count scalar enters via a 1-row crossJoin broadcast (same
+    pattern as tfidf_top_terms). Call under :func:`pinned_scope` (or
+    :func:`release_pinned`) to free the pinned frame.
 
     Returns one row per document: (id, n_shingles, hot_shingles,
     hot_ratio, is_template) — clean docs asserted clean, not absent.
     """
-    sh = _doc_shingles(df, text_col, id_col, n)
+    sh = _pin(_doc_shingles(_spread(df, id_col), text_col, id_col, n), persist=True)
     n_docs = df.select(F.count("*").alias("_nd"))
     hot_bar = F.greatest(
         F.lit(hot_min_docs), F.ceil(F.lit(hot_frac) * F.col("_nd"))
@@ -284,10 +287,7 @@ def template_doc_flags(
         .groupBy("_id")
         .agg(F.count("*").alias("_hot"))
     )
-    sizes = df.select(
-        F.col(id_col).alias("_id"),
-        F.size(F.array_distinct(word_ngrams(text_col, n))).alias("n_shingles"),
-    )
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("n_shingles"))
     ratio = F.round(
         F.coalesce("_hot", F.lit(0)) / F.col("n_shingles"), 6
     )

@@ -548,6 +548,7 @@ def quantize_int8_stats(
     rounded to 6 dp per vector (order-independent within a vector up to
     fp addition order; the per-group avg is the caller's to round).
     """
+    df = _spread(df, id_col)  # single-file inputs otherwise run ONE task
     v = _as_double(vec_col)
     dim = F.size(F.col(vec_col))
     scale = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)

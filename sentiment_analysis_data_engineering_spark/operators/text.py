@@ -34,6 +34,7 @@ __all__ = [
     "mask_pii",
     "repetition_signals",
     "chunk_token_windows",
+    "unigram_logprob_score",
 ]
 
 
@@ -327,3 +328,44 @@ def mask_pii(col: Column | str) -> Column:
     c = F.regexp_replace(c, _URL_RE, "[URL]")
     c = F.regexp_replace(c, r"\d{7,}", "[NUM]")
     return c
+
+
+def unigram_logprob_score(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram model — the classic LM-based quality signal (the CCNet /
+    fastText-era recipe: low mean logprob ⇒ rare-token soup, gibberish,
+    or wrong-language text; high ⇒ common fluent tokens — public
+    methodology). Scoring the corpus under itself keeps every count
+    ≥ 1, so plain MLE needs no smoothing: logp(t) = ln(c_t / N).
+
+    Plan shape (the tfidf_top_terms family): explode normalized tokens
+    once → ONE map-side-combining hash agg builds the unigram table →
+    the corpus-total scalar enters via a 1-row crossJoin broadcast →
+    tokens equi-join the vocabulary on the term (AQE broadcasts small
+    vocabularies; at 100 TB the vocab is millions of rows and
+    shuffle-joins on the term without rescanning the corpus) → per-doc
+    re-agg. No pair joins, no Python.
+
+    Returns (id, n_tokens, avg_logprob) with avg_logprob rounded to
+    6 dp (cross-engine summation-order tolerance).
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens(normalize_text(text_col))).alias("term"),
+    ).filter(F.col("term") != "")
+    counts = toks.groupBy("term").agg(F.count("*").alias("c"))
+    total = counts.select(F.sum("c").alias("n"))
+    logp = counts.crossJoin(F.broadcast(total)).select(
+        "term", F.log(F.col("c") / F.col("n")).alias("_lp")
+    )
+    return (
+        toks.join(logp, "term")
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("_lp"), 6).alias("avg_logprob"),
+        )
+        .select(F.col("_id").alias(id_col), "n_tokens", "avg_logprob")
+    )

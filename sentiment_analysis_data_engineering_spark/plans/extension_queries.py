@@ -1364,3 +1364,33 @@ def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("avg_rmse", 6).alias("avg_rmse"),
         "max_rmse",
     )
+
+
+@query(
+    "unigram_logprob_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+               '\\s+')) AS term
+      FROM documents
+    ),
+    t2 AS (SELECT * FROM toks WHERE term <> ''),
+    counts AS (SELECT term, count(*) AS c FROM t2 GROUP BY term),
+    total AS (SELECT sum(c) AS n FROM counts),
+    logp AS (SELECT term, ln(c / n) AS lp FROM counts, total)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(lp), 6) AS avg_logprob
+    FROM t2 JOIN logp USING (term)
+    GROUP BY doc_id
+    """,
+)
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram log-probability of each doc under the corpus's own
+    unigram model (operators/text.py::unigram_logprob_score) — the
+    CCNet-style LM quality signal: one explode, one vocab hash agg,
+    term equi-join back, per-doc re-agg."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return tx.unigram_logprob_score(documents, "text", "doc_id")

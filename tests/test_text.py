@@ -136,3 +136,24 @@ def test_chunk_token_windows(spark):
         (1, 2, 1, "t4"),
         (2, 0, 1, "solo"),
     ]
+
+
+def test_unigram_logprob_score(spark):
+    import math
+
+    from sentiment_analysis_data_engineering_spark.operators.text import (
+        unigram_logprob_score,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    # corpus counts: a=2, b=2, c=1, N=5
+    out = {r.doc_id: r for r in unigram_logprob_score(df, "text", "doc_id").collect()}
+    assert out[1].n_tokens == 3
+    assert abs(out[1].avg_logprob - round(math.log(0.4), 6)) < 1e-9
+    assert out[2].n_tokens == 2
+    expect2 = round((math.log(0.4) + math.log(0.2)) / 2, 6)
+    assert abs(out[2].avg_logprob - expect2) < 1e-9
+    # common-token doc scores higher than the rare-token one
+    assert out[1].avg_logprob > out[2].avg_logprob
