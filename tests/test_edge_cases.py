@@ -124,3 +124,38 @@ def test_release_pinned_frees_storage(spark, weird):
     dd.ngram_jaccard_pairs(weird, "text", "doc_id").count()
     assert dd.release_pinned() >= 1
     assert dd.release_pinned() == 0
+
+
+def test_template_doc_flags_survives_nulls_and_empty(spark, weird):
+    out = dd.template_doc_flags(weird, "text", "doc_id", hot_min_docs=2)
+    got = {r.doc_id: r for r in out.collect()}
+    assert set(got) == {1, 2, 3, 4, 5}          # every row reported, nulls too
+    assert got[4].is_template and got[5].is_template  # dup pair crosses bar=2
+    empty = weird.filter("doc_id < 0")
+    assert dd.template_doc_flags(empty, "text", "doc_id").count() == 0
+
+
+def test_unigram_logprob_empty_and_null_docs_absent_not_crashing(weird):
+    out = tx.unigram_logprob_score(weird, "text", "doc_id")
+    ids = {r.doc_id for r in out.collect()}
+    assert ids == {4, 5}  # token-less docs have no defined score
+    for r in out.collect():
+        assert r.avg_logprob < 0
+
+
+def test_ewma_empty_frame(spark):
+    from sentiment_analysis_data_engineering_spark.operators.temporal import ewma_last
+
+    df = spark.createDataFrame(
+        [], "id long, user long, ts timestamp, v double")
+    assert ewma_last(df, key_col="user", ts_col="ts", value_col="v",
+                     tiebreak_col="id").count() == 0
+
+
+def test_quantize_int8_empty_frame(spark):
+    from sentiment_analysis_data_engineering_spark.operators.similarity import (
+        quantize_int8_stats,
+    )
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert quantize_int8_stats(df, vec_col="embedding", id_col="vec_id").count() == 0
