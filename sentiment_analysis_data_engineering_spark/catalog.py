@@ -17,6 +17,7 @@ from .schemas import WAREHOUSE_SCHEMAS
 
 __all__ = [
     "alter_table_add_columns",
+    "analyze_table",
     "create_database",
     "create_table",
     "create_warehouse",
@@ -118,4 +119,42 @@ def register_parquet_views(
         df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
         df.createOrReplaceTempView(t)
         out[t] = df
+    return out
+
+
+def analyze_table(
+    spark: SparkSession,
+    name: str,
+    *,
+    columns: list[str] | None = None,
+) -> dict[str, int | None]:
+    """Collect table (and optionally per-column) statistics so the
+    cost-based optimizer can size joins — at warehouse scale, accurate
+    rowCount/sizeInBytes is what lets Catalyst pick broadcast over
+    sort-merge and reorder multi-way joins; column stats (NDV,
+    min/max, null counts) sharpen selectivity estimates under
+    ``spark.sql.cbo.enabled``.
+
+    Wraps ``ANALYZE TABLE ... COMPUTE STATISTICS [FOR COLUMNS ...]``
+    (one scan; NDV via HyperLogLog, no exact distinct pass) and
+    returns the recorded {rows, bytes} from DESCRIBE EXTENDED so
+    callers can assert stats actually landed.
+    """
+    spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+    if columns:
+        cols = ", ".join(columns)
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS {cols}")
+    stats_row = [
+        r for r in spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+        if r.col_name == "Statistics"
+    ]
+    out: dict[str, int | None] = {"rows": None, "bytes": None}
+    if stats_row:
+        text = stats_row[0].data_type  # e.g. "1234 bytes, 56 rows"
+        for part in text.split(","):
+            part = part.strip()
+            if part.endswith("bytes"):
+                out["bytes"] = int(part.split()[0])
+            elif part.endswith("rows"):
+                out["rows"] = int(part.split()[0])
     return out

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
-__all__ = ["running_user_stats"]
+__all__ = ["running_user_stats", "streaming_ewma"]
 
 #: (n_events, total_value) carried per user across micro-batches.
 _STATE = T.StructType([
@@ -64,6 +64,61 @@ def running_user_stats(events: DataFrame) -> DataFrame:
         _update_user,
         outputStructType=_OUTPUT,
         stateStructType=_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+#: (ewma, n_events) carried per user across micro-batches.
+_EWMA_STATE = T.StructType([
+    T.StructField("ewma", T.DoubleType()),
+    T.StructField("n_events", T.LongType()),
+])
+
+_EWMA_OUTPUT = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("ewma", T.DoubleType()),
+])
+
+
+def streaming_ewma(events: DataFrame, *, alpha: float = 0.3) -> DataFrame:
+    """Streaming twin of ``operators/temporal.py::ewma_last`` — per-key
+    exponential smoothing maintained as explicit group state
+    (s_1 = x_1; s_i = α·x_i + (1-α)·s_{i-1}).
+
+    Each micro-batch's rows are sorted by (ts, event_id) and folded
+    into the carried level with the vectorized closed form
+    ``s' = (1-α)^k·s + Σ α·(1-α)^(k-i)·x_i`` — one numpy pass per
+    (key, batch), no Python row loop. EWMA is order-sensitive, so
+    cross-batch correctness requires keys' rows to arrive in event
+    order across batches (file/Kafka-partition append order); within a
+    batch any order is fine. After draining in-order input, each key's
+    last emitted row equals the batch ``ewma_last`` — the invariant
+    the tests pin.
+    """
+    import numpy as np
+
+    def _update(key, pdfs, state: GroupState):
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        xs = rows["value"].to_numpy(dtype=float)
+        if state.exists:
+            s, n = state.get
+        else:
+            s, n = float(xs[0]), 1
+            xs = xs[1:]
+        k = len(xs)
+        if k:
+            w = alpha * (1.0 - alpha) ** np.arange(k - 1, -1, -1)
+            s = (1.0 - alpha) ** k * s + float(w @ xs)
+            n += k
+        state.update((s, n))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "ewma": [s]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=_EWMA_OUTPUT,
+        stateStructType=_EWMA_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -375,3 +375,18 @@ def test_compact_small_files(spark, tmp_path):
     assert out.agg(F.sum("id")).first()[0] == 499500  # content preserved
     assert not (tmp_path / "frag__compact_tmp").exists()
     assert not (tmp_path / "frag__compact_old").exists()
+
+
+def test_analyze_table_records_stats(spark):
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_data_engineering_spark import catalog
+
+    db = "t_stats_db"
+    catalog.create_database(spark, db)
+    spark.range(500).withColumn("k", F.col("id") % 9).write.mode(
+        "overwrite").saveAsTable(f"{db}.t_stats")
+    got = catalog.analyze_table(spark, f"{db}.t_stats", columns=["id", "k"])
+    assert got["rows"] == 500 and got["bytes"] > 0
+    catalog.drop_table(spark, f"{db}.t_stats")
+    catalog.drop_database(spark, db)

@@ -326,3 +326,26 @@ def test_merge_upsert_stream_updates_and_inserts_across_restart(spark, tmp_path)
     assert all(got[i] == f"v2-{i}" for i in range(5))          # updated
     assert all(got[i] == f"v1-{i}" for i in range(5, 10))      # untouched
     assert all(got[i] == f"v2-{i}" for i in range(10, 13))     # inserted
+
+
+def test_streaming_ewma_matches_batch(spark, sf_dir, events_dir):
+    from sentiment_analysis_data_engineering_spark.operators.temporal import ewma_last
+    from sentiment_analysis_data_engineering_spark.streaming import stateful
+
+    stream = st.read_events_stream(spark, events_dir)
+    out = st.run_available_now(
+        stateful.streaming_ewma(stream, alpha=0.3), "t_sewma", output_mode="update"
+    )
+    pdf = out.toPandas()
+    final = pdf.groupby("user_id").tail(1).set_index("user_id")
+
+    (events,) = load_tables(spark, sf_dir, "events")
+    batch = ewma_last(
+        events, key_col="user_id", ts_col="ts", value_col="value",
+        tiebreak_col="event_id", alpha=0.3,
+    ).toPandas().set_index("user_id")
+
+    assert len(final) == len(batch)
+    for uid, row in batch.iterrows():
+        assert final.loc[uid, "n_events"] == row["n_events"]
+        assert abs(final.loc[uid, "ewma"] - row["ewma"]) < 1e-9
