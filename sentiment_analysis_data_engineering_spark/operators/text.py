@@ -340,13 +340,15 @@ def unigram_logprob_score(
     methodology). Scoring the corpus under itself keeps every count
     ≥ 1, so plain MLE needs no smoothing: logp(t) = ln(c_t / N).
 
-    Plan shape (the tfidf_top_terms family): explode normalized tokens
-    once → ONE map-side-combining hash agg builds the unigram table →
-    the corpus-total scalar enters via a 1-row crossJoin broadcast →
-    tokens equi-join the vocabulary on the term (AQE broadcasts small
-    vocabularies; at 100 TB the vocab is millions of rows and
-    shuffle-joins on the term without rescanning the corpus) → per-doc
-    re-agg. No pair joins, no Python.
+    Plan shape (the tfidf_top_terms family): ONE token explode feeds a
+    map-side-combining (doc, term) tf aggregate; the unigram table and
+    corpus total both derive from that tf frame (no second corpus
+    scan), the total enters via a 1-row crossJoin broadcast, and the
+    logprob join runs over distinct (doc, term) pairs — far smaller
+    than the raw token stream (AQE broadcasts small vocabularies; at
+    100 TB the vocab is millions of rows and shuffle-joins on the term
+    without rescanning the corpus). The token-level mean is recovered
+    exactly as Σ tf·logp / Σ tf. No pair joins, no Python.
 
     Returns (id, n_tokens, avg_logprob) with avg_logprob rounded to
     6 dp (cross-engine summation-order tolerance).
@@ -355,17 +357,20 @@ def unigram_logprob_score(
         F.col(id_col).alias("_id"),
         F.explode(tokens(normalize_text(text_col))).alias("term"),
     ).filter(F.col("term") != "")
-    counts = toks.groupBy("term").agg(F.count("*").alias("c"))
+    tf = toks.groupBy("_id", "term").agg(F.count("*").alias("_tf"))
+    counts = tf.groupBy("term").agg(F.sum("_tf").alias("c"))
     total = counts.select(F.sum("c").alias("n"))
     logp = counts.crossJoin(F.broadcast(total)).select(
         "term", F.log(F.col("c") / F.col("n")).alias("_lp")
     )
     return (
-        toks.join(logp, "term")
+        tf.join(logp, "term")
         .groupBy("_id")
         .agg(
-            F.count("*").alias("n_tokens"),
-            F.round(F.avg("_lp"), 6).alias("avg_logprob"),
+            F.sum("_tf").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("_tf") * F.col("_lp")) / F.sum("_tf"), 6
+            ).alias("avg_logprob"),
         )
         .select(F.col("_id").alias(id_col), "n_tokens", "avg_logprob")
     )

@@ -1377,13 +1377,14 @@ def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     t2 AS (SELECT * FROM toks WHERE term <> ''),
-    counts AS (SELECT term, count(*) AS c FROM t2 GROUP BY term),
-    total AS (SELECT sum(c) AS n FROM counts),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY 1, 2),
+    counts AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY term),
+    total AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM counts),
     logp AS (SELECT term, ln(c / n) AS lp FROM counts, total)
     SELECT doc_id,
-           CAST(count(*) AS BIGINT) AS n_tokens,
-           round(avg(lp), 6) AS avg_logprob
-    FROM t2 JOIN logp USING (term)
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           round(sum(tf * lp) / sum(tf), 6) AS avg_logprob
+    FROM tf JOIN logp USING (term)
     GROUP BY doc_id
     """,
 )
