@@ -33,6 +33,7 @@ __all__ = [
     "scan",
     "scan_csv",
     "scan_jsonl",
+    "scan_orc",
     "scan_or_none",
     "append",
     "idempotent_append",
@@ -42,6 +43,7 @@ __all__ = [
     "write_balanced_shards",
     "write_bucketed",
     "compact_small_files",
+    "write_range_sorted",
 ]
 
 
@@ -127,6 +129,27 @@ def scan_csv(
         .option("mode", mode)
         .csv(path)
     )
+
+
+def scan_orc(
+    spark: SparkSession,
+    path: str,
+    *,
+    predicate: Column | None = None,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """ORC source with the same pushdown stance as ``scan``: predicate
+    and projection are applied on the DataFrame so Catalyst pushes them
+    into the ORC reader (PushedFilters / pruned ReadSchema — ORC keeps
+    file/stripe/row-group min-max indexes just like parquet), making
+    the engine format-portable for warehouses already standardized on
+    ORC (Hive lineage) without a conversion pass."""
+    df = spark.read.orc(path)
+    if predicate is not None:
+        df = df.filter(predicate)
+    if columns:
+        df = df.select(*columns)
+    return df
 
 
 def scan_jsonl(
@@ -547,3 +570,34 @@ def compact_small_files(
         raise IOError(f"compact: could not install compacted {path}")
     fs.delete(old, True)
     return {"files_before": files_before, "files_after": _count_part_files(jpath)}
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    *,
+    cluster_cols: list[str],
+    n_files: int,
+) -> None:
+    """Range-clustered write: rows range-partitioned on
+    ``cluster_cols`` then sorted inside each file — the layout that
+    makes min/max data-skipping work. Parquet keeps per-row-group
+    min/max stats; on a randomly-laid-out table every file spans the
+    whole key range and no filter can skip anything, while after a
+    range-clustered rewrite each file covers a narrow, disjoint slice
+    and a selective predicate touches only the files whose range
+    overlaps (the single-dimension form of the Z-order/clustering
+    maintenance every lakehouse runs).
+
+    ``repartitionByRange`` samples the key distribution to place
+    balanced boundaries (skew-tolerant, one light sampling pass);
+    ``sortWithinPartitions`` keeps the sort local — no global sort
+    barrier.
+    """
+    cols = [F.col(c) for c in cluster_cols]
+    (
+        df.repartitionByRange(n_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -390,3 +390,40 @@ def test_analyze_table_records_stats(spark):
     assert got["rows"] == 500 and got["bytes"] > 0
     catalog.drop_table(spark, f"{db}.t_stats")
     catalog.drop_database(spark, db)
+
+
+def test_scan_orc_roundtrip_with_pushdown(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_data_engineering_spark.sources.io import scan_orc
+
+    p = str(tmp_path / "t_orc")
+    spark.range(100).withColumn("k", F.col("id") % 4).write.orc(p)
+    df = scan_orc(spark, p, predicate=F.col("k") == 1, columns=["id"])
+    assert df.columns == ["id"]
+    assert df.count() == 25
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "IsNotNull(k)" in plan
+
+
+def test_write_range_sorted_files_cover_disjoint_ranges(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_data_engineering_spark.sources.io import write_range_sorted
+
+    path = str(tmp_path / "t_clustered")
+    # shuffled input: every file would span the whole range if written as-is
+    df = spark.range(10_000).withColumn("key", (F.col("id") * 7919) % 10_000)
+    write_range_sorted(df, path, cluster_cols=["key"], n_files=8)
+
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    spans = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("key").alias("lo"), F.max("key").alias("hi"))
+        .collect()
+    )
+    assert len(spans) == 8
+    ordered = sorted((r.lo, r.hi) for r in spans)
+    for (lo1, hi1), (lo2, hi2) in zip(ordered, ordered[1:]):
+        assert hi1 < lo2  # disjoint → min/max stats actually skip files

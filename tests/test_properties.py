@@ -3,6 +3,8 @@ correctness is a LAW over all inputs, not a fixture fact."""
 
 from __future__ import annotations
 
+import math
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -116,3 +118,23 @@ def test_mixture_weighted_sample_solver(spark):
         df, "id", "src", {"a": 0.5, "c": 0.5}, target_fraction=0.5, salt="t"
     )
     assert out.exceptAll(again).isEmpty() and again.exceptAll(out).isEmpty()
+
+
+@given(
+    st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                       allow_nan=False, allow_infinity=False),
+             min_size=1, max_size=40),
+    st.floats(min_value=0.05, max_value=0.95),
+)
+@settings(max_examples=60, deadline=None)
+def test_ewma_closed_form_matches_recursion(xs, alpha):
+    """The closed form both engines evaluate (ewma_user_value and
+    streaming_ewma) equals the textbook recursion s_i = a*x + (1-a)*s."""
+    s = xs[0]
+    for x in xs[1:]:
+        s = alpha * x + (1.0 - alpha) * s
+    n = len(xs)
+    closed = (1.0 - alpha) ** (n - 1) * xs[0] + sum(
+        alpha * (1.0 - alpha) ** (n - i) * xs[i - 1] for i in range(2, n + 1)
+    )
+    assert math.isclose(closed, s, rel_tol=1e-9, abs_tol=1e-6)
