@@ -49,6 +49,7 @@ _GATE_FIRST = [
     "embedding_quantize_error",
     "ewma_user_value",
     "unigram_logprob_score",
+    "data_quality_report",
     # -- implementation changed in round 3: need a fresh driver entry
     "customer_balance_deciles",
     "ann_cosine_topk",
@@ -92,7 +93,6 @@ _GATE_FIRST = [
     "text_lang_id",
     "doc_fingerprint",
     "dedup_exact",
-    "corpus_curation",
     "dedup_clusters",
 ]
 assert len(_GATE_FIRST) <= 50, "driver gate checks only the first 50 queries"

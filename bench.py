@@ -85,6 +85,7 @@ HEADLINE = [
     "embedding_quantize_error",
     "ewma_user_value",
     "unigram_logprob_score",
+    "data_quality_report",
 ]
 
 

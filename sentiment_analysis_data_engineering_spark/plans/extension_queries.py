@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as dd
 from ..operators import multimodal as mm
+from ..operators import quality_checks as qc
 from ..operators import sampling as sp
 from ..operators import similarity as sim
 from ..operators import skew as sk
@@ -1395,3 +1396,73 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     term equi-join back, per-doc re-agg."""
     (documents,) = load_tables(spark, sf_dir, "documents")
     return tx.unigram_logprob_score(documents, "text", "doc_id")
+
+
+@query(
+    "data_quality_report",
+    oracle="""
+    WITH dup AS (
+      SELECT count(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber
+    )
+    SELECT 'orders.null.o_custkey' AS check_name,
+           CAST(coalesce(sum(CASE WHEN o_custkey IS NULL THEN 1 END), 0) AS BIGINT) AS value
+    FROM orders
+    UNION ALL
+    SELECT 'orders.null.o_orderdate',
+           CAST(coalesce(sum(CASE WHEN o_orderdate IS NULL THEN 1 END), 0) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem.range.quantity_1_50',
+           CAST(coalesce(sum(CASE WHEN NOT coalesce(l_quantity >= 1 AND l_quantity <= 50, FALSE)
+                             THEN 1 END), 0) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem.range.discount_0_01',
+           CAST(coalesce(sum(CASE WHEN NOT coalesce(l_discount >= 0 AND l_discount <= 0.1, FALSE)
+                             THEN 1 END), 0) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem.dup.n_duplicate_keys',
+           CAST(coalesce(sum(CASE WHEN n > 1 THEN 1 END), 0) AS BIGINT) FROM dup
+    UNION ALL
+    SELECT 'lineitem.dup.n_surplus_rows',
+           CAST(coalesce(sum(CASE WHEN n > 1 THEN n - 1 END), 0) AS BIGINT) FROM dup
+    UNION ALL
+    SELECT 'lineitem.fk.n_orphans', CAST(count(*) AS BIGINT)
+    FROM lineitem l
+    LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+      ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IS NULL
+    """,
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch pre-flight quality gate over the warehouse tables
+    (operators/quality_checks.py): null keys, value-range violations
+    (all fused into single scans), duplicate-key surplus (one hash
+    agg), and lineitem->orders referential orphans (column-pruned
+    LEFT ANTI probe). One (check_name, value) row per gate."""
+    lineitem, orders = load_tables(spark, sf_dir, "lineitem", "orders")
+
+    nulls = qc.null_violations(orders, ["o_custkey", "o_orderdate"]).select(
+        F.concat(F.lit("orders.null."), F.col("column")).alias("check_name"),
+        F.col("n_null").cast("long").alias("value"),
+    )
+    ranges = qc.range_violations(
+        lineitem,
+        {
+            "quantity_1_50": (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 50),
+            "discount_0_01": (F.col("l_discount") >= 0) & (F.col("l_discount") <= 0.1),
+        },
+    ).select(
+        F.concat(F.lit("lineitem.range."), F.col("check")).alias("check_name"),
+        F.col("n_violations").cast("long").alias("value"),
+    )
+    keyed = qc.quality_summary({
+        "lineitem.dup": qc.duplicate_key_count(
+            lineitem, ["l_orderkey", "l_linenumber"]
+        ),
+        "lineitem.fk": qc.orphan_count(
+            lineitem, orders, child_key="l_orderkey", parent_key="o_orderkey"
+        ),
+    }).select(F.col("check").alias("check_name"), "value")
+    return nulls.unionByName(ranges).unionByName(keyed)
