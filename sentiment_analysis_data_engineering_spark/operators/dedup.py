@@ -39,6 +39,8 @@ __all__ = [
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "minhash_lsh_pairs",
+    "build_minhash_index",
+    "minhash_lsh_probe",
     "simhash",
     "simhash_pairs",
     "embedding_cosine_pairs",
@@ -429,6 +431,38 @@ def _signatures_from_shingle_rows(sh: DataFrame, num_hashes: int) -> DataFrame:
     )
 
 
+def _band_buckets(sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(_id, _band, _bucket): band bucket = hash of the band's signature
+    slice. The band index comes from an explode GENERATOR so the
+    signature expression sits below a Generate node — CollapseProject
+    can't inline it into the per-band projection, so the (expensive)
+    signature is computed once per document, not once per band."""
+    return (
+        sig.select(
+            "_id",
+            "_sig",
+            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("_band"),
+        )
+        .select(
+            "_id",
+            "_band",
+            F.xxhash64(
+                F.array_join(
+                    F.transform(
+                        F.slice(
+                            F.col("_sig"),
+                            F.col("_band") * rows_per_band + 1,
+                            F.lit(rows_per_band),
+                        ),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("_bucket"),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -473,35 +507,7 @@ def minhash_lsh_pairs(
         ),
         persist,
     )
-    # band bucket = hash of the band's signature slice. The band index
-    # comes from an explode GENERATOR so the signature expression sits
-    # below a Generate node — CollapseProject can't inline it into the
-    # per-band projection, so the (expensive) signature is computed once
-    # per document, not once per band.
-    band_sig = (
-        sig.select(
-            "_id",
-            "_sig",
-            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("_band"),
-        )
-        .select(
-            "_id",
-            "_band",
-            F.xxhash64(
-                F.array_join(
-                    F.transform(
-                        F.slice(
-                            F.col("_sig"),
-                            F.col("_band") * rows_per_band + 1,
-                            F.lit(rows_per_band),
-                        ),
-                        lambda x: x.cast("string"),
-                    ),
-                    ",",
-                )
-            ).alias("_bucket"),
-        )
-    )
+    band_sig = _band_buckets(sig, bands, rows_per_band)
     # skew guard: a bucket with B docs yields B² pairs. A window count
     # over (_band,_bucket) instead of groupBy+self-join: ONE shuffle of
     # band_sig and no recomputation of the banding subtree for the
@@ -546,6 +552,102 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= verify_threshold)
         .select("id_a", "id_b", "n_bands", "jaccard")
+    )
+
+
+def build_minhash_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 64,
+    shingle_size: int = 5,
+) -> DataFrame:
+    """(id, sig) signature index for incremental near-dedup — write
+    this ONCE per corpus (and append per batch); subsequent batches
+    probe it via :func:`minhash_lsh_probe` without ever re-reading the
+    corpus text. Signatures are deterministic (keyed xxhash64), so an
+    index built in pieces equals one built whole."""
+    return minhash_signatures(
+        df, text_col, id_col, num_hashes=num_hashes, shingle_size=shingle_size
+    ).select(F.col("_id").alias(id_col), F.col("_sig").alias("sig"))
+
+
+def minhash_lsh_probe(
+    new_df: DataFrame,
+    index: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 5,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Incremental near-dup candidates: every LSH pair involving at
+    least one NEW document — new-vs-index and new-vs-new — WITHOUT
+    re-sketching the corpus. At 100 TB this is the only affordable
+    nightly shape: text is hashed for the incoming batch alone; the
+    stored index contributes pre-computed signatures (num_hashes longs
+    per doc, orders of magnitude smaller than its text).
+
+    Contract (pytest-pinned): with identical parameters, the result
+    equals the full-corpus ``minhash_lsh_pairs(verify_threshold=None)``
+    restricted to pairs touching a new doc — determinism of the keyed
+    hashes makes incremental == monolithic, which is what lets a
+    pipeline trust an index built batch-by-batch. Candidates only; the
+    exact-Jaccard verify needs candidate texts, so run it as a
+    candidate-proportional join against the corpus afterwards.
+
+    Plan: new batch → signatures (one explode + compiled min-agg);
+    index → rename only. Both band (array slicing, no text); the skew
+    guard window sees the UNION (same bucket populations as the
+    monolithic run — the guard can't diverge); the pair join probes
+    new-side buckets against all. One shuffle each for signature agg,
+    bucket window, and pair join — all keyed.
+    """
+    rows_per_band = num_hashes // bands
+    sig_new = minhash_signatures(
+        _spread(new_df, id_col), text_col, id_col,
+        num_hashes=num_hashes, shingle_size=shingle_size,
+    )
+    sig_idx = index.select(
+        F.col(id_col).alias("_id"), F.col("sig").alias("_sig")
+    )
+    both = sig_new.withColumn("_new", F.lit(True)).unionByName(
+        sig_idx.withColumn("_new", F.lit(False))
+    )
+    banded = _band_buckets(both.select("_id", "_sig"), bands, rows_per_band).join(
+        both.select("_id", "_new"), "_id"
+    )
+    kept = _pin(
+        banded.withColumn(
+            "_bsz", F.count("*").over(Window.partitionBy("_band", "_bucket"))
+        )
+        .filter(F.col("_bsz") <= max_bucket_size)
+        .drop("_bsz"),
+        True,
+    )
+    a = kept.filter("_new").select(
+        F.col("_id").alias("id_a"), "_band", "_bucket"
+    )
+    b = kept.select(
+        F.col("_id").alias("id_b"), F.col("_new").alias("_new_b"), "_band", "_bucket"
+    )
+    # new-new pairs appear in both orders from this join; keep one. A
+    # new-old pair appears once (only the new side is probed).
+    return (
+        a.join(b, ["_band", "_bucket"])
+        .filter(
+            (F.col("id_a") != F.col("id_b"))
+            & (~F.col("_new_b") | (F.col("id_a") < F.col("id_b")))
+        )
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_bands"))
     )
 
 

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from sentiment_analysis_data_engineering_spark.operators import dedup as dd
 
@@ -398,3 +399,55 @@ def test_template_doc_flags_short_doc_whole_text_shingle(spark):
         df, "text", "doc_id", hot_min_docs=5).collect()}
     assert out[0].n_shingles == 1 and out[0].is_template
     assert not out[9].is_template
+
+
+def test_minhash_probe_equals_monolithic_run_on_new_docs(spark, sf_dir):
+    """Incremental == monolithic: probing a new batch against an index
+    built from the rest must produce exactly the full-corpus LSH pairs
+    that touch a new doc (deterministic keyed hashes)."""
+    from sentiment_analysis_data_engineering_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_lsh_pairs,
+        minhash_lsh_probe,
+        release_pinned,
+    )
+    from sentiment_analysis_data_engineering_spark.plans.registry import load_tables
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    new = documents.filter(F.col("doc_id") % 10 == 0)
+    old = documents.filter(F.col("doc_id") % 10 != 0)
+
+    full = {
+        (r.id_a, r.id_b, r.n_bands)
+        for r in minhash_lsh_pairs(
+            documents, "text", "doc_id", verify_threshold=None
+        ).collect()
+        if r.id_a % 10 == 0 or r.id_b % 10 == 0
+    }
+    release_pinned()
+
+    index = build_minhash_index(old, "text", "doc_id")
+    probed = {
+        (r.id_a, r.id_b, r.n_bands)
+        for r in minhash_lsh_probe(new, index, "text", "doc_id").collect()
+    }
+    release_pinned()
+    assert probed == full
+    assert probed  # non-vacuous: the fixture corpus has near-dups
+
+
+def test_minhash_index_built_in_pieces_equals_whole(spark, sf_dir):
+    from sentiment_analysis_data_engineering_spark.operators.dedup import (
+        build_minhash_index,
+    )
+    from sentiment_analysis_data_engineering_spark.plans.registry import load_tables
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    docs = documents.limit(200)
+    whole = build_minhash_index(docs, "text", "doc_id")
+    parts = build_minhash_index(
+        docs.filter(F.col("doc_id") % 2 == 0), "text", "doc_id"
+    ).unionByName(
+        build_minhash_index(docs.filter(F.col("doc_id") % 2 == 1), "text", "doc_id")
+    )
+    assert whole.exceptAll(parts).isEmpty() and parts.exceptAll(whole).isEmpty()
