@@ -50,6 +50,7 @@ _GATE_FIRST = [
     "ewma_user_value",
     "unigram_logprob_score",
     "data_quality_report",
+    "full_outer_daily_activity",
     # -- implementation changed in round 3: need a fresh driver entry
     "customer_balance_deciles",
     "ann_cosine_topk",
@@ -92,7 +93,6 @@ _GATE_FIRST = [
     "text_quality_score",
     "text_lang_id",
     "doc_fingerprint",
-    "dedup_exact",
     "dedup_clusters",
 ]
 assert len(_GATE_FIRST) <= 50, "driver gate checks only the first 50 queries"

@@ -86,6 +86,7 @@ HEADLINE = [
     "ewma_user_value",
     "unigram_logprob_score",
     "data_quality_report",
+    "full_outer_daily_activity",
 ]
 
 

@@ -1333,3 +1333,40 @@ def order_flags_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
         F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
     )
+
+
+@query(
+    "full_outer_daily_activity",
+    oracle="""
+    WITH o AS (
+      SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, count(*) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    s AS (
+      SELECT strftime(l_shipdate, '%Y-%m-%d') AS day, count(*) AS n_shipped
+      FROM lineitem GROUP BY 1
+    )
+    SELECT coalesce(o.day, s.day) AS day,
+           CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(coalesce(n_shipped, 0) AS BIGINT) AS n_shipped
+    FROM o FULL OUTER JOIN s ON o.day = s.day
+    """,
+)
+def full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join completing the join-type matrix: per-day order
+    placements vs lineitem shipments, keeping days present on either
+    side. Both sides aggregate FIRST (map-side combine), so the outer
+    join runs over ~|distinct days| rows, not facts — the shape that
+    keeps full-outer (which can never broadcast) cheap at any scale."""
+    lineitem, orders = load_tables(spark, sf_dir, "lineitem", "orders")
+    o = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").alias("n_orders"))
+    s = lineitem.groupBy(
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").alias("n_shipped"))
+    return o.join(s, "day", "full_outer").select(
+        "day",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("n_shipped", F.lit(0)).alias("n_shipped"),
+    )
