@@ -36,7 +36,7 @@ SF0001 = "/root/testdata/sf0.001"
 # implementation changed this round, (3) a regression canary, (4) the
 # r1-green queries that fell outside round 2's window, oldest coverage
 # first. Everything else was driver-green in round 2 and is re-verified
-# locally every round by tools/check_oracle.py (full 94-query run recorded in
+# locally every round by tools/check_oracle.py (full all-query run recorded in
 # PROGRESS.jsonl).
 _GATE_FIRST = [
     # -- red or never-checked at end of round 2 (VERDICT r2 items 1-3)
@@ -51,6 +51,7 @@ _GATE_FIRST = [
     "unigram_logprob_score",
     "data_quality_report",
     "full_outer_daily_activity",
+    "dedup_incremental_probe",
     # -- implementation changed in round 3: need a fresh driver entry
     "customer_balance_deciles",
     "ann_cosine_topk",
@@ -92,7 +93,6 @@ _GATE_FIRST = [
     "text_token_count",
     "text_quality_score",
     "text_lang_id",
-    "doc_fingerprint",
     "dedup_clusters",
 ]
 assert len(_GATE_FIRST) <= 50, "driver gate checks only the first 50 queries"

@@ -87,6 +87,7 @@ HEADLINE = [
     "unigram_logprob_score",
     "data_quality_report",
     "full_outer_daily_activity",
+    "dedup_incremental_probe",
 ]
 
 

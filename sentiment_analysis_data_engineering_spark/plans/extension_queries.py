@@ -1466,3 +1466,68 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     }).select(F.col("check").alias("check_name"), "value")
     return nulls.unionByName(ranges).unionByName(keyed)
+
+
+@query(
+    "dedup_incremental_probe",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(t) >= 5
+                    THEN [array_to_string(t[i:i+4], ' ') for i in range(1, len(t)-3)]
+                    ELSE [array_to_string(t, ' ')] END) AS g
+      FROM toks
+    ),
+    sh AS (SELECT doc_id, unnest(g) AS s FROM grams),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.2
+      AND (id_a % 10 = 0 OR id_b % 10 = 0)
+    """,
+)
+def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup, driver-checked end-to-end: docs with
+    doc_id % 10 = 0 play the incoming batch, the rest a pre-built
+    signature index (operators/dedup.py::build_minhash_index /
+    minhash_lsh_probe — only the batch is sketched from text), then a
+    candidate-proportional exact-Jaccard verify. The oracle is the
+    full exact pair set at the same threshold RESTRICTED to pairs
+    touching a new doc — the recall-equality contract dedup_minhash_lsh
+    pins for the monolithic path, applied to the incremental one."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    new = documents.filter(F.col("doc_id") % 10 == 0)
+    old = documents.filter(F.col("doc_id") % 10 != 0)
+    with dd.pinned_scope():
+        index = dd.build_minhash_index(old, "text", "doc_id")
+        cands = dd.minhash_lsh_probe(new, index, "text", "doc_id")
+        shs = documents.select(
+            "doc_id", F.array_distinct(dd.word_ngrams("text", 5)).alias("_shs")
+        )
+        a = shs.select(F.col("doc_id").alias("id_a"), F.col("_shs").alias("_sha"))
+        b = shs.select(F.col("doc_id").alias("id_b"), F.col("_shs").alias("_shb"))
+        inter = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
+        out = (
+            cands.join(a, "id_a")
+            .join(b, "id_b")
+            .withColumn(
+                "jaccard",
+                F.round(inter / (F.size("_sha") + F.size("_shb") - inter), 6),
+            )
+            .filter(F.col("jaccard") >= 0.2)
+            .select("id_a", "id_b", "jaccard")
+        )
+        out = out.localCheckpoint()  # materialize inside the pin scope
+    return out
