@@ -31,6 +31,7 @@ __all__ = [
     "orphan_count",
     "range_violations",
     "quality_summary",
+    "with_observed_gate",
 ]
 
 
@@ -123,3 +124,27 @@ def quality_summary(parts: dict[str, DataFrame]) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def with_observed_gate(df: DataFrame, checks: dict[str, "Column"]):
+    """Attach violation counters to the frame itself via
+    ``DataFrame.observe`` — the metrics are computed DURING whatever
+    action the caller already runs (typically the write), so the gate
+    costs ZERO extra scans; the aggregate gates above each cost one.
+    This is how a 100 TB load validates itself: write once, read the
+    observation, quarantine the batch if a counter is non-zero.
+
+    ``checks`` maps name → predicate that must HOLD (nulls violate).
+    Returns ``(df, observation)``; call ``observation.get`` AFTER an
+    action has run on the returned frame. Each Observation is
+    single-use — attach a fresh one per action.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    exprs = [
+        F.count_if(~F.coalesce(pred, F.lit(False))).alias(name)
+        for name, pred in checks.items()
+    ]
+    exprs.append(F.count(F.lit(1)).alias("n_rows"))
+    return df.observe(obs, *exprs), obs

@@ -50,3 +50,17 @@ def test_quality_summary_flattens_named_frames(spark):
     b = spark.createDataFrame([(7,)], "z long")
     got = {r.check: r.value for r in qc.quality_summary({"t1": a, "t2": b}).collect()}
     assert got == {"t1.m": 3, "t1.n": 4, "t2.z": 7}
+
+
+def test_with_observed_gate_collects_during_the_write(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -3.0), (3, None)], "k long, v double"
+    )
+    observed, obs = qc.with_observed_gate(
+        df, {"v_nonneg": F.col("v") >= 0, "k_notnull": F.col("k").isNotNull()}
+    )
+    observed.write.mode("overwrite").parquet(str(tmp_path / "gated"))
+    got = obs.get
+    assert got == {"v_nonneg": 2, "k_notnull": 0, "n_rows": 3}
+    # the data itself landed untouched
+    assert spark.read.parquet(str(tmp_path / "gated")).count() == 3
