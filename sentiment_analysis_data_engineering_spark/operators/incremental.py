@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..sources.io import replace_partition, scan_or_none
 
-__all__ = ["merge_rollup"]
+__all__ = ["merge_rollup", "distinct_sketch", "merged_distinct_estimate"]
 
 #: measure name → (partial expr builder, merge expr builder)
 _MERGES = {
@@ -98,3 +98,41 @@ def merge_rollup(
         )
 
     replace_partition(spark, merged, target, [partition_col])
+
+
+def distinct_sketch(
+    df: DataFrame, col: str, *, by: list[str] | None = None, lg_k: int = 12
+) -> DataFrame:
+    """Mergeable distinct-count sketch (Datasketches HLL via Spark's
+    ``hll_sketch_agg``): one binary sketch per group — the persistable
+    form of a distinct count. Store it next to each batch/partition;
+    :func:`merged_distinct_estimate` unions sketches later WITHOUT
+    touching the underlying rows. That turns "distinct users ever" —
+    normally a full-history re-scan per refresh at 100 TB — into a
+    merge over kilobyte sketches, the same maintenance shape as
+    merge_rollup's partial aggregates.
+
+    The sketch is deterministic for fixed input, so piecewise-built
+    unions estimate EXACTLY what a whole-corpus sketch estimates
+    (pytest-pinned), and estimates carry HLL's standard ~1.6%/sqrt(2^
+    (lg_k-12)) relative error versus the true distinct count."""
+    keys = [F.col(k) for k in (by or [])]
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(col, F.lit(lg_k)).alias("sketch")
+    )
+
+
+def merged_distinct_estimate(
+    sketches: DataFrame, *, by: list[str] | None = None
+) -> DataFrame:
+    """Union previously-stored sketches (per group if ``by`` given) and
+    return the distinct estimate — rows never re-read."""
+    keys = [F.col(k) for k in (by or [])]
+    return (
+        sketches.groupBy(*keys)
+        .agg(F.hll_union_agg("sketch").alias("_u"))
+        .select(
+            *(by or []),
+            F.hll_sketch_estimate("_u").alias("n_distinct_est"),
+        )
+    )

@@ -89,3 +89,46 @@ def test_unreadable_target_raises_not_overwrites(spark, sf_dir, tmp_path):
                      measures=MEASURES)
     # and the garbage file was not clobbered by a fresh write
     assert (target / "part-00000.parquet").read_bytes() == b"this is not parquet"
+
+
+def test_distinct_sketch_piecewise_union_equals_whole(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_data_engineering_spark.operators.incremental import (
+        distinct_sketch,
+        merged_distinct_estimate,
+    )
+    from sentiment_analysis_data_engineering_spark.plans.registry import load_tables
+
+    (events,) = load_tables(spark, sf_dir, "events")
+    whole = merged_distinct_estimate(
+        distinct_sketch(events, "user_id")
+    ).first().n_distinct_est
+    pieces = distinct_sketch(
+        events.filter(F.col("event_id") % 3 == 0), "user_id"
+    ).unionByName(
+        distinct_sketch(events.filter(F.col("event_id") % 3 == 1), "user_id")
+    ).unionByName(
+        distinct_sketch(events.filter(F.col("event_id") % 3 == 2), "user_id")
+    )
+    merged = merged_distinct_estimate(pieces).first().n_distinct_est
+    assert merged == whole  # deterministic sketch: piecewise == whole
+    exact = events.select("user_id").distinct().count()
+    assert abs(merged - exact) / exact < 0.05  # HLL error bound honored
+
+
+def test_distinct_sketch_grouped(spark, sf_dir):
+    from sentiment_analysis_data_engineering_spark.operators.incremental import (
+        distinct_sketch,
+        merged_distinct_estimate,
+    )
+    from sentiment_analysis_data_engineering_spark.plans.registry import load_tables
+
+    (events,) = load_tables(spark, sf_dir, "events")
+    per_type = merged_distinct_estimate(
+        distinct_sketch(events, "user_id", by=["event_type"]),
+        by=["event_type"],
+    )
+    got = {r.event_type: r.n_distinct_est for r in per_type.collect()}
+    assert set(got) == {"click", "view", "signup", "purchase", "error"}
+    assert all(v > 0 for v in got.values())
