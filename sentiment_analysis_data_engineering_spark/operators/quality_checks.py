@@ -32,6 +32,7 @@ __all__ = [
     "range_violations",
     "quality_summary",
     "with_observed_gate",
+    "quarantine_split_write",
 ]
 
 
@@ -148,3 +149,44 @@ def with_observed_gate(df: DataFrame, checks: dict[str, "Column"]):
     ]
     exprs.append(F.count(F.lit(1)).alias("n_rows"))
     return df.observe(obs, *exprs), obs
+
+
+def quarantine_split_write(
+    df: DataFrame,
+    path: str,
+    checks: dict[str, "Column"],
+    *,
+    partition_by: list[str] | None = None,
+) -> dict[str, int]:
+    """ONE-pass validate-and-split load: rows failing any check land in
+    the ``_quarantined=true`` partition, clean rows in
+    ``_quarantined=false`` — a single scan and a single write (the
+    split rides dynamic partitioning; no second pass over 100 TB to
+    separate the failures), with violation counts observed during that
+    same write. Readers point at ``path/_quarantined=false``; the
+    quarantine partition keeps the bad rows inspectable instead of
+    dropped.
+
+    Returns the observed counters: one per check plus ``n_rows`` and
+    ``n_quarantined``.
+    """
+    from pyspark.sql import Observation
+
+    ok = F.lit(True)
+    for pred in checks.values():
+        ok = ok & F.coalesce(pred, F.lit(False))
+    tagged = df.withColumn("_quarantined", ~ok)
+    obs = Observation()
+    exprs = [
+        F.count_if(~F.coalesce(pred, F.lit(False))).alias(name)
+        for name, pred in checks.items()
+    ]
+    exprs.append(F.count(F.lit(1)).alias("n_rows"))
+    exprs.append(F.count_if(F.col("_quarantined")).alias("n_quarantined"))
+    (
+        tagged.observe(obs, *exprs)
+        .write.mode("overwrite")
+        .partitionBy(*(["_quarantined"] + (partition_by or [])))
+        .parquet(path)
+    )
+    return dict(obs.get)

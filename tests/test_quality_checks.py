@@ -64,3 +64,18 @@ def test_with_observed_gate_collects_during_the_write(spark, tmp_path):
     assert got == {"v_nonneg": 2, "k_notnull": 0, "n_rows": 3}
     # the data itself landed untouched
     assert spark.read.parquet(str(tmp_path / "gated")).count() == 3
+
+
+def test_quarantine_split_write_one_pass(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -3.0), (3, None), (4, 7.0)], "k long, v double"
+    )
+    path = str(tmp_path / "load")
+    got = qc.quarantine_split_write(df, path, {"v_nonneg": F.col("v") >= 0})
+    assert got == {"v_nonneg": 2, "n_rows": 4, "n_quarantined": 2}
+    # partition-directory values surface as strings on read-back
+    back = spark.read.parquet(path)
+    clean = back.filter(F.col("_quarantined") == "false")
+    bad = back.filter(F.col("_quarantined") == "true")
+    assert {r.k for r in clean.collect()} == {1, 4}
+    assert {r.k for r in bad.collect()} == {2, 3}
