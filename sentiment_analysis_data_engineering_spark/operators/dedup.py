@@ -569,7 +569,8 @@ def build_minhash_index(
     corpus text. Signatures are deterministic (keyed xxhash64), so an
     index built in pieces equals one built whole."""
     return minhash_signatures(
-        df, text_col, id_col, num_hashes=num_hashes, shingle_size=shingle_size
+        _spread(df, id_col), text_col, id_col,
+        num_hashes=num_hashes, shingle_size=shingle_size,
     ).select(F.col("_id").alias(id_col), F.col("_sig").alias("sig"))
 
 

@@ -1512,22 +1512,30 @@ def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = documents.filter(F.col("doc_id") % 10 != 0)
     with dd.pinned_scope():
         index = dd.build_minhash_index(old, "text", "doc_id")
-        cands = dd.minhash_lsh_probe(new, index, "text", "doc_id")
-        shs = documents.select(
-            "doc_id", F.array_distinct(dd.word_ngrams("text", 5)).alias("_shs")
+        # materialize candidates inside the pin scope (they're reused
+        # for the id set AND the verify join below)
+        cands = dd.minhash_lsh_probe(new, index, "text", "doc_id").localCheckpoint()
+    # verify is CANDIDATE-proportional: only docs appearing in a
+    # candidate pair get their shingle arrays computed — the candidate
+    # id set broadcasts into a semi-style prune of the corpus scan.
+    cand_ids = (
+        cands.select(F.col("id_a").alias("doc_id"))
+        .union(cands.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    shs = documents.join(F.broadcast(cand_ids), "doc_id").select(
+        "doc_id", F.array_distinct(dd.word_ngrams("text", 5)).alias("_shs")
+    )
+    a = shs.select(F.col("doc_id").alias("id_a"), F.col("_shs").alias("_sha"))
+    b = shs.select(F.col("doc_id").alias("id_b"), F.col("_shs").alias("_shb"))
+    inter = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(inter / (F.size("_sha") + F.size("_shb") - inter), 6),
         )
-        a = shs.select(F.col("doc_id").alias("id_a"), F.col("_shs").alias("_sha"))
-        b = shs.select(F.col("doc_id").alias("id_b"), F.col("_shs").alias("_shb"))
-        inter = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
-        out = (
-            cands.join(a, "id_a")
-            .join(b, "id_b")
-            .withColumn(
-                "jaccard",
-                F.round(inter / (F.size("_sha") + F.size("_shb") - inter), 6),
-            )
-            .filter(F.col("jaccard") >= 0.2)
-            .select("id_a", "id_b", "jaccard")
-        )
-        out = out.localCheckpoint()  # materialize inside the pin scope
-    return out
+        .filter(F.col("jaccard") >= 0.2)
+        .select("id_a", "id_b", "jaccard")
+    )
