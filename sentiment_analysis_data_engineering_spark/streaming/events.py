@@ -262,6 +262,44 @@ def run_merge_upsert_stream(
     q.awaitTermination()
 
 
+def run_quarantine_stream(
+    stream_df: DataFrame,
+    target: str,
+    checks: dict,
+    *,
+    checkpoint: str,
+) -> None:
+    """Streaming quality gate: each micro-batch splits valid/quarantined
+    rows in one write via the batch ``quarantine_split_write`` shape —
+    rows failing any check land in the ``_quarantined=true`` partition
+    of the SAME append, clean rows in ``_quarantined=false``; nothing
+    is dropped, and no second pass separates failures.
+
+    Replay safety: the split is a pure row-level tag, so a replayed
+    micro-batch appends duplicate rows exactly as a plain append sink
+    would — compose with stream_dedup / run_idempotent_append_stream
+    upstream when exactly-once content is required.
+    """
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ok = F.lit(True)
+        for pred in checks.values():
+            ok = ok & F.coalesce(pred, F.lit(False))
+        (
+            batch_df.withColumn("_quarantined", ~ok)
+            .write.mode("append")
+            .partitionBy("_quarantined")
+            .parquet(target)
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str, *, output_mode: str = "append"
 ) -> DataFrame:

@@ -349,3 +349,22 @@ def test_streaming_ewma_matches_batch(spark, sf_dir, events_dir):
     for uid, row in batch.iterrows():
         assert final.loc[uid, "n_events"] == row["n_events"]
         assert abs(final.loc[uid, "ewma"] - row["ewma"]) < 1e-9
+
+
+def test_quarantine_stream_splits_and_keeps_everything(spark, events_dir, tmp_path):
+    stream = st.read_events_stream(spark, events_dir)
+    target = str(tmp_path / "q_sink")
+    st.run_quarantine_stream(
+        stream,
+        target,
+        {"value_under_100": F.col("value") < 100.0},
+        checkpoint=str(tmp_path / "q_ckpt"),
+    )
+    back = spark.read.parquet(target)
+    n_total = spark.read.parquet(events_dir).count()
+    assert back.count() == n_total  # nothing dropped
+    n_bad_expected = (
+        spark.read.parquet(events_dir).filter(~(F.col("value") < 100.0)).count()
+    )
+    n_bad = back.filter(F.col("_quarantined") == "true").count()
+    assert n_bad == n_bad_expected and n_bad > 0
