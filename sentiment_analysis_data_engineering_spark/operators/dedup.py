@@ -64,7 +64,12 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
     serialize the heavy per-row compute onto one task. A
     well-partitioned large corpus skips the exchange entirely — plan
     reuse across self-join sides is provided by _pin (persist), not by
-    this repartition, so skipping it is safe."""
+    this repartition, so skipping it is safe.
+
+    Note: the probe reads the PLANNED partition count (pre-AQE) — an
+    upstream shuffle planned wide but runtime-coalesced small can slip
+    past it; callers feeding tiny shuffled batches should repartition
+    explicitly."""
     n = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= n:
         return df
@@ -119,8 +124,9 @@ def pinned_scope() -> Iterator[None]:
     """Scope the pin registry to a block: frames pinned inside the
     ``with`` are unpersisted on exit (LIFO), frames pinned before it
     are untouched. The storage-safe way for a long-lived session to
-    call the pinning operators (minhash_lsh_pairs, simhash_pairs,
-    embedding_cosine_pairs, ngram_jaccard_pairs)::
+    call the pinning operators (minhash_lsh_pairs, minhash_lsh_probe,
+    simhash_pairs, embedding_cosine_pairs, ngram_jaccard_pairs,
+    template_doc_flags)::
 
         with pinned_scope():
             pairs = minhash_lsh_pairs(df, "text", "doc_id")
@@ -584,6 +590,7 @@ def minhash_lsh_probe(
     bands: int = 16,
     shingle_size: int = 5,
     max_bucket_size: int = 1000,
+    persist: bool = True,
 ) -> DataFrame:
     """Incremental near-dup candidates: every LSH pair involving at
     least one NEW document — new-vs-index and new-vs-new — WITHOUT
@@ -601,11 +608,15 @@ def minhash_lsh_probe(
     candidate-proportional join against the corpus afterwards.
 
     Plan: new batch → signatures (one explode + compiled min-agg);
-    index → rename only. Both band (array slicing, no text); the skew
-    guard window sees the UNION (same bucket populations as the
-    monolithic run — the guard can't diverge); the pair join probes
-    new-side buckets against all. One shuffle each for signature agg,
-    bucket window, and pair join — all keyed.
+    index → rename only. Each side bands independently (array slicing,
+    no text) and carries a literal side flag — no join back to recover
+    it; the skew guard window sees the UNION (same bucket populations
+    as the monolithic run — the guard can't diverge); the pair join
+    probes new-side buckets against all. One shuffle each for
+    signature agg, bucket window, and pair join — all keyed.
+    ``persist`` pins the twice-probed bucket frame (see _pin / call
+    under :func:`pinned_scope`); ids must be disjoint between batch
+    and index — an id on both sides would pair with itself's bands.
     """
     rows_per_band = num_hashes // bands
     sig_new = minhash_signatures(
@@ -615,11 +626,12 @@ def minhash_lsh_probe(
     sig_idx = index.select(
         F.col(id_col).alias("_id"), F.col("sig").alias("_sig")
     )
-    both = sig_new.withColumn("_new", F.lit(True)).unionByName(
-        sig_idx.withColumn("_new", F.lit(False))
-    )
-    banded = _band_buckets(both.select("_id", "_sig"), bands, rows_per_band).join(
-        both.select("_id", "_new"), "_id"
+    banded = _band_buckets(sig_new, bands, rows_per_band).withColumn(
+        "_new", F.lit(True)
+    ).unionByName(
+        _band_buckets(sig_idx, bands, rows_per_band).withColumn(
+            "_new", F.lit(False)
+        )
     )
     kept = _pin(
         banded.withColumn(
@@ -627,7 +639,7 @@ def minhash_lsh_probe(
         )
         .filter(F.col("_bsz") <= max_bucket_size)
         .drop("_bsz"),
-        True,
+        persist,
     )
     a = kept.filter("_new").select(
         F.col("_id").alias("id_a"), "_band", "_bucket"

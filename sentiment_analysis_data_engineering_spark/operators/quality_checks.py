@@ -45,7 +45,8 @@ def null_violations(df: DataFrame, cols: list[str]) -> DataFrame:
     wide = df.agg(*aggs)
     pairs = F.explode(
         F.array(*[
-            F.struct(F.lit(c).alias("column"), F.col(c).alias("n_null"))
+            # backtick-quote: column names may contain dots
+            F.struct(F.lit(c).alias("column"), F.col(f"`{c}`").alias("n_null"))
             for c in cols
         ])
     )
@@ -96,7 +97,11 @@ def range_violations(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
     wide = df.agg(*aggs)
     pairs = F.explode(
         F.array(*[
-            F.struct(F.lit(name).alias("check"), F.col(name).alias("n_violations"))
+            # backtick-quote: check names may contain dots
+            F.struct(
+                F.lit(name).alias("check"),
+                F.col(f"`{name}`").alias("n_violations"),
+            )
             for name in checks
         ])
     )
@@ -108,6 +113,10 @@ def quality_summary(parts: dict[str, DataFrame]) -> DataFrame:
     (check, value) report — each input must be a 1-row frame; columns
     become rows. Keeps the whole gate ONE job with a deterministic
     schema."""
+    if not parts:
+        raise ValueError(
+            "quality_summary needs at least one named check frame"
+        )
     outs = []
     for prefix, df in parts.items():
         cols = df.columns
@@ -115,7 +124,8 @@ def quality_summary(parts: dict[str, DataFrame]) -> DataFrame:
             F.array(*[
                 F.struct(
                     F.concat_ws(".", F.lit(prefix), F.lit(c)).alias("check"),
-                    F.col(c).cast("long").alias("value"),
+                    # backtick-quote: metric columns may contain dots
+                    F.col(f"`{c}`").cast("long").alias("value"),
                 )
                 for c in cols
             ])

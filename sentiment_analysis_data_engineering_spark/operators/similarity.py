@@ -44,7 +44,12 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
     that would otherwise run the whole signature/cosine compute in ONE
     task). A well-partitioned 100 TB corpus already has >= parallelism
     partitions, and inserting an unconditional corpus-wide exchange
-    there costs far more than the small-input skew it cures."""
+    there costs far more than the small-input skew it cures.
+
+    Note: the probe reads the PLANNED partition count (pre-AQE) — an
+    upstream shuffle planned wide but runtime-coalesced small can slip
+    past it; callers feeding tiny shuffled batches should repartition
+    explicitly."""
     n = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= n:
         return df

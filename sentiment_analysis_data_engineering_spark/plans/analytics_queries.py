@@ -496,10 +496,17 @@ def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     n_part = spark.sparkContext.defaultParallelism
+    # localCheckpoint pins ONE materialization of the range exchange:
+    # the offsets subtree and the probe side below must see the SAME
+    # partition boundaries (RangePartitioner samples nondeterministically,
+    # and exchange reuse is an optimizer courtesy, not a guarantee —
+    # without the pin, disabled reuse or a sameResult() break would pair
+    # offsets from one partitioning with row_numbers from another).
     ranged = (
         customer.select("c_acctbal", "c_custkey")
         .repartitionByRange(n_part, F.col("c_acctbal"), F.col("c_custkey"))
         .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     # One row per physical partition: count, exclusive prefix sum, total.
     # Prefix sums come from a conditional aggregate over a P×P

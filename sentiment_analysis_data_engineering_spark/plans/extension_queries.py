@@ -994,17 +994,22 @@ def array_functions_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), F.lit(0))).cast("long").alias(
             "n_numbers"
         ),
-        F.array_join(
-            F.slice(
-                F.array_sort(
-                    F.array_distinct(
-                        F.regexp_extract_all(F.lower("text"), F.lit("[a-z]{8,}"), F.lit(0))
-                    )
+        F.coalesce(
+            F.array_join(
+                F.slice(
+                    F.array_sort(
+                        F.array_distinct(
+                            F.regexp_extract_all(
+                                F.lower("text"), F.lit("[a-z]{8,}"), F.lit(0)
+                            )
+                        )
+                    ),
+                    1,
+                    3,
                 ),
-                1,
-                3,
+                " ",
             ),
-            " ",
+            F.lit(""),  # NULL text: oracle coalesces to '' — match it
         ).alias("long_words"),
     )
 

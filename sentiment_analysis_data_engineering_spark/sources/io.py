@@ -518,6 +518,7 @@ def compact_small_files(
     *,
     target_rows_per_file: int,
     shard_key: str,
+    partition_by: list[str] | None = None,
 ) -> dict[str, int]:
     """Rewrite a parquet directory into size-balanced files — the
     table-maintenance step every long-lived 100 TB table needs:
@@ -554,14 +555,30 @@ def compact_small_files(
                 n += 1
         return n
 
+    # Partitioned tables MUST re-declare their layout or the rewrite
+    # silently flattens month=... directories into plain columns and
+    # every partition-pruning reader goes dark. Refuse rather than
+    # guess: partition directories in the listing require partition_by.
+    if partition_by is None:
+        it = fs.listStatusIterator(jpath)
+        while it.hasNext():
+            st = it.next()
+            if st.isDirectory() and "=" in st.getPath().getName():
+                raise ValueError(
+                    f"compact: {path} is partitioned "
+                    f"({st.getPath().getName()}/...); pass partition_by "
+                    "to preserve the directory layout"
+                )
     files_before = _count_part_files(jpath)
     tmp = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compact_tmp")
-    (
+    writer = (
         df.repartition(n_files, F.col(shard_key))
         .write.mode("overwrite")
         .option("maxRecordsPerFile", target_rows_per_file)
-        .parquet(str(tmp))
     )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(str(tmp))
     old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compact_old")
     if not fs.rename(jpath, old):
         raise IOError(f"compact: could not move {path} aside")

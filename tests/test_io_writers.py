@@ -427,3 +427,28 @@ def test_write_range_sorted_files_cover_disjoint_ranges(spark, tmp_path):
     ordered = sorted((r.lo, r.hi) for r in spans)
     for (lo1, hi1), (lo2, hi2) in zip(ordered, ordered[1:]):
         assert hi1 < lo2  # disjoint → min/max stats actually skip files
+
+
+def test_compact_refuses_partitioned_without_layout(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    import pytest as _pytest
+
+    from sentiment_analysis_data_engineering_spark.sources.io import compact_small_files
+
+    path = str(tmp_path / "part_frag")
+    df = spark.range(400).withColumn("m", F.col("id") % 2)
+    df.repartition(10).write.partitionBy("m").parquet(path)
+
+    with _pytest.raises(ValueError, match="partition_by"):
+        compact_small_files(spark, path, target_rows_per_file=200, shard_key="id")
+
+    stats = compact_small_files(
+        spark, path, target_rows_per_file=200, shard_key="id", partition_by=["m"]
+    )
+    assert stats["files_after"] < stats["files_before"]
+    back = spark.read.parquet(path)
+    assert back.count() == 400
+    # partition directories preserved -> pruning still works
+    import glob
+    assert glob.glob(str(tmp_path / "part_frag" / "m=*"))

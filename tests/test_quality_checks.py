@@ -79,3 +79,19 @@ def test_quarantine_split_write_one_pass(spark, tmp_path):
     bad = back.filter(F.col("_quarantined") == "true")
     assert {r.k for r in clean.collect()} == {1, 4}
     assert {r.k for r in bad.collect()} == {2, 3}
+
+
+def test_gate_names_may_contain_dots(spark):
+    df = spark.createDataFrame([(1,), (None,)], "k long")
+    got = {r.check: r.n_violations for r in qc.range_violations(
+        df, {"lineitem.range.k": F.col("k") >= 0}).collect()}
+    assert got == {"lineitem.range.k": 1}
+    nulls = {r.column: r.n_null for r in qc.null_violations(df, ["k"]).collect()}
+    assert nulls == {"k": 1}
+
+
+def test_quality_summary_empty_parts_raises(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one"):
+        qc.quality_summary({})
