@@ -92,13 +92,13 @@ def coalesce_default(col: Column | str, default=None) -> Column:
     return F.coalesce(c, F.lit(default))
 
 
-#: Multipliers for the unit suffixes Yahoo-style APIs emit.
+#: Multipliers for the unit suffixes Yahoo-style APIs emit (suffixes
+#: matched case-insensitively; the single source the parser iterates).
 _UNIT_MULTIPLIERS: list[tuple[str, float]] = [
     ("T", 1e12),
     ("B", 1e9),
     ("M", 1e6),
     ("K", 1e3),
-    ("k", 1e3),
 ]
 
 
@@ -113,9 +113,13 @@ def parse_unit_suffixed(col: Column | str) -> Column:
     # regexp_extract yields '' on no match; try_cast turns that into NULL
     # (ANSI cast would throw).
     num = F.regexp_extract(c, r"^\s*(-?[\d.]+)", 1).try_cast("double")
-    suffix = F.upper(F.regexp_extract(c, r"([TtBbMmKk])\s*$", 1))
-    mult = F.when(suffix == "T", F.lit(1e12))
-    for s, m in [("B", 1e9), ("M", 1e6), ("K", 1e3)]:
+    letters = "".join(
+        x for s, _ in _UNIT_MULTIPLIERS for x in (s.upper(), s.lower())
+    )
+    suffix = F.upper(F.regexp_extract(c, rf"([{letters}])\s*$", 1))
+    first, *rest = _UNIT_MULTIPLIERS
+    mult = F.when(suffix == first[0], F.lit(first[1]))
+    for s, m in rest:
         mult = mult.when(suffix == s, F.lit(m))
     mult = mult.otherwise(F.lit(1.0))
     return num * mult

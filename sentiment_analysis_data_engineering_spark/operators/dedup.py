@@ -187,10 +187,14 @@ def word_ngrams(col: Column | str, n: int = 5) -> Column:
 
 
 def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """(id, shingle) pairs, distinct per document."""
+    """(id, shingle) pairs, distinct per document. NULL/whitespace-only
+    texts emit NO rows — without the filter, ``word_ngrams`` wraps them
+    into a single NULL/empty shingle that every such doc shares, and
+    they'd all pair up as jaccard-1.0 "duplicates" of each other."""
     return (
-        df.select(F.col(id_col).alias("_id"),
-                  F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("_sh"))
+        df.filter(F.trim(F.coalesce(F.col(text_col), F.lit(""))) != "")
+        .select(F.col(id_col).alias("_id"),
+                F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("_sh"))
     )
 
 
@@ -295,15 +299,21 @@ def template_doc_flags(
         .groupBy("_id")
         .agg(F.count("*").alias("_hot"))
     )
-    sizes = sh.groupBy("_id").agg(F.count("*").alias("n_shingles"))
-    ratio = F.round(
-        F.coalesce("_hot", F.lit(0)) / F.col("n_shingles"), 6
+    # LEFT join from the full doc set: shingle-less docs (null/blank
+    # text — _doc_shingles emits nothing for them) are still REPORTED,
+    # with 0 shingles and is_template=false, not silently absent.
+    sizes = df.select(F.col(id_col).alias("_id")).join(
+        sh.groupBy("_id").agg(F.count("*").alias("_n_sh")), "_id", "left"
     )
+    n_sh = F.coalesce("_n_sh", F.lit(0))
+    ratio = F.when(
+        n_sh > 0, F.round(F.coalesce("_hot", F.lit(0)) / n_sh, 6)
+    ).otherwise(F.lit(0.0))
     return (
         sizes.join(hot_counts, "_id", "left")
         .select(
             F.col("_id").alias(id_col),
-            F.col("n_shingles").cast("long").alias("n_shingles"),
+            n_sh.cast("long").alias("n_shingles"),
             F.coalesce("_hot", F.lit(0)).cast("long").alias("hot_shingles"),
             ratio.alias("hot_ratio"),
             (ratio >= template_ratio).alias("is_template"),
@@ -399,15 +409,13 @@ def minhash_signatures(
     form of this signature benchmarked ~9x slower than this explode +
     compiled-min-agg form. The shuffle stays lean: partial (map-side)
     mins mean each map task ships one num_hashes-long partial row per
-    doc, NOT |shingles|·num_hashes rows. Null-text docs drop out here
-    (explode of a null array) — they have no shingles, so they can't be
-    near-duplicates of anything.
+    doc, NOT |shingles|·num_hashes rows. Null/whitespace-only texts
+    drop out (the _doc_shingles filter) — they have no shingles, so
+    they can't be near-duplicates of anything.
     """
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.array_distinct(word_ngrams(text_col, shingle_size))).alias("_sh"),
+    return _signatures_from_shingle_rows(
+        _doc_shingles(df, text_col, id_col, shingle_size), num_hashes
     )
-    return _signatures_from_shingle_rows(sh, num_hashes)
 
 
 def _signatures_from_shingle_rows(sh: DataFrame, num_hashes: int) -> DataFrame:
@@ -501,7 +509,8 @@ def minhash_lsh_pairs(
     # most expensive scalar work in the plan) would run twice over the
     # corpus.
     doc_sh = _pin(
-        df.select(
+        df.filter(F.trim(F.coalesce(F.col(text_col), F.lit(""))) != "")
+        .select(
             F.col(id_col).alias("_id"),
             F.array_distinct(word_ngrams(text_col, shingle_size)).alias("_shs"),
         ),
@@ -688,7 +697,12 @@ def simhash(
     split as two 32-bit halves). md5 exists in every engine, so an
     external SQL oracle (e.g. DuckDB) can recompute the identical
     simhash bit-for-bit — the cross-engine verification mode."""
-    th = df.select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_t"))
+    # NULL text explodes to nothing; the '' filter drops the single
+    # empty token whitespace-only docs produce (they'd otherwise all
+    # share one signature and pair as Hamming-0 "duplicates")
+    th = df.select(
+        F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_t")
+    ).filter(F.col("_t") != "")
     if hash_fn == "xxhash64":
         th = th.select("_id", F.xxhash64("_t").alias("_h"))
 
@@ -956,7 +970,8 @@ def _exact_pairs_arrow(
     )
     cells = side_a.unionByName(side_b)
 
-    out_schema = "id_a long, id_b long, _raw double"
+    _id_t = base.schema["_id"].dataType.simpleString()
+    out_schema = f"id_a {_id_t}, id_b {_id_t}, _raw double"
 
     def score_cell(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         p, q = int(key[0]), int(key[1])
@@ -1151,7 +1166,15 @@ def embedding_cosine_pairs(
         )
 
     return (
-        pairs.withColumn("cosine", F.round(_pair_dot() / (F.col("_na") * F.col("_nb")), 6))
+        # zero-norm guard: 0/0 = NaN, and Spark orders NaN above every
+        # double, so a NaN cosine would PASS the >= threshold filter
+        pairs.withColumn(
+            "cosine",
+            F.when(
+                (F.col("_na") > 0) & (F.col("_nb") > 0),
+                F.round(_pair_dot() / (F.col("_na") * F.col("_nb")), 6),
+            ),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

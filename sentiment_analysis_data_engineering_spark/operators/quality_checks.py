@@ -196,6 +196,11 @@ def quarantine_split_write(
     (
         tagged.observe(obs, *exprs)
         .write.mode("overwrite")
+        # force STATIC overwrite per-write: under a session with
+        # dynamic partition overwrite, a clean re-load would leave the
+        # previous run's _quarantined=true partition on disk while the
+        # returned counters claim zero quarantined rows
+        .option("partitionOverwriteMode", "static")
         .partitionBy(*(["_quarantined"] + (partition_by or [])))
         .parquet(path)
     )

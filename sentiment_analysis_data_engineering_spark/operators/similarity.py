@@ -69,6 +69,16 @@ def _dot(a: Column, b: Column) -> Column:
                        F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _safe_cosine(dot, n1, n2):
+    """round(dot/(n1·n2), 6), NULL when either norm is 0 — 0/0 would be
+    NaN, which Spark orders ABOVE every double, silently promoting
+    zero vectors to rank-1 "neighbors" in the top-k windows (NULLs sort
+    last under desc, so they never displace a real neighbor)."""
+    return F.when(
+        (n1 > 0) & (n2 > 0), F.round(dot / (n1 * n2), 6)
+    )
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -97,7 +107,7 @@ def cosine_topk(
         joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
     scored = joined.withColumn(
         "cosine",
-        F.round(_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6),
+        _safe_cosine(_dot(F.col("_qv"), F.col("_cv")), F.col("_qn"), F.col("_cn")),
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -185,10 +195,12 @@ def signatures_arrow(
         F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v")
     )
     keep_vec = vec_out is not None
+    # id dtype follows the input (string/long/... ids all work)
+    id_t = df.schema[id_col].dataType.simpleString()
     schema = (
-        f"_id long, {vec_out} array<double>, _sig long"
+        f"_id {id_t}, {vec_out} array<double>, _sig long"
         if keep_vec
-        else "_id long, _sig long"
+        else f"_id {id_t}, _sig long"
     )
 
     def tag(batches):
@@ -230,8 +242,9 @@ def _ivf_tag_arrow(
     src = df.select(
         F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v")
     )
+    id_t = df.schema[id_col].dataType.simpleString()
     if role == "corpus":
-        schema = "neighbor_id long, _cv array<double>, _cn double, cell long"
+        schema = f"neighbor_id {id_t}, _cv array<double>, _cn double, cell long"
 
         def tag(batches):
             for pdf in batches:
@@ -248,7 +261,7 @@ def _ivf_tag_arrow(
                 )
 
     else:
-        schema = "query_id long, _qv array<double>, _qn double, cell long"
+        schema = f"query_id {id_t}, _qv array<double>, _qn double, cell long"
 
         def tag(batches):
             for pdf in batches:
@@ -379,10 +392,8 @@ def ivf_cosine_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine",
-            F.round(
-                _dot(F.col("_qv"), F.col("_cv"))
-                / (F.col("_qn") * F.col("_cn")),
-                6,
+            _safe_cosine(
+                _dot(F.col("_qv"), F.col("_cv")), F.col("_qn"), F.col("_cn")
             ),
         )
     )
@@ -478,10 +489,9 @@ def lsh_cosine_topk(
         .join(cv, "neighbor_id")
         .withColumn(
             "cosine",
-            F.round(
-                _dot(F.col("_queryv"), F.col("_neighborv"))
-                / (F.col("_qn") * F.col("_nn")),
-                6,
+            _safe_cosine(
+                _dot(F.col("_queryv"), F.col("_neighborv")),
+                F.col("_qn"), F.col("_nn"),
             ),
         )
     )

@@ -276,10 +276,11 @@ def _simhash_oracle() -> str:
         term = "(-9223372036854775808)::BIGINT" if b == 63 else f"(1::BIGINT << {b})"
         packs.append(f"(CASE WHEN c{b} > 0 THEN {term} ELSE 0::BIGINT END)")
     return f"""
-    WITH tok AS (
+    WITH tok0 AS (
       SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
       FROM documents WHERE text IS NOT NULL
     ),
+    tok AS (SELECT * FROM tok0 WHERE t <> ''),
     h AS (
       SELECT doc_id,
              ('0x' || substring(md5(t),1,8))::BIGINT AS hhi,
@@ -1285,7 +1286,8 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     "template_doc_flags",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents WHERE trim(coalesce(text, '')) <> ''
     ),
     grams AS (
       SELECT doc_id,
@@ -1304,12 +1306,18 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     hc AS (SELECT sh.doc_id, count(*) AS hot FROM sh JOIN hot USING (s) GROUP BY 1),
     sz AS (SELECT doc_id, len(g) AS n_shingles FROM grams)
-    SELECT sz.doc_id,
-           CAST(sz.n_shingles AS BIGINT) AS n_shingles,
+    SELECT d.doc_id,
+           CAST(coalesce(sz.n_shingles, 0) AS BIGINT) AS n_shingles,
            CAST(coalesce(hc.hot, 0) AS BIGINT) AS hot_shingles,
-           round(coalesce(hc.hot, 0) / sz.n_shingles, 6) AS hot_ratio,
-           round(coalesce(hc.hot, 0) / sz.n_shingles, 6) >= 0.5 AS is_template
-    FROM sz LEFT JOIN hc USING (doc_id)
+           CASE WHEN coalesce(sz.n_shingles, 0) > 0
+                THEN round(coalesce(hc.hot, 0) / sz.n_shingles, 6)
+                ELSE 0.0 END AS hot_ratio,
+           (CASE WHEN coalesce(sz.n_shingles, 0) > 0
+                 THEN round(coalesce(hc.hot, 0) / sz.n_shingles, 6)
+                 ELSE 0.0 END) >= 0.5 AS is_template
+    FROM documents d
+    LEFT JOIN sz ON sz.doc_id = d.doc_id
+    LEFT JOIN hc ON hc.doc_id = d.doc_id
     """,
 )
 def template_doc_flags(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -286,8 +286,11 @@ def _load_macro_joined(
         .drop("date")
         .filter(F.col("year") > horizon_year)
     )
+    # partition layout must match the registry's declared (year, month)
+    # (schemas.WAREHOUSE_SCHEMAS) — a year=-only layout would raise on
+    # the managed table and silently break month pruning on paths
     return idempotent_append(
-        spark, monthly, target, ["year", "month"], partition_by=["year"]
+        spark, monthly, target, ["year", "month"], partition_by=["year", "month"]
     )
 
 

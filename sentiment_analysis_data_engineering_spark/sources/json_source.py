@@ -28,9 +28,11 @@ def scalar_json_lookup(
     """
     rows = [(name, payload, path) for name, (payload, path) in payloads.items()]
     df = spark.createDataFrame(rows, "name string, payload string, path string")
-    # get_json_object needs a foldable path → build one expr per distinct path
+    # get_json_object needs a foldable path → one branch per DISTINCT
+    # path (iterating payload entries would select every row sharing a
+    # path once per sharer, duplicating output rows).
     out = None
-    for _, (_, path) in payloads.items():
+    for path in dict.fromkeys(p for _, p in payloads.values()):
         part = df.filter(F.col("path") == path).select(
             "name",
             F.get_json_object(F.col("payload"), path).try_cast("double").alias("value"),

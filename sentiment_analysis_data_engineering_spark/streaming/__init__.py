@@ -1,6 +1,9 @@
 from .events import (
     read_events_stream,
     run_available_now,
+    run_idempotent_append_stream,
+    run_merge_upsert_stream,
+    run_quarantine_stream,
     session_window_agg,
     sliding_window_agg,
     stream_dedup,
@@ -14,4 +17,7 @@ __all__ = [
     "session_window_agg",
     "stream_dedup",
     "run_available_now",
+    "run_idempotent_append_stream",
+    "run_merge_upsert_stream",
+    "run_quarantine_stream",
 ]

@@ -32,6 +32,8 @@ __all__ = [
     "error_click_interval_join",
     "run_available_now",
     "run_idempotent_append_stream",
+    "run_merge_upsert_stream",
+    "run_quarantine_stream",
 ]
 
 #: events.parquet with ts as long (read under nanosAsLong).
@@ -52,15 +54,17 @@ def read_events_stream(spark: SparkSession, events_path: str) -> DataFrame:
 
     The streaming file source requires a *directory*; the fixture is a
     single parquet file, so it's staged into a symlink directory under
-    the repo's .tmp.
+    the system temp dir (keyed by source path — stable across calls,
+    no dependency on any particular checkout location).
     """
     import hashlib
     import os
+    import tempfile
     from pathlib import Path
 
     src = Path(events_path)
     if src.is_file():
-        stage = Path("/root/repo/.tmp/streaming") / hashlib.md5(
+        stage = Path(tempfile.gettempdir()) / "sentiment_analysis_data_engineering_spark_streaming" / hashlib.md5(
             str(src).encode()
         ).hexdigest()[:12]
         stage.mkdir(parents=True, exist_ok=True)

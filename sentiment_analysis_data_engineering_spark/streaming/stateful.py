@@ -47,7 +47,9 @@ def _update_user(
     for pdf in pdfs:
         n += len(pdf)
         total += float(pdf["value"].sum())
-    state.update((n, round(total, 6)))
+    # carry the UNROUNDED total (rounding state every micro-batch
+    # compounds drift vs the batch sum); round only what's emitted
+    state.update((n, total))
     yield pd.DataFrame(
         {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 6)]}
     )

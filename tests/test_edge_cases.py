@@ -51,12 +51,13 @@ def test_exact_dedup_groups_unicode_and_keeps_nulls_separate(weird):
 
 
 def test_minhash_lsh_on_degenerate_corpus(weird):
-    # must not throw. Null text drops out (no shingles); empty and
-    # whitespace-only BOTH normalize to one empty shingle, so (2,3) is
-    # a legitimate exact-duplicate pair, like the unicode pair (4,5).
+    # must not throw. Content-free texts (null, empty, whitespace-only)
+    # have NO shingles and drop out of near-dedup entirely — they must
+    # not pair with each other as jaccard-1.0 "duplicates" via a shared
+    # constant signature (exact_dedup is the tool that groups empties).
     pairs = dd.minhash_lsh_pairs(weird, "text", "doc_id", verify_threshold=0.2)
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
-    assert got == {(2, 3), (4, 5)}
+    assert got == {(4, 5)}
 
 
 def test_empty_frame_through_pipeline(spark):
