@@ -88,6 +88,21 @@ HEADLINE = [
     "data_quality_report",
     "full_outer_daily_activity",
     "dedup_incremental_probe",
+    # round 4: TPC-H gap shapes (Q4/Q6/Q8/Q9/Q10/Q11/Q16/Q17/Q20/Q22)
+    "order_priority_exists_counts",
+    "forecast_revenue_change",
+    "nation_market_share",
+    "product_profit_by_nation_year",
+    "returned_items_by_customer",
+    "important_parts_value_share",
+    "parts_supplier_diversity",
+    "small_quantity_revenue",
+    "excess_volume_suppliers",
+    "idle_rich_customers",
+    # round 4: curation extensions
+    "span_dedup_stats",
+    "source_capped_docs",
+    "token_length_buckets",
 ]
 
 

@@ -1,0 +1,206 @@
+"""Training-data curation round-out: cross-corpus span-level dedup,
+per-source document caps, and token-length bucketing — the remaining
+C4/RefinedWeb-style corpus operations not yet in the registry.
+
+All three are oracle-checked over the ``documents`` fixture and follow
+the registry conventions (identical aliases both sides, exact-integer
+or fixed-round outputs, no raw timestamps).
+
+Scale stances:
+- span dedup is the same shingle-equi-join family as ``operators/
+  dedup.py`` — one explode, one hash agg on span text, one count agg;
+  candidate volume ∝ corpus spans, never pairs;
+- the per-source cap is one window shuffle keyed by source (the C4
+  "domain cap"); a skewed mega-source is a data-model property the
+  salting helpers in ``operators/skew.py`` address;
+- length bucketing is a pure-Column narrow scan + one grouped agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import load_tables, query
+
+# --------------------------------------------------------------------------
+# Cross-corpus span-level exact dedup (first-occurrence-wins)
+# --------------------------------------------------------------------------
+
+_SPAN_TOKENS = 8
+
+
+@query(
+    "span_dedup_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+             array_to_string(t[u.i*{_SPAN_TOKENS}+1 : u.i*{_SPAN_TOKENS}+{_SPAN_TOKENS}], ' ')
+               AS span
+      FROM toks,
+           unnest(range(CAST(ceil(len(t)/{_SPAN_TOKENS}.0) AS BIGINT))) AS u(i)
+    ),
+    winners AS (
+      SELECT span, min(doc_id) AS w_doc FROM spans GROUP BY span
+    ),
+    kept AS (
+      SELECT w_doc AS doc_id, CAST(count(*) AS BIGINT) AS n_kept
+      FROM winners GROUP BY w_doc
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+      FROM spans GROUP BY doc_id
+    )
+    SELECT p.doc_id, p.n_spans,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+           round(coalesce(k.n_kept, 0) / p.n_spans, 4) AS keep_ratio
+    FROM per_doc p LEFT JOIN kept k ON k.doc_id = p.doc_id
+    """,
+)
+def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus span-level exact dedup (C4-style "discard repeated
+    ≥N-token spans"): documents are cut into disjoint 8-token spans and
+    each distinct span text is attributed to the document with the
+    lowest doc_id containing it; every other occurrence corpus-wide is
+    a duplicate. Output per doc: span count, surviving-span count,
+    keep ratio.
+
+    Plan: one explode (narrow), one hash agg on span text (map-side
+    combining min — the only corpus-keyed shuffle), one count agg per
+    doc, and a broadcast-sized join of the two per-doc frames. Span
+    attribution is min(doc_id) — a commutative aggregate, not a
+    window — so no global sort exists anywhere. At 100 TB this is the
+    shingle-family shape of SCALE.md: cost ∝ total spans, never pairs."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    toks = documents.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    )
+    n_spans_col = F.ceil(F.size("t") / F.lit(float(_SPAN_TOKENS))).cast("long")
+    spans = toks.select(
+        "doc_id",
+        F.posexplode(F.sequence(F.lit(0).cast("long"), n_spans_col - 1)).alias(
+            "_ignored", "pos"
+        ),
+        "t",
+    ).select(
+        "doc_id",
+        "pos",
+        F.array_join(
+            F.slice(
+                F.col("t"),
+                (F.col("pos") * _SPAN_TOKENS + 1).cast("int"),
+                _SPAN_TOKENS,
+            ),
+            " ",
+        ).alias("span"),
+    )
+    winners = spans.groupBy("span").agg(F.min("doc_id").alias("w_doc"))
+    kept = winners.groupBy(F.col("w_doc").alias("doc_id")).agg(
+        F.count("*").alias("n_kept")
+    )
+    per_doc = spans.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    out = per_doc.join(kept, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        "n_spans",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.round(
+            F.coalesce(F.col("n_kept"), F.lit(0)) / F.col("n_spans"), 4
+        ).alias("keep_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-source document cap (C4/RefinedWeb "domain cap")
+# --------------------------------------------------------------------------
+
+_SOURCE_CAP = 15
+
+
+@query(
+    "source_capped_docs",
+    oracle=f"""
+    SELECT doc_id, source, rnk FROM (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source
+                                     ORDER BY n_chars DESC, doc_id ASC)
+                  AS BIGINT) AS rnk
+      FROM documents
+    )
+    WHERE rnk <= {_SOURCE_CAP}
+    """,
+)
+def source_capped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap: keep the top {_SOURCE_CAP} documents of
+    each source, ranked by length with doc_id tie-break — the "domain
+    cap" every web-scale corpus applies so no single domain dominates
+    the training mixture.
+
+    Plan: one window shuffle keyed by source; rank frames evaluate
+    streaming within each partition, and the cap filter drops rows
+    before anything downstream. At 100 TB the shuffle is keyed on the
+    capping dimension (source/domain), which is exactly the key a
+    later mixture-sampling stage reuses; a pathologically hot domain
+    is what ``operators/skew.py`` salting is for (documented there)."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        documents.select(
+            "doc_id", "source", F.row_number().over(w).cast("long").alias("rnk")
+        )
+        .filter(F.col("rnk") <= _SOURCE_CAP)
+    )
+
+
+# --------------------------------------------------------------------------
+# Token-length bucketing (batching / packing histogram)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "token_length_buckets",
+    oracle="""
+    WITH n AS (
+      SELECT lang,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    )
+    SELECT lang,
+           CAST(length(bin(n_tokens)) - 1 AS BIGINT) AS len_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM n
+    GROUP BY lang, length(bin(n_tokens)) - 1
+    """,
+)
+def token_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two token-length histogram per language — the length
+    profile a batching/packing stage needs to size sequence buckets
+    (``operators/packing.py`` consumes exactly this distribution).
+
+    Bucket = floor(log2(n_tokens)), computed as binary-digit count
+    minus one: an exact integer path in both engines, immune to the
+    last-ulp wobble of float log2 at power-of-two boundaries. Plan:
+    pure-Column narrow scan + one map-side-combining grouped agg —
+    zero joins, zero windows; at 100 TB this runs at scan bandwidth
+    with a (lang × ~14 buckets)-sized shuffle."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    n = documents.select(
+        "lang",
+        n_tokens.alias("n_tokens"),
+    )
+    return n.groupBy(
+        "lang",
+        (F.length(F.bin(F.col("n_tokens"))) - 1).cast("long").alias("len_bucket"),
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )

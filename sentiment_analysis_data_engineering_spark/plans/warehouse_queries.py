@@ -1,0 +1,548 @@
+"""Warehouse analytics round-out: the TPC-H query shapes not yet in
+the registry (Q4, Q6, Q8, Q9, Q10, Q11, Q16, Q17, Q20, Q22), adapted
+to the driver fixture schema (no partsupp table, no commit/receipt
+dates — docstrings note each adaptation).
+
+Like ``analytics_queries.py``, these exercise the "ad-hoc SQL analysis
+over the warehouse" surface the reference promises (``README.md:4``)
+but never codes. Conventions follow ``plans/registry.py``: money in
+integer cents (``round(x*100)`` BIGINT in both engines), years cast to
+long, every computed column aliased identically on both sides.
+
+Scale stance (SCALE.md "star joins" family): every query here is a
+fact-side shuffle on its join/group key plus broadcast dimensions;
+scalar thresholds (global totals, averages) are single-row frames the
+planner broadcasts, never driver-side collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import load_tables, query
+
+
+def _cents(col: F.Column) -> F.Column:
+    """round(x*100) as long — the registry's exact-money convention."""
+    return F.round(col * 100).cast("long")
+
+
+# --------------------------------------------------------------------------
+# Q4 — order-priority checking (EXISTS semi join)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "order_priority_exists_counts",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def order_priority_exists_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders in a half-year window with at least one
+    slow lineitem, counted per priority. The fixture has no
+    commit/receipt dates, so "slow" = shipped >30 days after the order
+    date. EXISTS becomes a LEFT SEMI join — equi on orderkey with the
+    date comparison as a residual condition, so the shuffle keys stay
+    hashable and the date filter prunes the orders scan."""
+    orders, lineitem = load_tables(spark, sf_dir, "orders", "lineitem")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    slow = o.join(
+        lineitem,
+        (o.o_orderkey == lineitem.l_orderkey)
+        & (lineitem.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return slow.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q6 — forecast revenue change (single filtered aggregate)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "forecast_revenue_change",
+    oracle="""
+    SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE year(l_shipdate) = 1998
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue delta if mid-range discounts were
+    dropped — one conjunctive filter + global aggregate, zero joins.
+    The value of the query is the plan: all three predicates reach the
+    parquet scan as PushedFilters and the aggregate is partial/final,
+    so at 100 TB it is a pruned scan, not a shuffle."""
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(
+            (F.year("l_shipdate") == 1998)
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+                "revenue_cents"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q8 — national market share
+# --------------------------------------------------------------------------
+
+
+@query(
+    "nation_market_share",
+    oracle="""
+    WITH rev AS (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+             CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                  AS BIGINT) AS cents,
+             (r.r_name = 'ASIA') AS is_asia
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+      WHERE p.p_type = 'PROMO'
+    )
+    SELECT order_year,
+           CAST(sum(CASE WHEN is_asia THEN cents ELSE 0 END) AS BIGINT)
+             AS asia_cents,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           round(sum(CASE WHEN is_asia THEN cents ELSE 0 END) / sum(cents), 6)
+             AS asia_share
+    FROM rev
+    GROUP BY order_year
+    """,
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: per order year, the revenue share of PROMO parts
+    supplied from ASIA-region nations. All four dimensions broadcast;
+    the p_type filter prunes the fact rows before the orders shuffle.
+    Share is a ratio of exact cent sums, rounded identically in both
+    engines — no float summation-order hazard."""
+    lineitem, orders, part, supplier, nation, region = load_tables(
+        spark, sf_dir, "lineitem", "orders", "part", "supplier", "nation", "region"
+    )
+    p = part.filter(F.col("p_type") == "PROMO").select("p_partkey")
+    joined = (
+        lineitem.join(F.broadcast(p), lineitem.l_partkey == p.p_partkey)
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    per_year = joined.select(
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("cents"),
+        (F.col("r_name") == "ASIA").alias("is_asia"),
+    ).groupBy("order_year").agg(
+        F.sum(F.when(F.col("is_asia"), F.col("cents")).otherwise(F.lit(0))).alias(
+            "asia_cents"
+        ),
+        F.sum("cents").alias("total_cents"),
+    )
+    return per_year.select(
+        "order_year",
+        "asia_cents",
+        "total_cents",
+        F.round(F.col("asia_cents") / F.col("total_cents"), 6).alias("asia_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q9 — product-type profit
+# --------------------------------------------------------------------------
+
+
+@query(
+    "product_profit_by_nation_year",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+           CAST(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)
+                                - p.p_retailprice * 0.1 * l.l_quantity) * 100)
+                         AS BIGINT)) AS BIGINT) AS profit_cents
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+)
+def product_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on 'gear' parts per supplier nation per
+    year. The fixture has no partsupp/ps_supplycost, so unit cost is
+    proxied as 10% of p_retailprice (documented adaptation — the plan
+    shape, a 5-way star join with a LIKE-filtered part dimension, is
+    what Q9 exercises). part/supplier/nation broadcast; the only fact
+    shuffle is lineitem⋈orders on orderkey. Per-row profit is rounded
+    to cents BEFORE the sum so both engines add exact integers."""
+    lineitem, orders, part, supplier, nation = load_tables(
+        spark, sf_dir, "lineitem", "orders", "part", "supplier", "nation"
+    )
+    p = part.filter(F.col("p_name").like("%gear%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    joined = (
+        lineitem.join(F.broadcast(p), lineitem.l_partkey == p.p_partkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * 0.1 * F.col("l_quantity")
+    )
+    return joined.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+    ).agg(F.sum(_cents(profit)).alias("profit_cents"))
+
+
+# --------------------------------------------------------------------------
+# Q10 — returned-item reporting (top 20 customers by lost revenue)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "returned_items_by_customer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS lost_cents
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY lost_cents DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def returned_items_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: the 20 customers who returned the most revenue
+    in 1997. returnflag + date filters prune both fact scans before the
+    orderkey shuffle; customer/nation broadcast onto the aggregated
+    per-customer frame (aggregate first, widen second — the join input
+    is |customers|, not |lineitems|). Deterministic top-20: ties broken
+    by custkey."""
+    lineitem, orders, customer, nation = load_tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation"
+    )
+    li = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey",
+        _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("cents"),
+    )
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    per_cust = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").alias("lost_cents"))
+    )
+    widened = per_cust.join(
+        F.broadcast(customer), per_cust.o_custkey == customer.c_custkey
+    ).join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    return (
+        widened.select(
+            "c_custkey", "c_name", F.col("n_name").alias("nation"), "lost_cents"
+        )
+        .orderBy(F.desc("lost_cents"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11 — important stock (parts above a global value-share threshold)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "important_parts_value_share",
+    oracle="""
+    WITH pv AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS value_cents
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, value_cents
+    FROM pv
+    WHERE value_cents > (SELECT avg(value_cents) * 1.5 FROM pv)
+    """,
+)
+def important_parts_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose traded value exceeds a threshold
+    derived from a scalar aggregate of the same grouped frame. The
+    fixture has no partsupp, so "stock value" is the part's total
+    lineitem revenue, and the threshold is 1.5× the average part value
+    rather than Q11's fixed fraction of the total — a fixed fraction
+    empties out as |parts| grows with scale factor, while the
+    avg-multiple keeps the selectivity scale-invariant (documented
+    adaptation; the shape — grouped aggregate filtered against a
+    scalar aggregate of itself — is intact). The scalar is a 1-row
+    aggregate the planner broadcasts into the filter; avg of exact
+    cent longs divides identically in both engines."""
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    pv = lineitem.groupBy("l_partkey").agg(
+        F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "value_cents"
+        )
+    )
+    total = pv.agg(
+        (F.avg("value_cents") * 1.5).alias("threshold")
+    )
+    return (
+        pv.join(F.broadcast(total))
+        .filter(F.col("value_cents") > F.col("threshold"))
+        .select("l_partkey", "value_cents")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q16 — part/supplier relationship diversity
+# --------------------------------------------------------------------------
+
+
+@query(
+    "parts_supplier_diversity",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#9' AND p.p_size IN (1, 4, 9, 16, 25)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def parts_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers serve each
+    (brand, type, size) bucket, excluding one brand. partsupp is
+    proxied by observed (part, supplier) pairs in lineitem (documented
+    adaptation). Spark plans COUNT(DISTINCT) as a two-stage expand —
+    partial distinct on (group, suppkey), then the count — both stages
+    map-side combining; the part dimension broadcasts with its filters
+    pushed."""
+    lineitem, part = load_tables(spark, sf_dir, "lineitem", "part")
+    p = part.filter(
+        (F.col("p_brand") != "Brand#9") & F.col("p_size").isin(1, 4, 9, 16, 25)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q17 — small-quantity-order revenue (correlated avg, decorrelated)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "small_quantity_revenue",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey, 0.5 * avg(l_quantity) AS half_avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pa    ON pa.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#13'
+      AND l.l_quantity < pa.half_avg_qty
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below
+    half the part's average — the classic correlated scalar subquery,
+    decorrelated into a per-part aggregate joined back (the same plan
+    Catalyst derives from the subquery form). Quantities are
+    integer-valued doubles, so avg() is exact in both engines and the
+    threshold comparison cannot flip on summation order. The per-part
+    avg frame is |parts|-sized → broadcast."""
+    lineitem, part = load_tables(spark, sf_dir, "lineitem", "part")
+    pa = lineitem.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg_qty")
+    )
+    p = part.filter(F.col("p_brand") == "Brand#13").select("p_partkey")
+    li = lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(pa), li.l_partkey == pa.l_partkey)
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice"))).alias("revenue_cents"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20 — excess-volume suppliers
+# --------------------------------------------------------------------------
+
+
+@query(
+    "excess_volume_suppliers",
+    oracle="""
+    WITH red AS (
+      SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+    ),
+    vol AS (
+      SELECT l.l_partkey, l.l_suppkey, sum(l.l_quantity) AS supp_qty
+      FROM lineitem l JOIN red r ON r.p_partkey = l.l_partkey
+      GROUP BY l.l_partkey, l.l_suppkey
+    ),
+    tot AS (
+      SELECT l_partkey, sum(supp_qty) AS part_qty,
+             count(*) AS n_supps
+      FROM vol GROUP BY l_partkey
+    )
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM vol v
+    JOIN tot t ON t.l_partkey = v.l_partkey
+    JOIN supplier s ON s.s_suppkey = v.l_suppkey
+    WHERE v.supp_qty > 2.0 * t.part_qty / t.n_supps
+    """,
+)
+def excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped more than 2× the average
+    per-supplier quantity of some 'red' part (partsupp availqty proxied
+    by shipped quantity, and Q20's fixed 50%-of-total threshold
+    replaced by an avg-multiple — a fixed share empties out as the
+    supplier count per part grows with scale factor; the nested
+    aggregate-vs-aggregate comparison is the point and is intact).
+    Two cascaded aggs reuse the same (partkey) partitioning — the
+    second agg is shuffle-free under AQE — then a DISTINCT semi-style
+    projection. Quantity sums are integer-valued doubles → exact in
+    both engines; the threshold is one exact division per part."""
+    lineitem, part, supplier = load_tables(
+        spark, sf_dir, "lineitem", "part", "supplier"
+    )
+    red = part.filter(F.col("p_name").like("red%")).select("p_partkey")
+    vol = (
+        lineitem.join(F.broadcast(red), lineitem.l_partkey == red.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("supp_qty"))
+    )
+    tot = vol.groupBy("l_partkey").agg(
+        F.sum("supp_qty").alias("part_qty"),
+        F.count("*").alias("n_supps"),
+    )
+    excess = (
+        vol.join(tot, "l_partkey")
+        .filter(F.col("supp_qty") > 2.0 * F.col("part_qty") / F.col("n_supps"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return excess.join(
+        F.broadcast(supplier), excess.l_suppkey == supplier.s_suppkey
+    ).select("s_suppkey", "s_name")
+
+
+# --------------------------------------------------------------------------
+# Q22 — idle rich customers (anti join + scalar-aggregate threshold)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "idle_rich_customers",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer
+    ),
+    thr AS (
+      SELECT sum(bal_cents) / count(*) AS avg_pos_cents
+      FROM c WHERE bal_cents > 0
+    )
+    SELECT n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_custs,
+           CAST(sum(c.bal_cents) AS BIGINT) AS total_cents
+    FROM c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE c.bal_cents > (SELECT avg_pos_cents FROM thr)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY n.n_name
+    """,
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive balance
+    and no order since 2000, counted per nation (fixture has no phone
+    column, so the country-code grouping becomes the nation dimension;
+    and every fixture customer has ≥1 lifetime order, so "never
+    ordered" becomes "idle since 2000" — documented adaptations, the
+    anti-join + scalar-subquery shape is intact). Balances are
+    compared in exact integer cents: the threshold is sum(cents)/count
+    — one exact-long division evaluated identically in both engines,
+    immune to float summation order. NOT EXISTS is a LEFT ANTI join
+    against the date-filtered, column-pruned o_custkey probe; the
+    scalar threshold broadcasts."""
+    customer, orders, nation = load_tables(
+        spark, sf_dir, "customer", "orders", "nation"
+    )
+    c = customer.select(
+        "c_custkey",
+        "c_nationkey",
+        _cents(F.col("c_acctbal")).alias("bal_cents"),
+    )
+    thr = c.filter(F.col("bal_cents") > 0).agg(
+        (F.sum("bal_cents") / F.count("*")).alias("avg_pos_cents")
+    )
+    rich = c.join(F.broadcast(thr)).filter(
+        F.col("bal_cents") > F.col("avg_pos_cents")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    idle = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return (
+        idle.join(F.broadcast(nation), idle.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.sum("bal_cents").alias("total_cents"),
+        )
+    )

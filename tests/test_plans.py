@@ -105,3 +105,83 @@ def test_stratified_sample_is_narrow_filter(spark, sf_dir):
     df = QUERIES["stratified_sample_langs"](spark, sf_dir)
     plan = plan_of(df)
     assert "Exchange" not in plan            # pure scan+filter, no shuffle
+
+
+# ---- round-4 warehouse (TPC-H gap shapes) ---------------------------------
+
+
+def test_forecast_revenue_filters_reach_scan(spark, sf_dir):
+    df = QUERIES["forecast_revenue_change"](spark, sf_dir)
+    plan = plan_of(df)
+    # Q6 is a pruned scan + partial/final agg — no joins, no wide shuffle
+    assert "PushedFilters: [" in plan and "PushedFilters: []" not in plan
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_market_share_broadcasts_all_dimensions(spark, sf_dir):
+    df = QUERIES["nation_market_share"](spark, sf_dir)
+    plan = plan_of(df)
+    # part/supplier/nation/region all broadcast; lineitem⋈orders is the
+    # only shuffled join
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_returned_items_aggregates_before_widening(spark, sf_dir):
+    df = QUERIES["returned_items_by_customer"](spark, sf_dir)
+    opt = optimized_of(df)
+    # the customer/nation joins must sit ABOVE the revenue aggregate in
+    # the optimized plan (join input is |customers|, not |lineitems|)
+    agg_pos = opt.index("Aggregate")
+    join_pos = opt.index("Join")
+    assert join_pos < agg_pos  # plan prints top-down: join above agg
+
+
+def test_idle_rich_single_anti_join_pruned_probe(spark, sf_dir):
+    df = QUERIES["idle_rich_customers"](spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("LeftAnti") == 1
+    # the orders probe must carry only o_custkey (+ the pushed date)
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)", plan)
+    orders_schemas = [s for s in schemas if "o_custkey" in s]
+    assert orders_schemas and all(
+        len(s.split(",")) <= 2 for s in orders_schemas
+    ), schemas
+
+
+def test_small_quantity_broadcasts_per_part_avg(spark, sf_dir):
+    df = QUERIES["small_quantity_revenue"](spark, sf_dir)
+    plan = plan_of(df)
+    # decorrelated per-part avg joins back as a broadcast, not a shuffle
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+# ---- round-4 curation -----------------------------------------------------
+
+
+def test_span_dedup_uses_agg_not_window(spark, sf_dir):
+    df = QUERIES["span_dedup_stats"](spark, sf_dir)
+    plan = plan_of(df)
+    # first-occurrence attribution is min(doc_id) — commutative agg, no
+    # global sort/window anywhere in the plan
+    assert "Window" not in plan
+    assert "Sort" not in plan or "SortMergeJoin" in plan
+    assert plan.count("HashAggregate") >= 2  # partial+final
+
+
+def test_source_cap_is_single_keyed_window(spark, sf_dir):
+    df = QUERIES["source_capped_docs"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "Window" in plan
+    # keyed by source — not a partition-less global window
+    assert "hashpartitioning(source" in plan
+
+
+def test_token_length_buckets_no_joins(spark, sf_dir):
+    df = QUERIES["token_length_buckets"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2
