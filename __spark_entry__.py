@@ -78,6 +78,8 @@ _GATE_FIRST = [
     "span_dedup_stats",
     "source_capped_docs",
     "token_length_buckets",
+    "snapshot_diff_orders",
+    "scd2_customer_history",
     # -- implementation changed in round 3: need a fresh driver entry
     "customer_balance_deciles",
     "ann_cosine_topk",
@@ -105,8 +107,6 @@ _GATE_FIRST = [
     "count_existence_probe",
     "multiset_equality",
     "global_sort",
-    "groupby_agg_pricing_summary",
-    "topk_global",
 ]
 assert len(_GATE_FIRST) <= 50, "driver gate checks only the first 50 queries"
 

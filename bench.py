@@ -103,6 +103,9 @@ HEADLINE = [
     "span_dedup_stats",
     "source_capped_docs",
     "token_length_buckets",
+    # round 4: CDC / dimension history
+    "snapshot_diff_orders",
+    "scd2_customer_history",
 ]
 
 
@@ -156,6 +159,17 @@ def main() -> None:
             # reuse; drain between runs so storage stays flat
             release_pinned()
         timings[name] = round(best, 3)
+        # Between queries (OUTSIDE the timed section): drop any cached
+        # relations and force a driver GC. Spark's ContextCleaner only
+        # releases finished queries' broadcast/shuffle state when the
+        # driver heap GCs, which a 74-query session on a huge heap may
+        # never do on its own — the accumulated executor blocks were
+        # measured inflating late-running queries ~2x vs solo runs.
+        spark.catalog.clearCache()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)

@@ -27,7 +27,13 @@ from pyspark.sql import functions as F
 
 from ..sources.io import replace_partition, scan_or_none
 
-__all__ = ["merge_rollup", "distinct_sketch", "merged_distinct_estimate"]
+__all__ = [
+    "merge_rollup",
+    "distinct_sketch",
+    "merged_distinct_estimate",
+    "snapshot_diff",
+    "scd2_apply",
+]
 
 #: measure name → (partial expr builder, merge expr builder)
 _MERGES = {
@@ -136,3 +142,160 @@ def merged_distinct_estimate(
             F.hll_sketch_estimate("_u").alias("n_distinct_est"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Snapshot diff (CDC-style version compare)
+# --------------------------------------------------------------------------
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level diff between two versions of a keyed table: one output
+    row per key present in either version, tagged ``change_type`` ∈
+    {'inserted', 'deleted', 'changed'} (unchanged keys are dropped).
+
+    The change-data-feed primitive table formats expose natively,
+    computed engine-side for plain parquet tables: ONE full-outer
+    sort-merge join on the key — both sides shuffle once on the same
+    key, compares are null-safe (``<=>``) Column expressions inside
+    codegen, and only key columns + compared columns are read (column
+    pruning reaches both scans). No windows, no collect; at 100 TB
+    cost is the two keyed shuffles a CDC diff fundamentally needs.
+
+    ``compare_cols`` defaults to the non-key columns common to both
+    frames. Key columns must be non-null and unique per side (the
+    standard CDC contract; duplicate keys raise downstream in
+    ``scd2_apply``'s validator, and here would fan out the join).
+    """
+    if compare_cols is None:
+        compare_cols = [
+            c for c in old.columns if c in set(new.columns) and c not in keys
+        ]
+    o = old.select(*keys, *compare_cols)
+    n = new.select(*keys, *compare_cols)
+    # disambiguate by renaming BEFORE the join — self-join-safe
+    o = o.select(
+        *[F.col(k).alias(f"_ok_{k}") for k in keys],
+        *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+    )
+    n = n.select(
+        *[F.col(k).alias(f"_nk_{k}") for k in keys],
+        *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+    )
+    cond = None
+    for k in keys:
+        eq = F.col(f"_ok_{k}") == F.col(f"_nk_{k}")
+        cond = eq if cond is None else (cond & eq)
+    j = o.join(n, cond, "full_outer")
+    in_old = F.col(f"_ok_{keys[0]}").isNotNull()
+    in_new = F.col(f"_nk_{keys[0]}").isNotNull()
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+    tagged = j.select(
+        *[
+            F.coalesce(F.col(f"_nk_{k}"), F.col(f"_ok_{k}")).alias(k)
+            for k in keys
+        ],
+        F.when(~in_old, F.lit("inserted"))
+        .when(~in_new, F.lit("deleted"))
+        .when(~same, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change_type"),
+    )
+    return tagged.filter(F.col("change_type") != "unchanged")
+
+
+# --------------------------------------------------------------------------
+# SCD Type-2 history maintenance
+# --------------------------------------------------------------------------
+
+
+def scd2_apply(
+    history: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    tracked: list[str],
+    *,
+    batch_ts: str,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Apply one change batch to a Slowly-Changing-Dimension type-2
+    history table and return the new history frame.
+
+    Contract (the standard dimension-history semantics):
+    - ``history`` holds one row per (key, version): ``tracked`` value
+      columns plus ``valid_from``/``valid_to`` (string timestamps,
+      ``valid_to`` NULL = open version) and ``is_current``;
+    - ``changes`` holds AT MOST one row per key (raises otherwise —
+      same validate-and-raise stance as ``sources/io.py::merge_upsert``)
+      with the new tracked values;
+    - a change row whose tracked values differ (null-safely) from the
+      key's open version CLOSES that version at ``batch_ts`` and opens
+      a new one; an identical row is a no-op (idempotent re-delivery);
+      a new key opens its first version. Keys absent from the batch
+      pass through untouched.
+
+    Plan shape: closed history passes through without touching the
+    join; the open slice left-joins the batch once on the key (batch
+    side broadcastable when small — the nightly-dimension-feed case),
+    and the three outcomes (untouched / closed-out / fresh-open) are
+    narrow projections of that single join, unioned. Cost ∝ |open
+    history| + |batch|, never |closed history|; at 100 TB pair with
+    ``sources/io.py::upsert_partitions`` so only touched partitions
+    rewrite.
+    """
+    dup = (
+        changes.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
+    )
+    if dup:
+        raise ValueError(
+            "scd2_apply: changes batch has duplicate keys — deduplicate "
+            "per key (deterministic winner) before applying"
+        )
+    passthrough_cols = [*keys, *tracked, valid_from_col, valid_to_col, current_col]
+    closed = history.filter(~F.col(current_col)).select(*passthrough_cols)
+    open_ = history.filter(F.col(current_col)).select(*passthrough_cols)
+
+    ch = changes.select(
+        *[F.col(k).alias(f"_ck_{k}") for k in keys],
+        *[F.col(c).alias(f"_c_{c}") for c in tracked],
+    )
+    cond = None
+    for k in keys:
+        eq = F.col(k) == F.col(f"_ck_{k}")
+        cond = eq if cond is None else (cond & eq)
+    j = open_.join(ch, cond, "full_outer")
+
+    in_open = F.col(keys[0]).isNotNull()
+    in_batch = F.col(f"_ck_{keys[0]}").isNotNull()
+    same = F.lit(True)
+    for c in tracked:
+        same = same & F.col(c).eqNullSafe(F.col(f"_c_{c}"))
+
+    # open rows not superseded by the batch (absent or identical)
+    kept_open = j.filter(in_open & (~in_batch | same)).select(*passthrough_cols)
+    # open rows whose values changed: close them at batch_ts
+    closed_out = j.filter(in_open & in_batch & ~same).select(
+        *keys,
+        *tracked,
+        F.col(valid_from_col),
+        F.lit(batch_ts).alias(valid_to_col),
+        F.lit(False).alias(current_col),
+    )
+    # fresh versions: changed keys + brand-new keys
+    fresh = j.filter(in_batch & (~in_open | ~same)).select(
+        *[F.coalesce(F.col(f"_ck_{k}"), F.col(k)).alias(k) for k in keys],
+        *[F.col(f"_c_{c}").alias(c) for c in tracked],
+        F.lit(batch_ts).alias(valid_from_col),
+        F.lit(None).cast("string").alias(valid_to_col),
+        F.lit(True).alias(current_col),
+    )
+    return closed.unionByName(kept_open).unionByName(closed_out).unionByName(fresh)

@@ -17,7 +17,7 @@ planner broadcasts, never driver-side collects.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .registry import load_tables, query
@@ -545,4 +545,155 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_custs"),
             F.sum("bal_cents").alias("total_cents"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# CDC snapshot diff (operators/incremental.py::snapshot_diff)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "snapshot_diff_orders",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+      FROM orders WHERE o_orderdate < TIMESTAMP '2001-01-01'
+    ),
+    new AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_totalprice > 400000 THEN '1-URGENT'
+                  ELSE o_orderpriority END AS o_orderpriority,
+             o_totalprice
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    )
+    SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'inserted'
+                WHEN n.o_orderkey IS NULL THEN 'deleted'
+                ELSE 'changed' END AS change_type
+    FROM old o FULL OUTER JOIN new n ON n.o_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+       OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+       OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff between two simulated versions of the orders
+    table: the "old" version stops at 2001, the "new" version starts
+    at 1996 and has repriced priorities for very large orders — so the
+    diff surfaces all three change classes (inserted / deleted /
+    changed). One full-outer sort-merge join on the key with null-safe
+    column compares (operators/incremental.py::snapshot_diff); price
+    values pass through unmodified so the double compare is bit-exact
+    in both engines."""
+    from ..operators.incremental import snapshot_diff
+
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    old = orders.filter(
+        F.col("o_orderdate") < F.lit("2001-01-01").cast("timestamp")
+    ).select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+    new = orders.filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(F.col("o_totalprice") > 400000, F.lit("1-URGENT"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+        "o_totalprice",
+    )
+    return snapshot_diff(old, new, ["o_orderkey"])
+
+
+# --------------------------------------------------------------------------
+# SCD Type-2 history apply (operators/incremental.py::scd2_apply)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "scd2_customer_history",
+    oracle="""
+    WITH hist AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer
+    ),
+    changed AS (SELECT * FROM hist WHERE c_custkey % 7 = 0),
+    noop    AS (SELECT * FROM hist WHERE c_custkey % 11 = 0 AND c_custkey % 7 <> 0),
+    -- untouched open rows: keys with no batch row, plus idempotent no-ops
+    kept AS (
+      SELECT c_custkey, c_mktsegment, bal_cents,
+             '1995-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to,
+             true AS is_current
+      FROM hist WHERE c_custkey % 7 <> 0
+    ),
+    closed_out AS (
+      SELECT c_custkey, c_mktsegment, bal_cents,
+             '1995-01-01' AS valid_from, '2001-01-01' AS valid_to,
+             false AS is_current
+      FROM changed
+    ),
+    fresh AS (
+      SELECT c_custkey, c_mktsegment, bal_cents + 5000 AS bal_cents,
+             '2001-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to,
+             true AS is_current
+      FROM changed
+    ),
+    new_keys AS (
+      SELECT c_custkey + 1000000 AS c_custkey, 'NEWSEG' AS c_mktsegment,
+             bal_cents,
+             '2001-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to,
+             true AS is_current
+      FROM hist WHERE c_custkey % 13 = 0
+    )
+    SELECT * FROM kept
+    UNION ALL SELECT * FROM closed_out
+    UNION ALL SELECT * FROM fresh
+    UNION ALL SELECT * FROM new_keys
+    """,
+)
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension maintenance: a seeded customer history (one
+    open version per key) takes one change batch containing value
+    changes (every 7th key: balance +50.00), idempotent re-deliveries
+    (every 11th key: identical row — must be a no-op), and brand-new
+    keys (every 13th key, offset by 1e6). The engine closes superseded
+    versions at the batch timestamp, opens fresh ones, and passes
+    everything else through (operators/incremental.py::scd2_apply —
+    one keyed left join over the OPEN slice only).
+
+    The oracle reconstructs the expected history set-theoretically;
+    balances travel as exact integer cents."""
+    from ..operators.incremental import scd2_apply
+
+    (customer,) = load_tables(spark, sf_dir, "customer")
+    hist = customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        _cents(F.col("c_acctbal")).alias("bal_cents"),
+        F.lit("1995-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    changed = hist.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.col("bal_cents") + 5000).alias("bal_cents"),
+    )
+    noop = hist.filter(
+        (F.col("c_custkey") % 11 == 0) & (F.col("c_custkey") % 7 != 0)
+    ).select("c_custkey", "c_mktsegment", "bal_cents")
+    new_keys = hist.filter(F.col("c_custkey") % 13 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.lit("NEWSEG").alias("c_mktsegment"),
+        "bal_cents",
+    )
+    batch = changed.unionByName(noop).unionByName(new_keys)
+    return scd2_apply(
+        hist,
+        batch,
+        ["c_custkey"],
+        ["c_mktsegment", "bal_cents"],
+        batch_ts="2001-01-01",
     )

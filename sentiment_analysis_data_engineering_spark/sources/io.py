@@ -618,3 +618,31 @@ def write_range_sorted(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def overwrite_via_swap(df: DataFrame, path: str) -> None:
+    """Materialize ``df`` and install it at ``path`` even when the plan
+    READS from ``path`` — the read-modify-write every self-referential
+    maintenance job needs (SCD2 history apply, rollup rebuilds). A
+    plain ``mode("overwrite")`` on the source path deletes the input
+    under the running scan; instead the new version lands in a side
+    directory and two Hadoop-FS renames swap it in (same semantics and
+    caveats as ``compact_small_files``: each rename is atomic on HDFS,
+    the pair is not atomic end-to-end; object stores want a table
+    format's commit protocol instead)."""
+    spark = df.sparkSession
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    tmp = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__swap_tmp")
+    df.write.mode("overwrite").parquet(str(tmp))
+    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__swap_old")
+    if fs.exists(jpath):
+        if not fs.rename(jpath, old):
+            raise IOError(f"swap: could not move {path} aside")
+    if not fs.rename(tmp, jpath):
+        if fs.exists(old):
+            fs.rename(old, jpath)  # roll back so the table stays readable
+        raise IOError(f"swap: could not install new version at {path}")
+    fs.delete(old, True)

@@ -327,3 +327,75 @@ def run_available_now(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def run_scd2_stream(
+    stream_df: DataFrame,
+    history_path: str,
+    keys: list[str],
+    tracked: list[str],
+    *,
+    order_col: str,
+    checkpoint: str,
+) -> None:
+    """Streaming SCD type-2 sink: each micro-batch of dimension change
+    events updates the versioned history table at ``history_path``
+    through the batch ``scd2_apply`` (superseded versions closed, fresh
+    versions opened, identical re-deliveries no-ops).
+
+    A stream, unlike ``scd2_apply``'s batch contract, may carry SEVERAL
+    updates for one key in one micro-batch — the sink collapses them
+    deterministically to the latest by ``order_col`` (max, ties broken
+    by the tracked values themselves via struct ordering) before the
+    apply; intermediate versions inside one micro-batch are not
+    recorded, matching micro-batch semantics (state transitions are
+    observed at batch boundaries).
+
+    Replay safety (foreachBatch is at-least-once): the version
+    timestamp is derived from ``batch_id``, not wall clock, so a
+    replayed batch re-applies with the SAME valid_from and identical
+    values — a no-op. History read-modify-write goes through
+    ``overwrite_via_swap`` (the plan reads the same path it replaces).
+    First batch against a missing history seeds it: every key opens
+    its first version.
+
+    Scale: the history table is a dimension (rows ∝ entities ×
+    versions, not events); per batch the open slice joins the
+    collapsed batch once — `scd2_apply`'s cost model — and the swap
+    rewrite is history-sized, the standard trade for a plain-parquet
+    dimension store (a table format's MERGE takes over at the point
+    history itself is huge).
+    """
+    from ..operators.incremental import scd2_apply
+    from ..sources.io import overwrite_via_swap, scan_or_none
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_ts = f"batch-{batch_id:08d}"
+        latest = batch_df.groupBy(*keys).agg(
+            F.max(F.struct(order_col, *tracked)).alias("_s")
+        )
+        collapsed = latest.select(*keys, *[F.col(f"_s.{c}").alias(c) for c in tracked])
+        hist = scan_or_none(spark, history_path)
+        if hist is None:
+            seeded = collapsed.select(
+                *keys,
+                *tracked,
+                F.lit(batch_ts).alias("valid_from"),
+                F.lit(None).cast("string").alias("valid_to"),
+                F.lit(True).alias("is_current"),
+            )
+            seeded.write.mode("overwrite").parquet(history_path)
+            return
+        new_hist = scd2_apply(
+            hist, collapsed, keys, tracked, batch_ts=batch_ts
+        )
+        overwrite_via_swap(new_hist, history_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

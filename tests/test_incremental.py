@@ -132,3 +132,98 @@ def test_distinct_sketch_grouped(spark, sf_dir):
     got = {r.event_type: r.n_distinct_est for r in per_type.collect()}
     assert set(got) == {"click", "view", "signup", "purchase", "error"}
     assert all(v > 0 for v in got.values())
+
+
+# ---- snapshot_diff ---------------------------------------------------------
+
+
+def test_snapshot_diff_classes_and_null_safety(spark):
+    from sentiment_analysis_data_engineering_spark.operators.incremental import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, None, 40.0)],
+        "k int, v string, x double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", None), (3, "C", 30.0), (4, None, 40.0), (5, "e", 50.0)],
+        "k int, v string, x double",
+    )
+    got = {r.k: r.change_type for r in snapshot_diff(old, new, ["k"]).collect()}
+    # 1 only in old; 2 identical incl. null x (null-safe → unchanged,
+    # dropped); 3 value-changed; 4 identical incl. null v; 5 only in new
+    assert got == {1: "deleted", 3: "changed", 5: "inserted"}
+
+
+def test_snapshot_diff_explicit_compare_cols(spark):
+    from sentiment_analysis_data_engineering_spark.operators.incremental import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a", 1), (2, "b", 2)], "k int, v string, ignored int")
+    new = spark.createDataFrame([(1, "a", 9), (2, "B", 2)], "k int, v string, ignored int")
+    got = snapshot_diff(old, new, ["k"], compare_cols=["v"]).collect()
+    assert {r.k: r.change_type for r in got} == {2: "changed"}  # `ignored` ignored
+
+
+# ---- scd2_apply ------------------------------------------------------------
+
+
+def _hist(spark, rows):
+    return spark.createDataFrame(
+        rows, "k int, seg string, bal long, valid_from string, valid_to string, is_current boolean"
+    )
+
+
+def test_scd2_change_noop_and_new_key(spark):
+    from sentiment_analysis_data_engineering_spark.operators.incremental import scd2_apply
+
+    hist = _hist(spark, [
+        (1, "A", 100, "2000-01-01", None, True),
+        (2, "B", 200, "2000-01-01", None, True),
+        # key 3 already has history: one closed + one open version
+        (3, "C", 300, "1999-01-01", "2000-01-01", False),
+        (3, "C2", 310, "2000-01-01", None, True),
+    ])
+    batch = spark.createDataFrame(
+        [(1, "A", 150), (2, "B", 200), (4, "D", 400)], "k int, seg string, bal long"
+    )
+    out = scd2_apply(hist, batch, ["k"], ["seg", "bal"], batch_ts="2001-06-01")
+    rows = {(r.k, r.valid_from): r for r in out.collect()}
+    assert len(rows) == 6
+    # key 1 changed: old version closed at batch_ts, new open version
+    assert rows[(1, "2000-01-01")].valid_to == "2001-06-01"
+    assert rows[(1, "2000-01-01")].is_current is False
+    assert rows[(1, "2001-06-01")].bal == 150
+    assert rows[(1, "2001-06-01")].is_current is True
+    assert rows[(1, "2001-06-01")].valid_to is None
+    # key 2 identical: untouched no-op
+    assert rows[(2, "2000-01-01")].is_current is True
+    assert rows[(2, "2000-01-01")].valid_to is None
+    # key 3 absent from batch: both versions pass through
+    assert rows[(3, "1999-01-01")].is_current is False
+    assert rows[(3, "2000-01-01")].is_current is True
+    # key 4 brand new
+    assert rows[(4, "2001-06-01")].bal == 400
+    assert rows[(4, "2001-06-01")].is_current is True
+
+
+def test_scd2_idempotent_redelivery(spark):
+    from sentiment_analysis_data_engineering_spark.operators.incremental import scd2_apply
+
+    hist = _hist(spark, [(1, "A", 100, "2000-01-01", None, True)])
+    batch = spark.createDataFrame([(1, "A", 150)], "k int, seg string, bal long")
+    once = scd2_apply(hist, batch, ["k"], ["seg", "bal"], batch_ts="2001-01-01")
+    twice = scd2_apply(once, batch, ["k"], ["seg", "bal"], batch_ts="2002-01-01")
+    # re-delivering the same batch later must not create a third version
+    assert sorted(r.valid_from for r in twice.collect()) == ["2000-01-01", "2001-01-01"]
+
+
+def test_scd2_rejects_duplicate_batch_keys(spark):
+    import pytest as _pytest
+
+    from sentiment_analysis_data_engineering_spark.operators.incremental import scd2_apply
+
+    hist = _hist(spark, [(1, "A", 100, "2000-01-01", None, True)])
+    batch = spark.createDataFrame(
+        [(1, "A", 150), (1, "A", 160)], "k int, seg string, bal long"
+    )
+    with _pytest.raises(ValueError, match="duplicate keys"):
+        scd2_apply(hist, batch, ["k"], ["seg", "bal"], batch_ts="2001-01-01")

@@ -368,3 +368,59 @@ def test_quarantine_stream_splits_and_keeps_everything(spark, events_dir, tmp_pa
     )
     n_bad = back.filter(F.col("_quarantined") == "true").count()
     assert n_bad == n_bad_expected and n_bad > 0
+
+
+def test_scd2_stream_versions_replay_and_collapse(spark, tmp_path):
+    """Streaming SCD2 sink: gen-1 seeds the history; gen-2 carries a
+    value change, an identical re-delivery, a brand-new key, AND two
+    updates for one key in the same micro-batch (must collapse to the
+    latest by order_col). A full replay from a fresh checkpoint must
+    leave the history unchanged (batch-id-derived timestamps)."""
+    from sentiment_analysis_data_engineering_spark.streaming.events import run_scd2_stream
+
+    src = str(tmp_path / "src")
+    hist = str(tmp_path / "hist")
+    schema = "k long, seg string, bal long, seq long"
+
+    def start(ckpt):
+        stream = spark.readStream.schema(schema).parquet(src)
+        run_scd2_stream(
+            stream, hist, ["k"], ["seg", "bal"],
+            order_col="seq", checkpoint=str(tmp_path / ckpt),
+        )
+
+    # generation 1: three keys seed the history
+    spark.createDataFrame(
+        [(1, "A", 100, 1), (2, "B", 200, 1), (3, "C", 300, 1)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    start("ckpt")
+    h1 = {(r.k, r.valid_from): r for r in spark.read.parquet(hist).collect()}
+    assert len(h1) == 3 and all(r.is_current for r in h1.values())
+
+    # generation 2: key1 changes twice in-batch (seq 2 then 3 wins),
+    # key2 re-delivered identically (no-op), key4 is new
+    spark.createDataFrame(
+        [(1, "A", 150, 2), (1, "A", 175, 3), (2, "B", 200, 2), (4, "D", 400, 2)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    start("ckpt")
+    rows = spark.read.parquet(hist).collect()
+    byk = {(r.k, r.is_current): r for r in rows}
+    # k1 closed seed + k1 open + k2 open + k3 open + k4 open
+    assert len(rows) == 5
+    # key 1: closed seed + open v175 (the in-batch intermediate 150 is
+    # never recorded)
+    assert byk[(1, False)].bal == 100 and byk[(1, False)].valid_to is not None
+    assert byk[(1, True)].bal == 175
+    # key 2: single untouched open version
+    assert byk[(2, True)].bal == 200
+    assert (2, False) not in byk
+    # key 4: new open version
+    assert byk[(4, True)].bal == 400
+
+    # full replay, fresh checkpoint: batch-ids regenerate identically, so
+    # every apply is a no-op — history must be byte-identical
+    before = sorted(map(tuple, rows))
+    start("ckpt_replay")
+    after = sorted(map(tuple, spark.read.parquet(hist).collect()))
+    assert after == before
