@@ -399,3 +399,40 @@ def run_scd2_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def enrich_stream_with_dim(
+    stream_df: DataFrame,
+    dim_df: DataFrame,
+    on: list[str],
+    *,
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to a
+    stream — the lookup-table pattern (user → segment, part → type)
+    every event pipeline needs and the one streaming join family not
+    yet covered (stream-stream interval joins live above).
+
+    Spark evaluates the STATIC side fresh per micro-batch (the plan is
+    re-executed, so a dimension table updated between batches is picked
+    up without restarting the query — the documented stream-static
+    semantics). No watermark is needed: the static side holds no
+    streaming state. ``broadcast_dim`` ships the dimension to every
+    task once per batch — the right call for genuinely dimension-sized
+    tables; at 100 TB a fact-sized "dimension" instead wants the
+    stream keyed-partitioned and the hint dropped so AQE picks a
+    shuffled join per batch.
+
+    Only inner/left joins are exposed: a right/full join against a
+    stream would need to emit "dimension rows with no stream match",
+    which is unanswerable over an unbounded stream without a watermark
+    contract and is rejected by Spark itself.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"enrich_stream_with_dim: how={how!r} — only inner/left are "
+            "well-defined against an unbounded stream side"
+        )
+    dim = F.broadcast(dim_df) if broadcast_dim else dim_df
+    return stream_df.join(dim, on, how)

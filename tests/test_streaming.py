@@ -424,3 +424,41 @@ def test_scd2_stream_versions_replay_and_collapse(spark, tmp_path):
     start("ckpt_replay")
     after = sorted(map(tuple, spark.read.parquet(hist).collect()))
     assert after == before
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir, events_dir, tmp_path):
+    """Stream-static broadcast enrichment must produce exactly the rows
+    of the equivalent batch join, and reject join types that are
+    ill-defined against an unbounded stream."""
+    import pytest as _pytest
+
+    from sentiment_analysis_data_engineering_spark.streaming.events import enrich_stream_with_dim
+
+    # dimension: user_id -> tier (derived deterministically; some users
+    # are deliberately absent so the LEFT semantics are exercised)
+    (events,) = load_tables(spark, sf_dir, "events")
+    dim = (
+        events.select("user_id").distinct()
+        .filter(F.col("user_id") % 3 != 0)  # 1/3 of users missing
+        .withColumn("tier", F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd"))
+    )
+    stream = st.read_events_stream(spark, events_dir)
+    enriched = enrich_stream_with_dim(
+        stream.select("event_id", "user_id"), dim, ["user_id"]
+    )
+    got = st.run_available_now(enriched, "t_enrich").toPandas()
+
+    batch = (
+        events.select("event_id", "user_id")
+        .join(F.broadcast(dim), ["user_id"], "left")
+        .toPandas()
+    )
+    assert len(got) == len(batch)
+    got_s = got.sort_values("event_id").reset_index(drop=True)
+    batch_s = batch[got.columns].sort_values("event_id").reset_index(drop=True)
+    assert got_s.equals(batch_s)
+    # absent dimension keys must still stream through (left semantics)
+    assert got["tier"].isna().any()
+
+    with _pytest.raises(ValueError, match="inner/left"):
+        enrich_stream_with_dim(stream, dim, ["user_id"], how="full")
