@@ -226,6 +226,7 @@ def scd2_apply(
     valid_from_col: str = "valid_from",
     valid_to_col: str = "valid_to",
     current_col: str = "is_current",
+    assume_unique_keys: bool = False,
 ) -> DataFrame:
     """Apply one change batch to a Slowly-Changing-Dimension type-2
     history table and return the new history frame.
@@ -236,7 +237,12 @@ def scd2_apply(
       ``valid_to`` NULL = open version) and ``is_current``;
     - ``changes`` holds AT MOST one row per key (raises otherwise —
       same validate-and-raise stance as ``sources/io.py::merge_upsert``)
-      with the new tracked values;
+      with the new tracked values; the check is one eager Spark job, so
+      callers whose batch is unique BY CONSTRUCTION (e.g. the output of
+      a ``groupBy(keys)`` — the streaming sink's collapse) pass
+      ``assume_unique_keys=True`` to skip recomputing the batch;
+    - a NULL ``is_current`` is treated as False (a closed historical
+      row passes through untouched) — never silently dropped;
     - a change row whose tracked values differ (null-safely) from the
       key's open version CLOSES that version at ``batch_ts`` and opens
       a new one; an identical row is a no-op (idempotent re-delivery);
@@ -252,17 +258,22 @@ def scd2_apply(
     ``sources/io.py::upsert_partitions`` so only touched partitions
     rewrite.
     """
-    dup = (
-        changes.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
-    )
-    if dup:
-        raise ValueError(
-            "scd2_apply: changes batch has duplicate keys — deduplicate "
-            "per key (deterministic winner) before applying"
+    if not assume_unique_keys:
+        dup = (
+            changes.groupBy(*keys).count().filter(F.col("count") > 1)
+            .limit(1).count()
         )
+        if dup:
+            raise ValueError(
+                "scd2_apply: changes batch has duplicate keys — deduplicate "
+                "per key (deterministic winner) before applying"
+            )
     passthrough_cols = [*keys, *tracked, valid_from_col, valid_to_col, current_col]
-    closed = history.filter(~F.col(current_col)).select(*passthrough_cols)
-    open_ = history.filter(F.col(current_col)).select(*passthrough_cols)
+    # NULL is_current → closed passthrough (never dropped between the
+    # two complementary filters)
+    is_open = F.coalesce(F.col(current_col), F.lit(False))
+    closed = history.filter(~is_open).select(*passthrough_cols)
+    open_ = history.filter(is_open).select(*passthrough_cols)
 
     ch = changes.select(
         *[F.col(k).alias(f"_ck_{k}") for k in keys],

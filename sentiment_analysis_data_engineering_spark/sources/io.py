@@ -571,6 +571,8 @@ def compact_small_files(
                 )
     files_before = _count_part_files(jpath)
     tmp = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compact_tmp")
+    if fs.exists(tmp):  # stale in-flight rewrite from a crashed run
+        fs.delete(tmp, True)
     writer = (
         df.repartition(n_files, F.col(shard_key))
         .write.mode("overwrite")
@@ -579,13 +581,7 @@ def compact_small_files(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(str(tmp))
-    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compact_old")
-    if not fs.rename(jpath, old):
-        raise IOError(f"compact: could not move {path} aside")
-    if not fs.rename(tmp, jpath):
-        fs.rename(old, jpath)  # roll back so the table stays readable
-        raise IOError(f"compact: could not install compacted {path}")
-    fs.delete(old, True)
+    _swap_install(spark, str(tmp), path)
     return {"files_before": files_before, "files_after": _count_part_files(jpath)}
 
 
@@ -620,24 +616,58 @@ def write_range_sorted(
     )
 
 
-def overwrite_via_swap(df: DataFrame, path: str) -> None:
-    """Materialize ``df`` and install it at ``path`` even when the plan
-    READS from ``path`` — the read-modify-write every self-referential
-    maintenance job needs (SCD2 history apply, rollup rebuilds). A
-    plain ``mode("overwrite")`` on the source path deletes the input
-    under the running scan; instead the new version lands in a side
-    directory and two Hadoop-FS renames swap it in (same semantics and
-    caveats as ``compact_small_files``: each rename is atomic on HDFS,
-    the pair is not atomic end-to-end; object stores want a table
-    format's commit protocol instead)."""
-    spark = df.sparkSession
+def _swap_fs(spark: SparkSession, path: str):
+    """(jvm, fs, Path-factory) triple for the Hadoop-FS swap helpers."""
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(hconf)
-    tmp = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__swap_tmp")
-    df.write.mode("overwrite").parquet(str(tmp))
-    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__swap_old")
+    return jvm, jpath.getFileSystem(hconf), jvm.org.apache.hadoop.fs.Path
+
+
+def recover_interrupted_swap(spark: SparkSession, path: str) -> bool:
+    """Restore ``path`` after a crash between ``_swap_install``'s two
+    renames, and clear any stale side directories a crash left behind.
+
+    Invariants the swap protocol maintains: ``path__swap_old`` only
+    ever holds the last GOOD version (moved aside immediately before
+    install), and ``path__swap_tmp`` only ever holds an in-flight new
+    version. So: if ``path`` is missing but ``__swap_old`` exists, the
+    crash hit between the renames — rename the old version back (roll
+    back; the caller re-applies its batch, which is the replay-safe
+    direction for at-least-once sinks). Any remaining side directories
+    are stale and deleted so they cannot wedge the NEXT swap's
+    move-aside rename (rename onto an existing directory fails on
+    POSIX local FS and silently nests on HDFS).
+
+    Returns True if a rollback happened."""
+    _, fs, P = _swap_fs(spark, path)
+    jpath = P(path)
+    old = P(path.rstrip("/") + "__swap_old")
+    tmp = P(path.rstrip("/") + "__swap_tmp")
+    rolled_back = False
+    if not fs.exists(jpath) and fs.exists(old):
+        if not fs.rename(old, jpath):
+            raise IOError(f"swap recovery: could not restore {path}")
+        rolled_back = True
+    for stale in (old, tmp):
+        if fs.exists(stale):
+            fs.delete(stale, True)
+    return rolled_back
+
+
+def _swap_install(spark: SparkSession, tmp_str: str, path: str) -> None:
+    """Install the fully-written directory ``tmp_str`` at ``path`` via
+    the move-aside / install / rollback rename protocol (each rename
+    atomic on HDFS, the pair not atomic end-to-end — a table format's
+    commit protocol owns this on object stores). Shared by
+    ``overwrite_via_swap`` and ``compact_small_files`` so crash-
+    recovery fixes land in one place."""
+    _, fs, P = _swap_fs(spark, path)
+    jpath = P(path)
+    tmp = P(tmp_str)
+    old = P(path.rstrip("/") + "__swap_old")
+    if fs.exists(old):  # stale leftover from a crashed run: never good data
+        fs.delete(old, True)
     if fs.exists(jpath):
         if not fs.rename(jpath, old):
             raise IOError(f"swap: could not move {path} aside")
@@ -646,3 +676,23 @@ def overwrite_via_swap(df: DataFrame, path: str) -> None:
             fs.rename(old, jpath)  # roll back so the table stays readable
         raise IOError(f"swap: could not install new version at {path}")
     fs.delete(old, True)
+
+
+def overwrite_via_swap(df: DataFrame, path: str) -> None:
+    """Materialize ``df`` and install it at ``path`` even when the plan
+    READS from ``path`` — the read-modify-write every self-referential
+    maintenance job needs (SCD2 history apply, rollup rebuilds). A
+    plain ``mode("overwrite")`` on the source path deletes the input
+    under the running scan; instead the new version lands in a side
+    directory and ``_swap_install`` renames it in. Callers that may
+    resume after a crash (streaming sinks) should call
+    ``recover_interrupted_swap`` before READING ``path`` — a crash
+    between the two renames leaves the table momentarily missing, and
+    reading "missing" as "first run" rebuilds-and-drops history."""
+    spark = df.sparkSession
+    _, fs, P = _swap_fs(spark, path)
+    tmp = path.rstrip("/") + "__swap_tmp"
+    if fs.exists(P(tmp)):  # stale in-flight version from a crashed run
+        fs.delete(P(tmp), True)
+    df.write.mode("overwrite").parquet(tmp)
+    _swap_install(spark, tmp, path)

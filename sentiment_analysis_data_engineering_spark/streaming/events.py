@@ -367,7 +367,11 @@ def run_scd2_stream(
     history itself is huge).
     """
     from ..operators.incremental import scd2_apply
-    from ..sources.io import overwrite_via_swap, scan_or_none
+    from ..sources.io import (
+        overwrite_via_swap,
+        recover_interrupted_swap,
+        scan_or_none,
+    )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -376,6 +380,11 @@ def run_scd2_stream(
             F.max(F.struct(order_col, *tracked)).alias("_s")
         )
         collapsed = latest.select(*keys, *[F.col(f"_s.{c}").alias(c) for c in tracked])
+        # A crash between the swap's two renames leaves the history
+        # momentarily missing; reading "missing" as "first batch" would
+        # re-seed from this batch alone and DROP all history. Roll the
+        # previous good version back first.
+        recover_interrupted_swap(spark, history_path)
         hist = scan_or_none(spark, history_path)
         if hist is None:
             seeded = collapsed.select(
@@ -387,8 +396,11 @@ def run_scd2_stream(
             )
             seeded.write.mode("overwrite").parquet(history_path)
             return
+        # collapsed is groupBy(keys) output — unique per key by
+        # construction; skip the validator's extra per-batch job
         new_hist = scd2_apply(
-            hist, collapsed, keys, tracked, batch_ts=batch_ts
+            hist, collapsed, keys, tracked, batch_ts=batch_ts,
+            assume_unique_keys=True,
         )
         overwrite_via_swap(new_hist, history_path)
 

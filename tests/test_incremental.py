@@ -227,3 +227,18 @@ def test_scd2_rejects_duplicate_batch_keys(spark):
     )
     with _pytest.raises(ValueError, match="duplicate keys"):
         scd2_apply(hist, batch, ["k"], ["seg", "bal"], batch_ts="2001-01-01")
+
+
+def test_scd2_null_is_current_passes_through_as_closed(spark):
+    from sentiment_analysis_data_engineering_spark.operators.incremental import scd2_apply
+
+    hist = _hist(spark, [
+        (1, "A", 100, "2000-01-01", None, True),
+        # NULL is_current: must pass through as a closed row, not vanish
+        (1, "A0", 90, "1999-01-01", "2000-01-01", None),
+    ])
+    batch = spark.createDataFrame([(1, "A", 150)], "k int, seg string, bal long")
+    out = scd2_apply(hist, batch, ["k"], ["seg", "bal"], batch_ts="2001-01-01")
+    rows = sorted(out.collect(), key=lambda r: r.valid_from)
+    assert len(rows) == 3  # null-current row kept + closed seed + new open
+    assert rows[0].seg == "A0"  # the NULL-is_current row survived

@@ -452,3 +452,40 @@ def test_compact_refuses_partitioned_without_layout(spark, tmp_path):
     # partition directories preserved -> pruning still works
     import glob
     assert glob.glob(str(tmp_path / "part_frag" / "m=*"))
+
+
+def test_swap_recovery_restores_after_mid_swap_crash(spark, tmp_path):
+    """Simulated crash between the swap's two renames: the table dir is
+    missing and only __swap_old (last good version) exists. Recovery
+    must restore it, clear the side dirs, and the next swap must work."""
+    import os
+
+    from sentiment_analysis_data_engineering_spark.sources.io import (
+        overwrite_via_swap,
+        recover_interrupted_swap,
+    )
+
+    path = str(tmp_path / "tbl")
+    spark.range(10).write.parquet(path)
+    # crash simulation: move the table aside exactly as _swap_install
+    # does, plus a stale half-written tmp
+    os.rename(path, path + "__swap_old")
+    os.makedirs(path + "__swap_tmp")
+    assert recover_interrupted_swap(spark, path) is True
+    assert spark.read.parquet(path).count() == 10
+    assert not os.path.exists(path + "__swap_old")
+    assert not os.path.exists(path + "__swap_tmp")
+    # and a stale __swap_old must not wedge the next overwrite
+    os.makedirs(path + "__swap_old")
+    overwrite_via_swap(spark.range(5), path)
+    assert spark.read.parquet(path).count() == 5
+    assert not os.path.exists(path + "__swap_old")
+
+
+def test_swap_recovery_noop_when_table_healthy(spark, tmp_path):
+    from sentiment_analysis_data_engineering_spark.sources.io import recover_interrupted_swap
+
+    path = str(tmp_path / "tbl")
+    spark.range(7).write.parquet(path)
+    assert recover_interrupted_swap(spark, path) is False
+    assert spark.read.parquet(path).count() == 7
