@@ -80,6 +80,7 @@ _GATE_FIRST = [
     "token_length_buckets",
     "snapshot_diff_orders",
     "scd2_customer_history",
+    "fuzzy_part_name_pairs",
     # -- implementation changed in round 3: need a fresh driver entry
     "customer_balance_deciles",
     "ann_cosine_topk",
@@ -106,7 +107,6 @@ _GATE_FIRST = [
     "union_all_branches",
     "count_existence_probe",
     "multiset_equality",
-    "global_sort",
 ]
 assert len(_GATE_FIRST) <= 50, "driver gate checks only the first 50 queries"
 

@@ -106,6 +106,8 @@ HEADLINE = [
     # round 4: CDC / dimension history
     "snapshot_diff_orders",
     "scd2_customer_history",
+    # round 4: entity resolution
+    "fuzzy_part_name_pairs",
 ]
 
 

@@ -204,3 +204,46 @@ def token_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# Blocked fuzzy name matching (operators/fuzzy.py)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "fuzzy_part_name_pairs",
+    oracle="""
+    WITH names AS (
+      SELECT p_name, min(p_partkey) AS name_id,
+             split_part(p_name, ' ', 2) AS noun
+      FROM part GROUP BY p_name
+    )
+    SELECT a.name_id AS id_a, b.name_id AS id_b,
+           a.p_name AS text_a, b.p_name AS text_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS distance
+    FROM names a JOIN names b
+      ON a.noun = b.noun AND a.name_id < b.name_id
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy match over the part-name vocabulary:
+    distinct names blocked on their noun token (the stable word in the
+    'adjective noun' format), in-block pairs refined to Levenshtein
+    distance ≤ 3 (operators/fuzzy.py::fuzzy_match_pairs — one keyed
+    self-join, never a cross join; oversized blocks guarded). Name
+    identity is min(p_partkey) per name so ids are deterministic.
+    Both engines implement classic unit-cost Levenshtein, so the
+    distance column matches exactly."""
+    from ..operators import fuzzy as fz
+
+    (part,) = load_tables(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(F.min("p_partkey").alias("name_id"))
+    return fz.fuzzy_match_pairs(
+        names,
+        "p_name",
+        "name_id",
+        block_col=F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)),
+        max_distance=3,
+    )

@@ -185,3 +185,24 @@ def test_token_length_buckets_no_joins(spark, sf_dir):
     plan = plan_of(df)
     assert "Join" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+# ---- round-4 CDC ----------------------------------------------------------
+
+
+def test_snapshot_diff_single_full_outer_no_bnlj(spark, sf_dir):
+    df = QUERIES["snapshot_diff_orders"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "FullOuter" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    # exactly ONE join — the CDC floor — and both scans keep pushdown
+    assert plan.count("Join") == 1
+    assert "PushedFilters: [" in plan and "PushedFilters: []" not in plan
+
+
+def test_scd2_closed_history_bypasses_join(spark, sf_dir):
+    df = QUERIES["scd2_customer_history"](spark, sf_dir)
+    opt = optimized_of(df)
+    # the history union has a branch with no Join below it (closed
+    # slice passes through); count joins well under branches x joins
+    assert opt.count("Join") <= 3

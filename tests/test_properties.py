@@ -138,3 +138,53 @@ def test_ewma_closed_form_matches_recursion(xs, alpha):
         alpha * (1.0 - alpha) ** (n - i) * xs[i - 1] for i in range(2, n + 1)
     )
     assert math.isclose(closed, s, rel_tol=1e-9, abs_tol=1e-6)
+
+
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(st.integers(1, 5), st.integers(0, 3)),  # (key, value)
+            min_size=0, max_size=5, unique_by=lambda t: t[0],
+        ),
+        min_size=1, max_size=4,
+    )
+)
+@_slow
+def test_scd2_sequential_laws(spark, batches):
+    """SCD2 invariants over ANY sequence of change batches:
+    1. exactly one open version per key ever seen;
+    2. per key, versions chain: sorted valid_from ranges link
+       valid_to -> next valid_from with the open one last;
+    3. the open version carries the latest applied value;
+    4. row count only grows (history is append-only in effect)."""
+    from sentiment_analysis_data_engineering_spark.operators.incremental import scd2_apply
+
+    hist = spark.createDataFrame(
+        [], "k int, val int, valid_from string, valid_to string, is_current boolean"
+    )
+    last_val: dict[int, int] = {}
+    prev_rows = 0
+    for i, batch in enumerate(batches):
+        if not batch:
+            continue
+        bdf = spark.createDataFrame(batch, "k int, val int")
+        hist = scd2_apply(
+            hist, bdf, ["k"], ["val"], batch_ts=f"b{i:04d}",
+            assume_unique_keys=True,
+        )
+        for k, v in batch:
+            last_val[k] = v
+    rows = hist.collect()
+    assert len(rows) >= prev_rows
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r.k, []).append(r)
+    for k, versions in by_key.items():
+        opens = [r for r in versions if r.is_current]
+        assert len(opens) == 1                      # law 1
+        assert opens[0].valid_to is None
+        assert opens[0].val == last_val[k]          # law 3
+        chain = sorted(versions, key=lambda r: r.valid_from)
+        for a, b in zip(chain, chain[1:]):
+            assert a.valid_to == b.valid_from       # law 2
+        assert chain[-1].is_current

@@ -157,3 +157,47 @@ def test_unigram_logprob_score(spark):
     assert abs(out[2].avg_logprob - expect2) < 1e-9
     # common-token doc scores higher than the rare-token one
     assert out[1].avg_logprob > out[2].avg_logprob
+
+
+# ---- fuzzy matching (operators/fuzzy.py) -----------------------------------
+
+
+def test_fuzzy_match_blocks_and_refines(spark):
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_data_engineering_spark.operators.fuzzy import fuzzy_match_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "red plate", "plate"),
+            (2, "hot plate", "plate"),
+            (3, "red plates", "plates"),   # different block: never compared
+            (4, "cold plate", "plate"),
+            (5, "blue widget", "widget"),
+        ],
+        "id long, name string, noun string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.distance
+        for r in fuzzy_match_pairs(
+            df, "name", "id", block_col=F.col("noun"), max_distance=3
+        ).collect()
+    }
+    # red/hot/cold plate all pairwise within 3 edits; widget pairs with
+    # nothing; cross-block pair (1,3) absent despite distance 1 — the
+    # documented blocking contract
+    assert got == {(1, 2): 3, (1, 4): 3, (2, 4): 3}
+
+
+def test_fuzzy_match_oversized_block_guard(spark):
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_data_engineering_spark.operators.fuzzy import fuzzy_match_pairs
+
+    rows = [(i, f"name {i}", "same") for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, name string, block string")
+    out = fuzzy_match_pairs(
+        df, "name", "id", block_col=F.col("block"),
+        max_distance=10, max_block_size=10,
+    )
+    assert out.count() == 0  # whole block dropped, not exploded
