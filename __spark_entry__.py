@@ -81,6 +81,7 @@ _GATE_FIRST = [
     "snapshot_diff_orders",
     "scd2_customer_history",
     "fuzzy_part_name_pairs",
+    "daily_user_value_locf",
     # -- implementation changed in round 3: need a fresh driver entry
     "customer_balance_deciles",
     "ann_cosine_topk",
@@ -106,7 +107,6 @@ _GATE_FIRST = [
     "semi_join_existing_keys",
     "union_all_branches",
     "count_existence_probe",
-    "multiset_equality",
 ]
 assert len(_GATE_FIRST) <= 50, "driver gate checks only the first 50 queries"
 

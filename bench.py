@@ -106,8 +106,9 @@ HEADLINE = [
     # round 4: CDC / dimension history
     "snapshot_diff_orders",
     "scd2_customer_history",
-    # round 4: entity resolution
+    # round 4: entity resolution + time-series fill
     "fuzzy_part_name_pairs",
+    "daily_user_value_locf",
 ]
 
 

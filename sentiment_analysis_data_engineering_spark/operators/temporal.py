@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-__all__ = ["as_of_join", "range_join_buckets", "ewma_last"]
+__all__ = ["as_of_join", "range_join_buckets", "ewma_last", "forward_fill"]
 
 
 def as_of_join(
@@ -172,3 +172,30 @@ def ewma_last(
             F.sum(F.col("_x") * F.col("_w")).alias("ewma"),
         )
     )
+
+
+def forward_fill(
+    df: DataFrame,
+    value_col: str,
+    *,
+    key_cols: list[str],
+    order_col: str,
+) -> Column:
+    """Last-observation-carried-forward as a Column: the latest
+    non-null ``value_col`` at or before each row within the key's
+    ordered series (null until the first observation — no invention of
+    data before it exists).
+
+    One window shuffle on the key; ``last(..., ignorenulls=True)`` over
+    an UNBOUNDED PRECEDING frame evaluates streaming within each
+    partition (running state is a single scalar), so the fill costs the
+    same as any keyed cumulative — no self-join, no per-gap backtrack.
+    The gap-fill twin of ``ewma_last``: LOCF for staircase series
+    (balances, settings, latest-known readings), EWMA for smoothing.
+    """
+    w = (
+        W.partitionBy(*key_cols)
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return F.last(F.col(value_col), ignorenulls=True).over(w)

@@ -697,3 +697,71 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["c_mktsegment", "bal_cents"],
         batch_ts="2001-01-01",
     )
+
+
+# --------------------------------------------------------------------------
+# Forward fill / LOCF (operators/temporal.py::forward_fill)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "daily_user_value_locf",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi
+      FROM events
+    ),
+    days AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+      FROM bounds
+    ),
+    users AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id % 10 = 0
+    ),
+    daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, round(avg(value), 4) AS v
+      FROM events WHERE user_id % 10 = 0
+      GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    grid AS (SELECT u.user_id, d.day FROM users u CROSS JOIN days d)
+    SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS day,
+           last_value(dl.v IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value_locf
+    FROM grid g LEFT JOIN daily dl
+      ON dl.user_id = g.user_id AND dl.day = g.day
+    """,
+)
+def daily_user_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily per-user series with last-observation-carried-forward
+    fill: calendar grid (sequence+explode, broadcast-sized) left-joined
+    with the sparse daily aggregate, gaps filled by
+    operators/temporal.py::forward_fill — one window shuffle keyed by
+    user, running-scalar state, no self-join. Days before a user's
+    first observation stay NULL (LOCF never invents data). The daily
+    aggregate is rounded BEFORE the fill so both engines carry
+    identical values forward."""
+    from ..operators.temporal import forward_fill
+
+    (events,) = load_tables(spark, sf_dir, "events")
+    ev = events.filter(F.col("user_id") % 10 == 0)
+    bounds = events.select(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    days = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    users = ev.select("user_id").distinct()
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.round(F.avg("value"), 4).alias("v")
+    )
+    grid = F.broadcast(users.crossJoin(days))
+    joined = grid.join(daily, ["user_id", "day"], "left")
+    return joined.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        forward_fill(
+            joined, "v", key_cols=["user_id"], order_col="day"
+        ).alias("value_locf"),
+    )

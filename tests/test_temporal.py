@@ -143,3 +143,23 @@ def test_ewma_last_tiebreak_deterministic(spark):
     ).first()
     # order by (ts, id): x=[0, 100] -> s = .5*100 + .5*0 = 50
     assert abs(got.ewma - 50.0) < 1e-12
+
+
+def test_forward_fill_carries_last_and_respects_leading_nulls(spark):
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_data_engineering_spark.operators.temporal import forward_fill
+
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, None), (1, 3, None), (1, 4, 7.0),
+         (2, 1, None), (2, 2, 3.0), (2, 3, None)],
+        "k long, d long, v double",
+    )
+    out = df.select(
+        "k", "d", forward_fill(df, "v", key_cols=["k"], order_col="d").alias("f")
+    )
+    got = {(r.k, r.d): r.f for r in out.collect()}
+    assert got == {
+        (1, 1): 10.0, (1, 2): 10.0, (1, 3): 10.0, (1, 4): 7.0,
+        (2, 1): None, (2, 2): 3.0, (2, 3): 3.0,  # leading null stays null
+    }
