@@ -192,7 +192,18 @@ def forward_fill(
     same as any keyed cumulative — no self-join, no per-gap backtrack.
     The gap-fill twin of ``ewma_last``: LOCF for staircase series
     (balances, settings, latest-known readings), EWMA for smoothing.
+
+    ``df`` is the frame the Column will be selected from — validated
+    here so a wrong-frame/missing-column mistake fails at the call
+    site, not at a distant resolution point.
     """
+    missing = [c for c in (value_col, order_col, *key_cols)
+               if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"forward_fill: column(s) {missing} not in frame "
+            f"({df.columns})"
+        )
     w = (
         W.partitionBy(*key_cols)
         .orderBy(order_col)

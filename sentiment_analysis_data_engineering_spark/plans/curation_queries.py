@@ -82,8 +82,8 @@ def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_spans_col = F.ceil(F.size("t") / F.lit(float(_SPAN_TOKENS))).cast("long")
     spans = toks.select(
         "doc_id",
-        F.posexplode(F.sequence(F.lit(0).cast("long"), n_spans_col - 1)).alias(
-            "_ignored", "pos"
+        F.explode(F.sequence(F.lit(0).cast("long"), n_spans_col - 1)).alias(
+            "pos"
         ),
         "t",
     ).select(
@@ -218,11 +218,18 @@ def token_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT p_name, min(p_partkey) AS name_id,
              split_part(p_name, ' ', 2) AS noun
       FROM part GROUP BY p_name
+    ),
+    guarded AS (
+      -- mirror fuzzy_match_pairs' max_block_size guard so the oracle
+      -- and the engine agree even on a fixture with a degenerate block
+      SELECT * FROM (
+        SELECT n.*, count(*) OVER (PARTITION BY noun) AS bn FROM names n
+      ) WHERE bn <= 1000
     )
     SELECT a.name_id AS id_a, b.name_id AS id_b,
            a.p_name AS text_a, b.p_name AS text_b,
            CAST(levenshtein(a.p_name, b.p_name) AS INT) AS distance
-    FROM names a JOIN names b
+    FROM guarded a JOIN guarded b
       ON a.noun = b.noun AND a.name_id < b.name_id
     WHERE levenshtein(a.p_name, b.p_name) <= 3
     """,

@@ -82,7 +82,8 @@ def order_priority_exists_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS revenue_cents,
            CAST(count(*) AS BIGINT) AS n_lines
     FROM lineitem
-    WHERE year(l_shipdate) = 1998
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l_shipdate <  TIMESTAMP '1999-01-01'
       AND l_discount BETWEEN 0.03 AND 0.07
       AND l_quantity < 24
     """,
@@ -90,13 +91,16 @@ def order_priority_exists_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: revenue delta if mid-range discounts were
     dropped — one conjunctive filter + global aggregate, zero joins.
-    The value of the query is the plan: all three predicates reach the
-    parquet scan as PushedFilters and the aggregate is partial/final,
-    so at 100 TB it is a pruned scan, not a shuffle."""
+    The value of the query is the plan: all predicates reach the
+    parquet scan as PushedFilters — the year restriction is written as
+    a half-open timestamp range because ``year(col) = k`` wraps the
+    column and loses row-group min/max skipping — and the aggregate is
+    partial/final, so at 100 TB it is a pruned scan, not a shuffle."""
     (lineitem,) = load_tables(spark, sf_dir, "lineitem")
     return (
         lineitem.filter(
-            (F.year("l_shipdate") == 1998)
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
             & (F.col("l_discount") >= 0.03)
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
@@ -690,12 +694,15 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bal_cents",
     )
     batch = changed.unionByName(noop).unionByName(new_keys)
+    # the three branches are disjoint by construction (%7 / %11-not-%7 /
+    # +1e6 offset), so skip the validator's extra eager job
     return scd2_apply(
         hist,
         batch,
         ["c_custkey"],
         ["c_mktsegment", "bal_cents"],
         batch_ts="2001-01-01",
+        assume_unique_keys=True,
     )
 
 
@@ -735,13 +742,19 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def daily_user_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense daily per-user series with last-observation-carried-forward
-    fill: calendar grid (sequence+explode, broadcast-sized) left-joined
-    with the sparse daily aggregate, gaps filled by
+    fill: calendar grid (day list broadcast into a per-user cross) left-
+    joined with the sparse daily aggregate, gaps filled by
     operators/temporal.py::forward_fill — one window shuffle keyed by
     user, running-scalar state, no self-join. Days before a user's
     first observation stay NULL (LOCF never invents data). The daily
     aggregate is rounded BEFORE the fill so both engines carry
-    identical values forward."""
+    identical values forward.
+
+    Plan note: grid⋈daily is a keyed shuffle — a LEFT join cannot
+    build its preserved side, so "broadcast the grid" is not a plan
+    Spark can execute (and at 100 TB the daily aggregate is the big
+    side anyway); the fill window keys on user_id, one more bounded
+    shuffle of grid-sized (users × days) rows."""
     from ..operators.temporal import forward_fill
 
     (events,) = load_tables(spark, sf_dir, "events")
@@ -756,7 +769,7 @@ def daily_user_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
         F.round(F.avg("value"), 4).alias("v")
     )
-    grid = F.broadcast(users.crossJoin(days))
+    grid = users.crossJoin(F.broadcast(days))
     joined = grid.join(daily, ["user_id", "day"], "left")
     return joined.select(
         "user_id",

@@ -666,7 +666,14 @@ def _swap_install(spark: SparkSession, tmp_str: str, path: str) -> None:
     jpath = P(path)
     tmp = P(tmp_str)
     old = P(path.rstrip("/") + "__swap_old")
-    if fs.exists(old):  # stale leftover from a crashed run: never good data
+    if not fs.exists(jpath) and fs.exists(old):
+        # crash landed between a previous swap's renames: __swap_old is
+        # the LAST GOOD copy, not stale garbage — restore it first so a
+        # failed install below still leaves a readable table (and so the
+        # rollback branch has a source).
+        if not fs.rename(old, jpath):
+            raise IOError(f"swap: could not restore {path} from old copy")
+    if fs.exists(old):  # table present → leftover old copy is stale
         fs.delete(old, True)
     if fs.exists(jpath):
         if not fs.rename(jpath, old):

@@ -354,10 +354,19 @@ def run_scd2_stream(
     Replay safety (foreachBatch is at-least-once): the version
     timestamp is derived from ``batch_id``, not wall clock, so a
     replayed batch re-applies with the SAME valid_from and identical
-    values — a no-op. History read-modify-write goes through
-    ``overwrite_via_swap`` (the plan reads the same path it replaces).
-    First batch against a missing history seeds it: every key opens
-    its first version.
+    values — a no-op. This guarantee is scoped to SAME-CHECKPOINT
+    replays, where Spark re-delivers byte-identical batches with the
+    same ids; reprocessing from a FRESH checkpoint under different
+    batch boundaries (or late cross-batch data) observes different
+    intermediate states and may version them differently — ``order_col``
+    orders updates WITHIN a micro-batch only, it is not compared
+    against already-applied history. Sources that can re-deliver stale
+    updates across batch boundaries need the version ledger of a table
+    format (the documented Delta/Iceberg seam) or an order column
+    persisted into the history schema. History read-modify-write goes
+    through ``overwrite_via_swap`` (the plan reads the same path it
+    replaces). First batch against a missing history seeds it: every
+    key opens its first version.
 
     Scale: the history table is a dimension (rows ∝ entities ×
     versions, not events); per batch the open slice joins the

@@ -115,6 +115,11 @@ def test_forecast_revenue_filters_reach_scan(spark, sf_dir):
     plan = plan_of(df)
     # Q6 is a pruned scan + partial/final agg — no joins, no wide shuffle
     assert "PushedFilters: [" in plan and "PushedFilters: []" not in plan
+    # the date range must reach the scan too (year(col)=k would not)
+    import re
+
+    pushed = re.search(r"PushedFilters: \[([^\]]*)", plan).group(1)
+    assert "l_shipdate" in pushed
     assert "Join" not in plan
     assert plan.count("HashAggregate") >= 2
 

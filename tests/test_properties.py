@@ -172,10 +172,12 @@ def test_scd2_sequential_laws(spark, batches):
             hist, bdf, ["k"], ["val"], batch_ts=f"b{i:04d}",
             assume_unique_keys=True,
         )
+        n = hist.count()
+        assert n >= prev_rows                       # law 4, per batch
+        prev_rows = n
         for k, v in batch:
             last_val[k] = v
     rows = hist.collect()
-    assert len(rows) >= prev_rows
     by_key: dict[int, list] = {}
     for r in rows:
         by_key.setdefault(r.k, []).append(r)
