@@ -36,6 +36,11 @@ try:
 except ImportError:
     pass
 
+try:
+    from sentiment_analysis_data_engineering_spark.plans import behavior_queries  # noqa: F401
+except ImportError:
+    pass
+
 SF0001 = "/root/testdata/sf0.001"
 
 # The driver's correctness gate checks the FIRST 50 entries of queries()
@@ -82,6 +87,11 @@ _GATE_FIRST = [
     "scd2_customer_history",
     "fuzzy_part_name_pairs",
     "daily_user_value_locf",
+    # -- NEW in round 5: never driver-checked
+    "funnel_view_click_purchase",
+    "weekly_retention_cohorts",
+    "rolling_zscore_anomalies",
+    "daily_user_value_interp",
     # -- implementation changed in round 3: need a fresh driver entry
     "customer_balance_deciles",
     "ann_cosine_topk",
@@ -103,10 +113,6 @@ _GATE_FIRST = [
     "unnest_tokens",
     "nway_inner_join",
     "nway_same_key_join",
-    "anti_join_new_keys",
-    "semi_join_existing_keys",
-    "union_all_branches",
-    "count_existence_probe",
 ]
 assert len(_GATE_FIRST) <= 50, "driver gate checks only the first 50 queries"
 

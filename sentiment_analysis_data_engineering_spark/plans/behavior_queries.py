@@ -1,0 +1,356 @@
+"""Behavioral / product-analytics round-out over the ``events`` fixture:
+ordered funnel conversion, weekly retention cohorts, rolling z-score
+anomaly detection, and linear time-series interpolation (the midpoint
+complement of warehouse_queries' LOCF fill).
+
+These are the event-log query shapes the reference's task layer feeds
+into BI (daily_dag.py:117-176 loads scored event frames for exactly
+this kind of downstream slicing); here they are first-class engine
+queries with DuckDB oracles.
+
+Scale stances (SCALE.md "events family"):
+- funnel: three hash aggregations and two joins ALL keyed on user_id —
+  one logical shuffle key reused end-to-end, then three 1-row scalar
+  frames broadcast into the final report row;
+- retention: two user-keyed aggs + one (cohort, offset)-keyed agg whose
+  output is calendar-bounded (weeks × weeks), never data-bounded;
+- z-score: a single user-keyed window shuffle; the 20-row frame is
+  running state, not a self-join;
+- interpolation: same calendar-grid shape as LOCF — the grid is
+  (users × days), the two fill windows are one user-keyed shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import load_tables, query
+
+# --------------------------------------------------------------------------
+# Ordered funnel: view -> click -> purchase
+# --------------------------------------------------------------------------
+
+
+@query(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+           (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click,
+           (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase,
+           round((SELECT count(*) FROM c) * 1.0
+                 / (SELECT count(*) FROM v), 4) AS click_rate,
+           round((SELECT count(*) FROM p) * 1.0
+                 / (SELECT count(*) FROM v), 4) AS purchase_rate
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered three-stage funnel: a user converts a stage only
+    with an event strictly AFTER their entry into the previous stage
+    (min-timestamp chaining — the standard "ordered funnel" semantics,
+    not mere per-type existence). Output is one report row with stage
+    populations and conversion rates.
+
+    Plan: stage N is a filtered scan joined to stage N-1's (user, ts)
+    frame and re-aggregated — every shuffle in the chain is keyed on
+    user_id, so a 100 TB event log moves through ONE partitioning
+    scheme; the three stage populations are 1-row aggregates combined
+    by broadcast cross-join (the registry's accepted scalar pattern)."""
+    (events,) = load_tables(spark, sf_dir, "events")
+    ev = events.select("user_id", "event_type", "ts")
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    nv = v.agg(F.count("*").alias("n_view"))
+    nc = c.agg(F.count("*").alias("n_click"))
+    np_ = p.agg(F.count("*").alias("n_purchase"))
+    return (
+        nv.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "n_view",
+            "n_click",
+            "n_purchase",
+            F.round(F.col("n_click") / F.col("n_view"), 4).alias("click_rate"),
+            F.round(F.col("n_purchase") / F.col("n_view"), 4).alias(
+                "purchase_rate"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Weekly retention cohorts
+# --------------------------------------------------------------------------
+
+
+@query(
+    "weekly_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events
+    )
+    SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', f.cohort, a.wk) / 7 AS BIGINT)
+             AS week_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM active a JOIN firsts f ON f.user_id = a.user_id
+    GROUP BY f.cohort, date_diff('day', f.cohort, a.wk) / 7
+    """,
+)
+def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention triangle: users are cohorted by the ISO week of
+    their first event; each (cohort_week, week_offset) cell counts the
+    distinct cohort members active that many weeks later. Both engines
+    truncate weeks to Monday, so offsets are exact multiples of 7 days
+    and the integer division is exact.
+
+    Plan: first-event agg and distinct-activity agg are both keyed on
+    user_id (one reusable shuffle), their join likewise; the final agg
+    keys on (cohort, offset) — a calendar-bounded grid (weeks²/2 cells)
+    regardless of corpus size, so the output stage is trivially small
+    even at 100 TB."""
+    (events,) = load_tables(spark, sf_dir, "events")
+
+    firsts = events.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort")
+    )
+    active = events.select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("wk")
+    ).distinct()
+    joined = active.join(firsts, "user_id")
+    return (
+        joined.groupBy(
+            "cohort",
+            (F.datediff(F.col("wk"), F.col("cohort")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_users",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Rolling z-score anomaly detection
+# --------------------------------------------------------------------------
+
+_Z_LOOKBACK = 20  # preceding-rows frame width
+_Z_MIN_OBS = 10  # minimum observations before scoring
+_Z_THRESHOLD = 2.5
+
+
+@query(
+    "rolling_zscore_anomalies",
+    oracle=f"""
+    WITH scored AS (
+      SELECT user_id, event_id, value,
+             avg(value) OVER w AS mu,
+             stddev_samp(value) OVER w AS sigma,
+             count(*) OVER w AS n_prev
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {_Z_LOOKBACK} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id,
+           round(value, 4) AS value,
+           round((value - mu) / sigma, 4) AS zscore
+    FROM scored
+    WHERE n_prev >= {_Z_MIN_OBS} AND sigma > 0
+      AND abs(round((value - mu) / sigma, 4)) > {_Z_THRESHOLD}
+    """,
+)
+def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detector: each event's value is scored
+    against the mean/stddev of the user's PRECEDING {_Z_LOOKBACK} events
+    (strictly exclusive of the current row — no self-leakage), and rows
+    whose |z| exceeds {_Z_THRESHOLD} are flagged. Warm-up rows (fewer
+    than {_Z_MIN_OBS} priors) and zero-variance frames are skipped.
+    The threshold is applied to the ROUNDED z in both engines so the
+    inclusion boundary is identical.
+
+    Plan: one window shuffle keyed on user_id; the bounded rows-frame is
+    running state inside each partition (Spark evaluates bounded frames
+    with a sliding accumulator, not a self-join), so cost is one shuffle
+    + one ordered pass at any scale. Skewed power-users are bounded by
+    per-user event counts, the same axis sessionize_events documents."""
+    (events,) = load_tables(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_Z_LOOKBACK, -1)
+    )
+    scored = events.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sigma"),
+        F.count("*").over(w).alias("n_prev"),
+    )
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4)
+    return (
+        scored.filter(
+            (F.col("n_prev") >= _Z_MIN_OBS)
+            & (F.col("sigma") > 0)
+            & (F.abs(z) > _Z_THRESHOLD)
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.round("value", 4).alias("value"),
+            z.alias("zscore"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Linear interpolation over the daily calendar grid
+# --------------------------------------------------------------------------
+
+
+@query(
+    "daily_user_value_interp",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi
+      FROM events
+    ),
+    days AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+      FROM bounds
+    ),
+    users AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id % 10 = 1
+    ),
+    daily AS (
+      -- exact integer basis points (value * 1e4): every arithmetic
+      -- step below stays exact in both engines, so the one final
+      -- rounding sees bit-identical doubles
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(round(avg(value) * 10000) AS BIGINT) AS v4
+      FROM events WHERE user_id % 10 = 1
+      GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    grid AS (
+      SELECT u.user_id, d.day, dl.v4
+      FROM users u CROSS JOIN days d
+      LEFT JOIN daily dl ON dl.user_id = u.user_id AND dl.day = d.day
+    ),
+    filled AS (
+      SELECT user_id, day, v4,
+             last_value(v4 IGNORE NULLS) OVER wb AS pv,
+             last_value(CASE WHEN v4 IS NOT NULL THEN day END IGNORE NULLS)
+               OVER wb AS pd,
+             first_value(v4 IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN v4 IS NOT NULL THEN day END IGNORE NULLS)
+               OVER wf AS nd
+      FROM grid
+      WINDOW
+        wb AS (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wf AS (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+           CAST(round(CASE
+             WHEN v4 IS NOT NULL THEN CAST(v4 AS DOUBLE)
+             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+               pv + (nv - pv) * date_diff('day', pd, day)
+                    * 1.0 / date_diff('day', pd, nd)
+           END) AS BIGINT) / 10000.0 AS value_interp
+    FROM filled
+    """,
+)
+def daily_user_value_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily per-user series with LINEAR interpolation between
+    observations (operators/temporal.py::linear_interpolate): gap days
+    take the straight-line value between the bracketing observed days;
+    days outside a user's observed range stay NULL (no extrapolation —
+    the same "never invent data" contract as LOCF).
+
+    Cross-engine determinism: interpolation midpoints of 4-decimal
+    anchors land EXACTLY on .00005 rounding boundaries, where the two
+    engines' double→decimal rounding splits (observed: 3/450 rows on
+    the naive formulation). So the anchors are exact integer basis
+    points (daily mean × 10⁴ as long): every interpolation step is
+    then exact integer arithmetic or a single correctly-rounded
+    division that both engines perform on identical operands, and the
+    final rounding sees bit-identical doubles — boundary-immune by
+    construction.
+
+    Plan: identical shape to daily_user_value_locf — calendar grid
+    (users × days) left-joined with the sparse daily agg, then ONE
+    user-keyed window shuffle evaluating both directional fills
+    (backward last_value and forward first_value share the same sort)."""
+    from ..operators.temporal import linear_interpolate
+
+    (events,) = load_tables(spark, sf_dir, "events")
+    ev = events.filter(F.col("user_id") % 10 == 1)
+    bounds = events.select(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    days = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    users = ev.select("user_id").distinct()
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.round(F.avg("value") * 10000).cast("long").alias("v4")
+    )
+    grid = users.crossJoin(F.broadcast(days))
+    joined = grid.join(daily, ["user_id", "day"], "left")
+    return joined.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        (
+            F.round(
+                linear_interpolate(
+                    joined, "v4", key_cols=["user_id"], order_col="day"
+                )
+            ).cast("long")
+            / 10000.0
+        ).alias("value_interp"),
+    )

@@ -163,3 +163,60 @@ def test_forward_fill_carries_last_and_respects_leading_nulls(spark):
         (1, 1): 10.0, (1, 2): 10.0, (1, 3): 10.0, (1, 4): 7.0,
         (2, 1): None, (2, 2): 3.0, (2, 3): 3.0,  # leading null stays null
     }
+
+
+def test_linear_interpolate_numeric_order(spark):
+    from sentiment_analysis_data_engineering_spark.operators.temporal import (
+        linear_interpolate,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0, 10.0), (1, 1, None), (1, 2, None), (1, 3, 40.0),
+         (1, 4, None),                       # trailing gap -> null
+         (2, 0, None), (2, 1, 6.0)],         # leading gap -> null
+        "k long, d long, v double",
+    )
+    out = df.select(
+        "k", "d",
+        linear_interpolate(df, "v", key_cols=["k"], order_col="d").alias("f"),
+    )
+    got = {(r.k, r.d): r.f for r in out.collect()}
+    assert got == {
+        (1, 0): 10.0, (1, 1): 20.0, (1, 2): 30.0, (1, 3): 40.0,
+        (1, 4): None,
+        (2, 0): None, (2, 1): 6.0,
+    }
+
+
+def test_linear_interpolate_date_order_uses_day_distance(spark):
+    import datetime as dt
+
+    from sentiment_analysis_data_engineering_spark.operators.temporal import (
+        linear_interpolate,
+    )
+
+    d = dt.date
+    df = spark.createDataFrame(
+        [(1, d(2024, 1, 1), 0.0),
+         (1, d(2024, 1, 3), None),   # 2 of 4 days -> 5.0
+         (1, d(2024, 1, 5), 10.0)],
+        "k long, day date, v double",
+    )
+    out = df.select(
+        "k", "day",
+        linear_interpolate(df, "v", key_cols=["k"], order_col="day").alias("f"),
+    )
+    got = {r.day.isoformat(): r.f for r in out.collect()}
+    assert got == {"2024-01-01": 0.0, "2024-01-03": 5.0, "2024-01-05": 10.0}
+
+
+def test_linear_interpolate_missing_column_raises(spark):
+    import pytest
+
+    from sentiment_analysis_data_engineering_spark.operators.temporal import (
+        linear_interpolate,
+    )
+
+    df = spark.createDataFrame([(1, 1, 1.0)], "k long, d long, v double")
+    with pytest.raises(ValueError, match="nope"):
+        linear_interpolate(df, "nope", key_cols=["k"], order_col="d")
