@@ -41,6 +41,11 @@ try:
 except ImportError:
     pass
 
+try:
+    from sentiment_analysis_data_engineering_spark.plans import sketch_queries  # noqa: F401
+except ImportError:
+    pass
+
 SF0001 = "/root/testdata/sf0.001"
 
 # The driver's correctness gate checks the FIRST 50 entries of queries()
@@ -92,6 +97,8 @@ _GATE_FIRST = [
     "weekly_retention_cohorts",
     "rolling_zscore_anomalies",
     "daily_user_value_interp",
+    "heavy_hitter_users",
+    "bloom_pruned_order_revenue",
     # -- implementation changed in round 3: need a fresh driver entry
     "customer_balance_deciles",
     "ann_cosine_topk",
@@ -111,8 +118,6 @@ _GATE_FIRST = [
     "unit_suffix_parse",
     "json_path_scalar",
     "unnest_tokens",
-    "nway_inner_join",
-    "nway_same_key_join",
 ]
 assert len(_GATE_FIRST) <= 50, "driver gate checks only the first 50 queries"
 
