@@ -46,6 +46,11 @@ try:
 except ImportError:
     pass
 
+try:
+    from sentiment_analysis_data_engineering_spark.plans import graph_queries  # noqa: F401
+except ImportError:
+    pass
+
 SF0001 = "/root/testdata/sf0.001"
 
 # The driver's correctness gate checks the FIRST 50 entries of queries()
@@ -99,6 +104,7 @@ _GATE_FIRST = [
     "daily_user_value_interp",
     "heavy_hitter_users",
     "bloom_pruned_order_revenue",
+    "pagerank_copurchase_parts",
     # -- implementation changed in round 3: need a fresh driver entry
     "customer_balance_deciles",
     "ann_cosine_topk",
@@ -117,7 +123,6 @@ _GATE_FIRST = [
     "casts_and_coalesce",
     "unit_suffix_parse",
     "json_path_scalar",
-    "unnest_tokens",
 ]
 assert len(_GATE_FIRST) <= 50, "driver gate checks only the first 50 queries"
 

@@ -1,0 +1,114 @@
+"""Iterative graph analytics: PageRank over an edge DataFrame.
+
+Extension layer (the dedup family's min-label connected components,
+operators/dedup.py, is the other graph op in the engine). PageRank is
+the canonical "influence on a similarity/co-occurrence graph" score a
+curation pipeline uses to pick representative documents or rank
+entities.
+
+Determinism design — the interesting part: floating-point PageRank is
+NOT reproducible across engines (or even across partition layouts):
+each iteration sums contributions in nondeterministic order, and after
+k iterations the accumulated wobble approaches the rounding bucket of
+any fixed output precision. So ranks here are **fixed-point integers**
+(rank × 10^12 as long) and every step is exact integer arithmetic:
+
+- init        r0 = SCALE div N
+- teleport    (1-d)·SCALE = (dnum_c · SCALE) div dden  with d = dnum/dden
+- contrib     r div out_degree          (integer division)
+- combine     teleport + (dnum · Σcontrib) div dden
+
+Integer division truncates a sub-1e-12 remainder per operation — the
+price of bit-identical results on ANY engine, cluster layout, or rerun
+(and what lets a DuckDB oracle verify the Spark loop EXACTLY, no
+rounding tolerance at all). Overflow headroom: ranks ≤ SCALE=1e12,
+damping numerator ≤ 100 → products ≤ 1e14 « 2^63.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank_fixed_point", "PR_SCALE"]
+
+PR_SCALE = 10**12
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    damping: Fraction = Fraction(17, 20),
+    iterations: int = 3,
+) -> DataFrame:
+    """Fixed-point PageRank; returns (node long, pr_fixed long) where
+    ``pr_fixed`` is the rank scaled by :data:`PR_SCALE`.
+
+    Contract: every node reachable via ``dst`` must also appear as a
+    ``src`` (no dangling nodes) — symmetric/undirected edge lists
+    satisfy this by construction. ``damping`` is a Fraction so the
+    teleport and damping steps stay in exact integer arithmetic.
+
+    Scale shape: the edge list joined with its out-degrees is persisted
+    once and reused every iteration; each iteration is one equi-join
+    (edges ⋈ ranks on src — both sides hash-partitioned on the same
+    key) plus one map-side-combining sum keyed on dst, then a left join
+    back to the node set so in-degree-0 nodes keep their teleport mass.
+    Per-iteration shuffle volume ∝ edges, never pairs-of-pairs; the
+    rank frame is O(nodes). The node count N is one bounded aggregate
+    action (model-build class). The final frame is localCheckpoint-ed
+    so the persisted edge frame can be released eagerly.
+    """
+    if iterations < 0:
+        raise ValueError(f"iterations must be >= 0, got {iterations}")
+    dnum, dden = damping.numerator, damping.denominator
+    if not 0 <= dnum <= dden <= 100:
+        raise ValueError(f"damping must be in [0, 1] with denominator <= 100, got {damping}")
+
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_t"))
+    deg = e.groupBy("_s").agg(F.count("*").alias("_dg"))
+    edges_deg = e.join(deg, "_s").persist()
+    try:
+        n = deg.count()
+        if n == 0:
+            return edges.sparkSession.createDataFrame(
+                [], "node long, pr_fixed long"
+            )
+        nodes = deg.select(F.col("_s").alias("node"))
+        teleport = ((dden - dnum) * PR_SCALE) // (dden * n)
+
+        ranks = nodes.select(
+            "node", F.lit(PR_SCALE // n).cast("long").alias("pr_fixed")
+        )
+        for _ in range(iterations):
+            contribs = (
+                edges_deg.join(
+                    ranks, edges_deg["_s"] == ranks["node"]
+                )
+                .select(
+                    F.col("_t").alias("node"),
+                    F.expr("pr_fixed DIV _dg").alias("_c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("_c").alias("_sum"))
+            )
+            ranks = (
+                nodes.join(contribs, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(teleport)
+                        + F.expr(
+                            f"({dnum} * coalesce(_sum, 0L)) DIV {dden}"
+                        )
+                    ).cast("long").alias("pr_fixed"),
+                )
+            )
+        ranks = ranks.localCheckpoint(eager=True)
+    finally:
+        edges_deg.unpersist()
+    return ranks

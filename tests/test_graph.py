@@ -1,0 +1,87 @@
+"""operators/graph.py: fixed-point PageRank.
+
+Contracts: exact integer recurrence (hand-checked small graphs),
+bit-identical results under different partition layouts (the whole
+point of the fixed-point design), and approximate mass conservation
+(truncation loses < 1 unit per node per iteration).
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+import pytest
+from pyspark.sql import functions as F
+
+from sentiment_analysis_data_engineering_spark.operators.graph import (
+    PR_SCALE,
+    pagerank_fixed_point,
+)
+
+
+def _ranks(df) -> dict[int, int]:
+    return {r.node: r.pr_fixed for r in df.collect()}
+
+
+def test_pagerank_symmetric_pair_is_stationary(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    got = _ranks(pagerank_fixed_point(edges, iterations=4))
+    # uniform is the fixed point; integer recurrence reproduces it exactly
+    assert got == {1: PR_SCALE // 2, 2: PR_SCALE // 2}
+
+
+def test_pagerank_path_graph_hand_computed(spark):
+    # 1 - 2 - 3 undirected; one iteration of the integer recurrence:
+    # teleport = 3*SCALE // 60 = 50_000_000_000
+    # r0 = SCALE // 3 = 333_333_333_333
+    # node2 receives r0(1)+r0(3); nodes 1,3 receive r0(2) // 2
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+    )
+    got = _ranks(pagerank_fixed_point(edges, iterations=1))
+    assert got == {
+        1: 191_666_666_666,
+        2: 616_666_666_666,
+        3: 191_666_666_666,
+    }
+
+
+def test_pagerank_partition_layout_invariant(spark):
+    import random
+
+    rng = random.Random(13)
+    pairs = {(rng.randint(0, 60), rng.randint(0, 60)) for _ in range(300)}
+    pairs = [(a, b) for a, b in pairs if a != b]
+    sym = pairs + [(b, a) for a, b in pairs]
+    e1 = spark.createDataFrame(sym, "src long, dst long").repartition(2)
+    e2 = spark.createDataFrame(sym, "src long, dst long").repartition(17)
+    assert _ranks(pagerank_fixed_point(e1)) == _ranks(
+        pagerank_fixed_point(e2)
+    )
+
+
+def test_pagerank_mass_conservation_bound(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3), (1, 4), (4, 1)],
+        "src long, dst long",
+    )
+    iters = 3
+    out = pagerank_fixed_point(edges, iterations=iters)
+    total = out.agg(F.sum("pr_fixed").alias("s")).collect()[0]["s"]
+    n = 4
+    # each div truncates < 1 unit; per iteration at most (edges + nodes
+    # + init) units leak — generous bound:
+    assert PR_SCALE - (iters + 1) * (8 + n + 1) <= total <= PR_SCALE
+
+
+def test_pagerank_rejects_bad_args(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    with pytest.raises(ValueError, match="iterations"):
+        pagerank_fixed_point(edges, iterations=-1)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank_fixed_point(edges, damping=Fraction(3, 2))
+
+
+def test_pagerank_empty_graph(spark):
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert pagerank_fixed_point(edges).count() == 0
