@@ -105,6 +105,7 @@ _GATE_FIRST = [
     "heavy_hitter_users",
     "bloom_pruned_order_revenue",
     "pagerank_copurchase_parts",
+    "incremental_rollup_merge",
     # -- implementation changed in round 3: need a fresh driver entry
     "customer_balance_deciles",
     "ann_cosine_topk",
@@ -122,7 +123,6 @@ _GATE_FIRST = [
     "date_decomposition",
     "casts_and_coalesce",
     "unit_suffix_parse",
-    "json_path_scalar",
 ]
 assert len(_GATE_FIRST) <= 50, "driver gate checks only the first 50 queries"
 

@@ -778,3 +778,74 @@ def daily_user_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             joined, "v", key_cols=["user_id"], order_col="day"
         ).alias("value_locf"),
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental rollup maintenance (operators/incremental.py::merge_rollup)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "incremental_rollup_merge",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY date_trunc('day', ts), event_type
+    """,
+)
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Algebraic-merge correctness of the incremental rollup: the event
+    log is loaded in TWO batches (event-id parity split) through
+    operators/incremental.py::merge_rollup — partial aggregates of
+    batch 2 merged into the stored partials of batch 1 — and the
+    maintained table must equal the oracle's one-shot full aggregation.
+    This is the materialized-view maintenance contract: count merges by
+    sum, sum by sum, max by max, so maintenance cost per refresh is
+    O(batch + touched partitions), never O(history).
+
+    Scale shape: each merge shuffles only the incoming batch's partial
+    aggregate (group-key-bounded) plus a partition-pruned read of
+    touched stored partitions (broadcast semi join on the partition
+    key); untouched history is never re-read — the exact property the
+    reference's full-reload tasks (weekly_dag.py T2/T4) lack and
+    SURVEY §2.11 standardizes on."""
+    import tempfile
+
+    from ..operators.incremental import merge_rollup
+
+    (events,) = load_tables(spark, sf_dir, "events")
+    rows = events.select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "value",
+        "event_id",
+    )
+    measures = {
+        "n_events": ("count", "*"),
+        "total_value": ("sum", "value"),
+        "max_value": ("max", "value"),
+    }
+    # fresh NON-existent path: merge_rollup's first-run detection is
+    # "target does not exist", and an empty-but-present dir is neither
+    # a rollup nor absent
+    target = tempfile.mkdtemp(prefix="rollup_merge_") + "/rollup"
+    for parity in (0, 1):
+        merge_rollup(
+            spark,
+            rows.filter(F.col("event_id") % 2 == parity).drop("event_id"),
+            target,
+            keys=["day", "event_type"],
+            partition_col="day",
+            measures=measures,
+        )
+    return spark.read.parquet(target).select(
+        F.col("day").cast("string").alias("day"),
+        "event_type",
+        "n_events",
+        F.round("total_value", 2).alias("total_value"),
+        "max_value",
+    )
