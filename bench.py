@@ -109,6 +109,15 @@ HEADLINE = [
     # round 4: entity resolution + time-series fill
     "fuzzy_part_name_pairs",
     "daily_user_value_locf",
+    # round 5: behavioral analytics, sketches, graph
+    "funnel_view_click_purchase",
+    "weekly_retention_cohorts",
+    "rolling_zscore_anomalies",
+    "daily_user_value_interp",
+    "heavy_hitter_users",
+    "bloom_pruned_order_revenue",
+    "pagerank_copurchase_parts",
+    "incremental_rollup_merge",
 ]
 
 
