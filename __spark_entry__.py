@@ -106,6 +106,9 @@ _GATE_FIRST = [
     "bloom_pruned_order_revenue",
     "pagerank_copurchase_parts",
     "incremental_rollup_merge",
+    "char_entropy_report",
+    "winsorized_price_stats",
+    "cms_user_counts",
     # -- implementation changed in round 3: need a fresh driver entry
     "customer_balance_deciles",
     "ann_cosine_topk",
@@ -120,9 +123,6 @@ _GATE_FIRST = [
     # -- green in round 1 but outside round 2's 50-slot window: re-green
     "predicate_scan",
     "range_filter",
-    "date_decomposition",
-    "casts_and_coalesce",
-    "unit_suffix_parse",
 ]
 assert len(_GATE_FIRST) <= 50, "driver gate checks only the first 50 queries"
 

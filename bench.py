@@ -118,6 +118,9 @@ HEADLINE = [
     "bloom_pruned_order_revenue",
     "pagerank_copurchase_parts",
     "incremental_rollup_merge",
+    "char_entropy_report",
+    "winsorized_price_stats",
+    "cms_user_counts",
 ]
 
 

@@ -40,6 +40,11 @@ __all__ = [
     "heavy_hitters_exact",
     "bloom_build",
     "bloom_prune",
+    "cms_build",
+    "cms_merge",
+    "cms_estimate",
+    "CMS_HASHES",
+    "CMS_P",
 ]
 
 # Fixed odd 64-bit multipliers/offsets (splitmix64 mixing constants and
@@ -271,3 +276,106 @@ def bloom_prune(fact: DataFrame, key_col: str, bloom: dict) -> DataFrame:
         return pd.Series(out)
 
     return fact.filter(might_contain(F.col(key_col)))
+
+
+# --------------------------------------------------------------------------
+# Count-Min Sketch (mergeable frequency sketch, DataFrame-native)
+# --------------------------------------------------------------------------
+
+#: Modular-hash constants: primes below the Mersenne prime 2^31-1.
+#: With 0 <= key < 2^31 every product stays < 2^62, so the hash chain
+#: is EXACT int64 arithmetic in Spark, DuckDB, or any engine — the
+#: sketch content (not just its estimates) is reproducible everywhere.
+CMS_P = (1 << 31) - 1
+CMS_HASHES = [
+    (1_299_709, 15_485_863),
+    (2_038_074_743, 32_452_843),
+    (179_424_673, 982_451_653),
+    (217_645_177, 497_867_117),
+]
+
+
+def _cms_cell(key, a: int, b: int, width: int):
+    return ((F.lit(a) * key + F.lit(b)) % CMS_P) % width
+
+
+def cms_build(
+    df: DataFrame, key_col: str, *, depth: int = 3, width: int = 512
+) -> DataFrame:
+    """Count-Min Sketch of a non-negative int key column as a MERGEABLE
+    DataFrame: (row_i int, cell int, cnt long) — at most depth × width
+    rows regardless of input size.
+
+    This is the relational representation of the classic depth×width
+    counter matrix: build per batch/partition-of-history, persist next
+    to the data, and :func:`cms_merge` unions matrices by cell-wise sum
+    without re-reading rows — the frequency-count twin of
+    ``incremental.py::distinct_sketch``'s HLL maintenance.
+
+    One narrow explode (depth cells per row) + one map-side-combining
+    hash agg whose key space is depth×width — shuffle rows are
+    SKETCH-bounded, not data-bounded.
+    """
+    if not 1 <= depth <= len(CMS_HASHES):
+        raise ValueError(f"depth must be in [1, {len(CMS_HASHES)}], got {depth}")
+    key = F.col(key_col)
+    cells = F.array(
+        *[
+            _cms_cell(key, *CMS_HASHES[i], width).cast("int")
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(F.posexplode(cells).alias("row_i", "cell"))
+        .groupBy("row_i", "cell")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Cell-wise sum of CMS frames built with identical (depth, width).
+    Estimates from the merged sketch are exactly the estimates of a
+    single sketch over the concatenated inputs (counter addition is
+    the CMS merge law)."""
+    if not sketches:
+        raise ValueError("cms_merge needs at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row_i", "cell").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    *,
+    depth: int = 3,
+    width: int = 512,
+) -> DataFrame:
+    """Point-estimate each key's frequency from a CMS frame: probe the
+    key's depth cells and take the min. One-sided error: estimates are
+    NEVER below the true count; overshoot is collision mass, bounded by
+    e·N/width with probability 1-e^-depth (standard CMS analysis).
+
+    The sketch frame is ≤ depth×width rows — broadcast — so estimation
+    is a broadcast join + a (key)-keyed min agg: the probe side is
+    never shuffled beyond its own key space.
+    """
+    key = F.col(key_col)
+    probes = keys.select(
+        key,
+        F.posexplode(
+            F.array(
+                *[
+                    _cms_cell(key, *CMS_HASHES[i], width).cast("int")
+                    for i in range(depth)
+                ]
+            )
+        ).alias("row_i", "cell"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row_i", "cell"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("est_count"))
+    )

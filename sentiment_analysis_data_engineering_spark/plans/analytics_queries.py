@@ -1377,3 +1377,66 @@ def full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
         F.coalesce("n_shipped", F.lit(0)).alias("n_shipped"),
     )
+
+
+# --------------------------------------------------------------------------
+# Winsorized (clamped) robust statistics
+# --------------------------------------------------------------------------
+
+
+@query(
+    "winsorized_price_stats",
+    oracle="""
+    WITH bounds AS (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.05) AS lo,
+             quantile_cont(o_totalprice, 0.95) AS hi
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(least(greatest(o.o_totalprice, b.lo), b.hi)), 2)
+             AS winsorized_mean,
+           round(avg(o.o_totalprice), 2) AS raw_mean,
+           CAST(sum(CASE WHEN o.o_totalprice < b.lo
+                          OR o.o_totalprice > b.hi
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
+    FROM orders o JOIN bounds b
+      ON b.o_orderpriority = o.o_orderpriority
+    GROUP BY o.o_orderpriority
+    """,
+)
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per priority: order totals clamped to the exact
+    per-group [p05, p95] band before averaging — the outlier-robust
+    mean every metrics pipeline wants next to the raw one (reported
+    side-by-side with the clamp count so the trim effect is visible).
+
+    Plan: two passes over orders, both keyed on the group column —
+    (1) exact interpolated percentile bounds per group (5 groups → a
+    broadcast-sized frame), (2) the bounds broadcast-joined back and a
+    map-side-combining re-aggregation. At 100 TB the bounds pass is
+    the only sort-heavy stage and `percentile_approx` is its
+    documented drop-in (approx_percentiles_by_segment establishes the
+    accuracy-window contract for that swap)."""
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    bounds = orders.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.05)).alias("lo"),
+        F.percentile("o_totalprice", F.lit(0.95)).alias("hi"),
+    )
+    clamped = F.least(
+        F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi")
+    )
+    out_of_band = (F.col("o_totalprice") < F.col("lo")) | (
+        F.col("o_totalprice") > F.col("hi")
+    )
+    return (
+        orders.join(F.broadcast(bounds), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(clamped), 2).alias("winsorized_mean"),
+            F.round(F.avg("o_totalprice"), 2).alias("raw_mean"),
+            F.sum(out_of_band.cast("long")).alias("n_clamped"),
+        )
+    )

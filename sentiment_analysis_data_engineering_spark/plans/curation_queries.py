@@ -254,3 +254,69 @@ def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_col=F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)),
         max_distance=3,
     )
+
+
+# --------------------------------------------------------------------------
+# Character-entropy quality signal
+# --------------------------------------------------------------------------
+
+
+@query(
+    "char_entropy_report",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch
+      FROM documents
+    ),
+    freq AS (
+      SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+      FROM chars GROUP BY doc_id, ch
+    ),
+    tot AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_distinct_chars
+      FROM freq GROUP BY doc_id
+    )
+    SELECT f.doc_id,
+           t.n AS n_chars,
+           t.n_distinct_chars,
+           round(-sum((f.c * 1.0 / t.n) * log2(f.c * 1.0 / t.n)), 4)
+             AS char_entropy
+    FROM freq f JOIN tot t ON t.doc_id = f.doc_id
+    GROUP BY f.doc_id, t.n, t.n_distinct_chars
+    """,
+)
+def char_entropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon character entropy per document — the classic
+    gibberish/encoding-junk detector (low entropy = repeated filler,
+    near-log2(alphabet) = random bytes; natural language sits in a
+    stable band). Output: per-doc char count, distinct-char count, and
+    entropy in bits.
+
+    Plan: one explode (narrow) then two hash aggregations — (doc, char)
+    frequencies and per-doc totals — both keyed on doc_id, so the
+    second agg and the join reuse the first shuffle's partitioning.
+    Character alphabet is bounded (~100 symbols), so the frequency
+    frame is ≤ alphabet × docs rows and everything combines map-side.
+    At 100 TB this is the TF-IDF family shape with a constant-size
+    vocabulary."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    chars = documents.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    )
+    freq = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    tot = freq.groupBy("doc_id").agg(
+        F.sum("c").alias("n"), F.count("*").alias("n_distinct_chars")
+    )
+    p = F.col("c") / F.col("n")
+    return (
+        freq.join(tot, "doc_id")
+        .groupBy("doc_id", "n", "n_distinct_chars")
+        .agg(F.round(-F.sum(p * F.log2(p)), 4).alias("char_entropy"))
+        .select(
+            "doc_id",
+            F.col("n").alias("n_chars"),
+            "n_distinct_chars",
+            "char_entropy",
+        )
+    )

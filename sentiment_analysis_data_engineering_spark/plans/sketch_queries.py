@@ -95,3 +95,92 @@ def bloom_pruned_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Count-Min Sketch maintenance (operators/sketches.py::cms_*)
+# --------------------------------------------------------------------------
+
+_CMS_W = 512
+
+
+def _cms_oracle() -> str:
+    from ..operators.sketches import CMS_HASHES, CMS_P
+
+    depth = 3
+    sketch = "\n      UNION ALL\n".join(
+        f"""      SELECT {i} AS row_i,
+             ((({CMS_HASHES[i][0]} * user_id + {CMS_HASHES[i][1]})
+               % {CMS_P}) % {_CMS_W}) AS cell,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY cell"""
+        for i in range(depth)
+    )
+    probes = "\n      UNION ALL\n".join(
+        f"""      SELECT user_id, {i} AS row_i,
+             ((({CMS_HASHES[i][0]} * user_id + {CMS_HASHES[i][1]})
+               % {CMS_P}) % {_CMS_W}) AS cell
+      FROM keys"""
+        for i in range(depth)
+    )
+    return f"""
+    WITH keys AS (SELECT DISTINCT user_id FROM events),
+    sketch AS (
+{sketch}
+    ),
+    probes AS (
+{probes}
+    ),
+    est AS (
+      SELECT p.user_id, min(s.cnt) AS est_count
+      FROM probes p JOIN sketch s
+        ON s.row_i = p.row_i AND s.cell = p.cell
+      GROUP BY p.user_id
+    ),
+    exact AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS exact_count
+      FROM events GROUP BY user_id
+    )
+    SELECT e.user_id, est.est_count, e.exact_count,
+           est.est_count >= e.exact_count AS one_sided_ok
+    FROM exact e JOIN est ON est.user_id = e.user_id
+    """
+
+
+@query("cms_user_counts", oracle=_cms_oracle())
+def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch frequency maintenance: the event log is
+    sketched in TWO batches (event-id parity), the partial sketches
+    are merged cell-wise (operators/sketches.py::cms_merge — the CMS
+    merge law), and every user's frequency is estimated from the
+    merged sketch next to its exact count.
+
+    The modular hash chain is exact int64 arithmetic (constants below
+    2^31 against the Mersenne prime 2^31-1), so the DuckDB oracle
+    rebuilds the IDENTICAL sketch in plain SQL and the gate
+    hash-checks the estimates themselves — plus the one-sided-error
+    law (estimate ≥ truth, the CMS guarantee) as an explicit column.
+
+    Scale: sketch frames are ≤ depth×width rows however large the
+    log; maintenance cost per batch is one narrow explode + one
+    sketch-bounded agg, and "frequency of X over all history" becomes
+    a broadcast probe of kilobytes — the frequency twin of the HLL
+    distinct sketches in operators/incremental.py."""
+    from ..operators.sketches import cms_build, cms_estimate, cms_merge
+
+    (events,) = load_tables(spark, sf_dir, "events")
+    b1 = events.filter(F.col("event_id") % 2 == 0)
+    b2 = events.filter(F.col("event_id") % 2 == 1)
+    merged = cms_merge(
+        cms_build(b1, "user_id", depth=3, width=_CMS_W),
+        cms_build(b2, "user_id", depth=3, width=_CMS_W),
+    )
+    keys = events.select("user_id").distinct()
+    est = cms_estimate(merged, keys, "user_id", depth=3, width=_CMS_W)
+    exact = events.groupBy("user_id").agg(F.count("*").alias("exact_count"))
+    return exact.join(est, "user_id").select(
+        "user_id",
+        "est_count",
+        "exact_count",
+        (F.col("est_count") >= F.col("exact_count")).alias("one_sided_ok"),
+    )

@@ -119,3 +119,48 @@ def test_bloom_prune_join_equivalence(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(
         map(tuple, pruned.collect())
     )
+
+
+def test_cms_merge_law_and_one_sided_error(spark):
+    from sentiment_analysis_data_engineering_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    rows = _skewed_rows(8_000, seed=17)
+    df = spark.createDataFrame(rows, "k long").repartition(5)
+    whole = cms_build(df, "k", depth=3, width=256)
+    merged = cms_merge(
+        cms_build(df.filter(F.col("k") % 2 == 0), "k", depth=3, width=256),
+        cms_build(df.filter(F.col("k") % 2 == 1), "k", depth=3, width=256),
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+    assert whole.count() <= 3 * 256  # sketch-bounded, not data-bounded
+
+    keys = df.select("k").distinct()
+    est = {
+        r.k: r.est_count
+        for r in cms_estimate(whole, keys, "k", depth=3, width=256).collect()
+    }
+    exact = {
+        r.k: r.c
+        for r in df.groupBy("k").agg(F.count("*").alias("c")).collect()
+    }
+    assert est.keys() == exact.keys()
+    assert all(est[k] >= exact[k] for k in exact)  # one-sided, always
+    # heavy keys must estimate exactly or near-exactly at this width
+    hot = [k for k, c in exact.items() if c > 500]
+    assert hot and all(est[k] - exact[k] < 8_000 * 0.05 for k in hot)
+
+
+def test_cms_rejects_bad_depth(spark):
+    import pytest
+
+    from sentiment_analysis_data_engineering_spark.operators.sketches import cms_build
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="depth"):
+        cms_build(df, "k", depth=9)
