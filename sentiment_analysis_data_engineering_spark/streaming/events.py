@@ -34,6 +34,8 @@ __all__ = [
     "run_idempotent_append_stream",
     "run_merge_upsert_stream",
     "run_quarantine_stream",
+    "run_cms_maintenance_stream",
+    "read_cms_sketch",
 ]
 
 #: events.parquet with ts as long (read under nanosAsLong).
@@ -457,3 +459,54 @@ def enrich_stream_with_dim(
         )
     dim = F.broadcast(dim_df) if broadcast_dim else dim_df
     return stream_df.join(dim, on, how)
+
+
+def run_cms_maintenance_stream(
+    stream_df: DataFrame,
+    key_col: str,
+    target: str,
+    *,
+    checkpoint: str,
+    depth: int = 3,
+    width: int = 512,
+) -> None:
+    """Streaming Count-Min-Sketch maintenance: each micro-batch's
+    partial sketch (operators/sketches.py::cms_build) lands in the
+    stored sketch table as its OWN ``batch_id`` partition.
+
+    Replay safety — the part that matters: foreachBatch is
+    at-least-once, and CMS merge is ADDITIVE, so naively merging a
+    replayed batch into one accumulated sketch would double-count.
+    Keying the store by batch_id and replacing that partition
+    wholesale makes replay overwrite-idempotent (the same recipe as
+    the SCD2 sink's batch-id-derived versions). The merge is deferred
+    to read time (:func:`read_cms_sketch` — one sketch-bounded agg
+    over ≤ depth×width rows per batch).
+    """
+    from ..operators.sketches import cms_build
+    from ..sources.io import replace_partition
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sketch = cms_build(
+            batch_df, key_col, depth=depth, width=width
+        ).withColumn("batch_id", F.lit(batch_id))
+        replace_partition(batch_df.sparkSession, sketch, target, ["batch_id"])
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_cms_sketch(spark: SparkSession, target: str) -> DataFrame:
+    """Merged view of a streamed CMS store: cell-wise sum across batch
+    partitions — exactly ``cms_merge`` over the per-batch partials, so
+    estimates equal a one-shot sketch of everything streamed so far."""
+    return (
+        spark.read.parquet(target)
+        .groupBy("row_i", "cell")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

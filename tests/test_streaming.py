@@ -462,3 +462,41 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir, events_dir, tmp_p
 
     with _pytest.raises(ValueError, match="inner/left"):
         enrich_stream_with_dim(stream, dim, ["user_id"], how="full")
+
+
+def test_streaming_cms_maintenance_matches_batch_and_replays(
+    spark, sf_dir, events_dir, tmp_path
+):
+    from sentiment_analysis_data_engineering_spark.operators.sketches import cms_build
+
+    target = str(tmp_path / "cms_store")
+
+    stream = st.read_events_stream(spark, events_dir)
+    st.run_cms_maintenance_stream(
+        stream, "user_id", target,
+        checkpoint=str(tmp_path / "ckpt1"), depth=3, width=256,
+    )
+    merged = {
+        (r.row_i, r.cell): r.cnt
+        for r in st.read_cms_sketch(spark, target).collect()
+    }
+
+    (events,) = load_tables(spark, sf_dir, "events")
+    whole = {
+        (r.row_i, r.cell): r.cnt
+        for r in cms_build(events, "user_id", depth=3, width=256).collect()
+    }
+    assert merged == whole  # streamed partials merge to the one-shot sketch
+
+    # Replay: a fresh checkpoint re-delivers every batch with the same
+    # batch ids; partition replacement must leave the store unchanged.
+    stream2 = st.read_events_stream(spark, events_dir)
+    st.run_cms_maintenance_stream(
+        stream2, "user_id", target,
+        checkpoint=str(tmp_path / "ckpt2"), depth=3, width=256,
+    )
+    replayed = {
+        (r.row_i, r.cell): r.cnt
+        for r in st.read_cms_sketch(spark, target).collect()
+    }
+    assert replayed == whole
