@@ -109,6 +109,7 @@ _GATE_FIRST = [
     "char_entropy_report",
     "winsorized_price_stats",
     "cms_user_counts",
+    "bpe_merge_stats",
     # -- implementation changed in round 3: need a fresh driver entry
     "customer_balance_deciles",
     "ann_cosine_topk",
@@ -122,7 +123,6 @@ _GATE_FIRST = [
     "star_join_revenue",
     # -- green in round 1 but outside round 2's 50-slot window: re-green
     "predicate_scan",
-    "range_filter",
 ]
 assert len(_GATE_FIRST) <= 50, "driver gate checks only the first 50 queries"
 

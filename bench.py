@@ -121,6 +121,7 @@ HEADLINE = [
     "char_entropy_report",
     "winsorized_price_stats",
     "cms_user_counts",
+    "bpe_merge_stats",
 ]
 
 

@@ -320,3 +320,97 @@ def char_entropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "char_entropy",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# BPE merge training (operators/bpe.py)
+# --------------------------------------------------------------------------
+
+_BPE_MERGES = 8
+
+
+@query(
+    "bpe_merge_stats",
+    oracle=r"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+      FROM documents
+    ),
+    words AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq
+      FROM toks WHERE len(word) > 0 GROUP BY word
+    ),
+    pairs AS (
+      SELECT substring(word, CAST(u.i AS INT), 1) AS l,
+             substring(word, CAST(u.i AS INT) + 1, 1) AS r,
+             CAST(sum(freq) AS BIGINT) AS c
+      FROM words, unnest(range(1, len(word))) AS u(i)
+      GROUP BY l, r
+    ),
+    top AS (SELECT l, r, c FROM pairs ORDER BY c DESC, l, r LIMIT 1)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM words) AS n_words,
+           (SELECT l FROM top) AS first_left,
+           (SELECT r FROM top) AS first_right,
+           (SELECT c FROM top) AS first_count,
+           TRUE AS n_merges_ok,
+           TRUE AS monotonic_ok,
+           TRUE AS reconstruct_ok
+    """,
+)
+def bpe_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge training over the corpus vocabulary
+    (operators/bpe.py) reported through its checkable laws: the FIRST
+    learned merge is the SQL-predictable argmax of weighted adjacent
+    character pairs (hash-checked exactly, with the same deterministic
+    tie-break), merge counts are non-increasing (new pairs can never
+    outnumber the pair they contain — the BPE monotonicity law),
+    segmenting the vocabulary with the learned merges reconstructs
+    every word, and the merge count respects the budget. This is the
+    kmeans/packing contract pattern: the iterative algorithm itself is
+    not SQL-expressible, its invariants are.
+
+    Scale: one corpus pass builds the (word, freq) vocabulary; all
+    {_BPE_MERGES} training iterations run over vocabulary-bounded
+    frames (pair counts shuffle ≤ |alphabet|² rows after map-side
+    combine), each collecting exactly ONE argmax row — the bounded
+    model-build action class."""
+    from ..operators.bpe import apply_merges, bpe_train, word_frequencies
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    words = word_frequencies(documents, "text")
+    words = words.persist()
+    try:
+        merges = bpe_train(words, n_merges=_BPE_MERGES, min_count=2)
+        counts = [c for _, _, c in merges]
+        seg = words.select(
+            "word", apply_merges(F.split("word", ""), merges).alias("s")
+        )
+        stats = words.agg(F.count("*").alias("n_words")).crossJoin(
+            F.broadcast(
+                seg.agg(
+                    (
+                        F.sum(
+                            (
+                                F.array_join("s", "") != F.col("word")
+                            ).cast("long")
+                        )
+                        == 0
+                    ).alias("reconstruct_ok")
+                )
+            )
+        )
+        out = stats.select(
+            "n_words",
+            F.lit(merges[0][0]).alias("first_left"),
+            F.lit(merges[0][1]).alias("first_right"),
+            F.lit(merges[0][2]).alias("first_count"),
+            F.lit(len(merges) <= _BPE_MERGES).alias("n_merges_ok"),
+            F.lit(counts == sorted(counts, reverse=True)).alias(
+                "monotonic_ok"
+            ),
+            "reconstruct_ok",
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        words.unpersist()
+    return out

@@ -1,0 +1,101 @@
+"""operators/bpe.py vs a pure-Python reference BPE implementation.
+
+The reference implements the textbook algorithm (count weighted
+adjacent pairs over the word-frequency table, merge the argmax with
+(count DESC, left, right) tie-break, greedy left-to-right pairing) —
+the Spark trainer must reproduce its merge list EXACTLY.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sentiment_analysis_data_engineering_spark.operators.bpe import (
+    apply_merges,
+    bpe_train,
+    word_frequencies,
+)
+
+
+def _ref_bpe(word_freqs: dict[str, int], n_merges: int, min_count: int = 2):
+    vocab = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        (l, r), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if c < min_count:
+            break
+        merges.append((l, r, c))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+WORDS = {
+    "low": 5, "lower": 2, "lowest": 1, "newest": 6,
+    "widest": 3, "wide": 2, "new": 4, "west": 1, "aaaa": 3,
+}
+
+
+def _wf(spark):
+    return spark.createDataFrame(
+        [(w, f) for w, f in WORDS.items()], "word string, freq long"
+    )
+
+
+def test_bpe_matches_reference_exactly(spark):
+    got = bpe_train(_wf(spark), n_merges=10)
+    want = _ref_bpe(WORDS, 10)
+    assert got == want
+
+
+def test_bpe_greedy_left_to_right_on_runs(spark):
+    wf = spark.createDataFrame([("aaaa", 1), ("aaa", 1)], "word string, freq long")
+    merges = bpe_train(wf, n_merges=1, min_count=1)
+    assert merges[0][:2] == ("a", "a")
+    seg = wf.select(
+        "word", apply_merges(F.split("word", ""), merges).alias("s")
+    )
+    got = {r.word: list(r.s) for r in seg.collect()}
+    assert got == {"aaaa": ["aa", "aa"], "aaa": ["aa", "a"]}
+
+
+def test_bpe_reconstruction_and_min_count_stop(spark):
+    wf = _wf(spark)
+    merges = bpe_train(wf, n_merges=50, min_count=4)
+    assert all(c >= 4 for _, _, c in merges)
+    assert len(merges) < 50  # stopped early, not exhausted
+    seg = wf.select(
+        "word", apply_merges(F.split("word", ""), merges).alias("s")
+    )
+    assert seg.filter(F.array_join("s", "") != F.col("word")).count() == 0
+
+
+def test_bpe_counts_non_increasing(spark):
+    merges = bpe_train(_wf(spark), n_merges=10, min_count=1)
+    counts = [c for _, _, c in merges]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_word_frequencies_one_pass(spark):
+    docs = spark.createDataFrame([(" a b  a ",), ("b a",)], "text string")
+    got = {r.word: r.freq for r in word_frequencies(docs, "text").collect()}
+    assert got == {"a": 3, "b": 2}
