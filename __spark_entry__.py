@@ -110,6 +110,7 @@ _GATE_FIRST = [
     "winsorized_price_stats",
     "cms_user_counts",
     "bpe_merge_stats",
+    "join_view_maintenance",
     # -- implementation changed in round 3: need a fresh driver entry
     "customer_balance_deciles",
     "ann_cosine_topk",
@@ -121,8 +122,6 @@ _GATE_FIRST = [
     "dedup_ngram_jaccard",
     # -- representative r1-green anchor (regression canary)
     "star_join_revenue",
-    # -- green in round 1 but outside round 2's 50-slot window: re-green
-    "predicate_scan",
 ]
 assert len(_GATE_FIRST) <= 50, "driver gate checks only the first 50 queries"
 

@@ -122,6 +122,7 @@ HEADLINE = [
     "winsorized_price_stats",
     "cms_user_counts",
     "bpe_merge_stats",
+    "join_view_maintenance",
 ]
 
 

@@ -849,3 +849,58 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("total_value", 2).alias("total_value"),
         "max_value",
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental join-view maintenance (operators/incremental.py::merge_join_view)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "join_view_maintenance",
+    oracle="""
+    SELECT c.c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+)
+def join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-join-view maintenance: orders and customers arrive
+    in TWO delta batches each (key-parity split) and the stored view is
+    kept current through the insert-only IVM identity
+    Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB (operators/incremental.py::
+    merge_join_view) — then the maintained view must aggregate to
+    exactly the oracle's one-shot join. Each refresh joins deltas
+    against a semi-join-pruned slice of stored history, so refresh
+    cost is O(delta + matching history), never O(A⋈B).
+
+    The reference re-derives joined frames wholesale every run
+    (weekly_dag.py's monthly pipeline re-joins everything); this is
+    the engine-grade alternative its BigQuery tier never offered."""
+    import tempfile
+
+    from ..operators.incremental import merge_join_view
+
+    orders, customer = load_tables(spark, sf_dir, "orders", "customer")
+    o = orders.select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey", "o_totalprice"
+    )
+    c = customer.select(
+        F.col("c_custkey").alias("custkey"), "c_nationkey"
+    )
+    root = tempfile.mkdtemp(prefix="join_view_") + "/ivm"
+    for parity in (0, 1):
+        merge_join_view(
+            spark,
+            root,
+            o.filter(F.col("o_orderkey") % 2 == parity),
+            c.filter(F.col("custkey") % 2 == parity),
+            on=["custkey"],
+        )
+    view = spark.read.parquet(root + "/view")
+    return view.groupBy(F.col("c_nationkey")).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )

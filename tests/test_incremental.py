@@ -242,3 +242,45 @@ def test_scd2_null_is_current_passes_through_as_closed(spark):
     rows = sorted(out.collect(), key=lambda r: r.valid_from)
     assert len(rows) == 3  # null-current row kept + closed seed + new open
     assert rows[0].seg == "A0"  # the NULL-is_current row survived
+
+
+def test_merge_join_view_equals_one_shot_join(spark, tmp_path):
+    from sentiment_analysis_data_engineering_spark.operators.incremental import merge_join_view
+
+    # duplicate keys on BOTH sides — multiplicity must be preserved
+    left = spark.createDataFrame(
+        [(1, "a1"), (1, "a2"), (2, "b"), (3, "c"), (4, "d")],
+        "k long, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, "x"), (2, "y1"), (2, "y2"), (5, "z")], "k long, rv string"
+    )
+    root = str(tmp_path / "ivm")
+    for parity in (0, 1):
+        merge_join_view(
+            spark, root,
+            left.filter(F.col("k") % 2 == parity),
+            right.filter(F.col("k") % 2 == parity),
+            on=["k"],
+        )
+    got = sorted(
+        map(tuple, spark.read.parquet(root + "/view").select("k", "lv", "rv").collect())
+    )
+    want = sorted(map(tuple, left.join(right, "k").collect()))
+    assert got == want and want
+
+
+def test_merge_join_view_left_only_delta(spark, tmp_path):
+    from sentiment_analysis_data_engineering_spark.operators.incremental import merge_join_view
+
+    left1 = spark.createDataFrame([(1, "a")], "k long, lv string")
+    right1 = spark.createDataFrame([(1, "x"), (2, "y")], "k long, rv string")
+    root = str(tmp_path / "ivm2")
+    merge_join_view(spark, root, left1, right1, on=["k"])
+    # second refresh: only new left rows
+    left2 = spark.createDataFrame([(2, "b"), (9, "q")], "k long, lv string")
+    merge_join_view(spark, root, left2, None, on=["k"])
+    got = sorted(
+        map(tuple, spark.read.parquet(root + "/view").select("k", "lv", "rv").collect())
+    )
+    assert got == [(1, "a", "x"), (2, "b", "y")]
