@@ -351,8 +351,11 @@ def merge_join_view(
     rd = right_delta
 
     def pruned(stored: DataFrame, delta: DataFrame) -> DataFrame:
+        # no forced broadcast: a typical delta's key set is broadcast-
+        # sized and AQE will pick that plan itself, but a backfill-scale
+        # delta must be allowed to shuffle instead of OOMing a hint
         keys = delta.select(*on).distinct()
-        return stored.join(F.broadcast(keys), on, "left_semi")
+        return stored.join(keys, on, "left_semi")
 
     terms = []
     if stored_r is not None:
