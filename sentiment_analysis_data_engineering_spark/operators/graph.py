@@ -69,7 +69,11 @@ def pagerank_fixed_point(
     if not 0 <= dnum <= dden <= 100:
         raise ValueError(f"damping must be in [0, 1] with denominator <= 100, got {damping}")
 
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_t"))
+    # Persist the raw edge frame FIRST: deg, the node count, and the
+    # degree-annotated edges all read it — without the pin the
+    # (possibly expensive) edge derivation upstream would run once per
+    # consumer (measured 2× on the co-purchase bench query).
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_t")).persist()
     deg = e.groupBy("_s").agg(F.count("*").alias("_dg"))
     edges_deg = e.join(deg, "_s").persist()
     try:
@@ -111,4 +115,5 @@ def pagerank_fixed_point(
         ranks = ranks.localCheckpoint(eager=True)
     finally:
         edges_deg.unpersist()
+        e.unpersist()
     return ranks

@@ -44,6 +44,7 @@ __all__ = [
     "write_bucketed",
     "compact_small_files",
     "write_range_sorted",
+    "write_zorder_clustered",
 ]
 
 
@@ -703,3 +704,80 @@ def overwrite_via_swap(df: DataFrame, path: str) -> None:
         fs.delete(P(tmp), True)
     df.write.mode("overwrite").parquet(tmp)
     _swap_install(spark, tmp, path)
+
+
+def write_zorder_clustered(
+    df: DataFrame,
+    path: str,
+    *,
+    cluster_cols: list[str],
+    n_files: int,
+    bits_per_col: int = 6,
+) -> None:
+    """Multi-dimensional Z-order clustered write — the 2-D+ extension
+    of :func:`write_range_sorted`. Range clustering on ONE column makes
+    that column skippable but leaves every other column spanning the
+    full range in every file; interleaving the bits of per-column
+    quantile-bucket ranks puts rows that are close in ALL cluster
+    columns into the same files, so parquet min/max stats prune scans
+    filtered on ANY clustered column (the lakehouse OPTIMIZE ZORDER
+    maintenance, engine-side).
+
+    Mechanics:
+    1. per column, 2^bits quantile boundaries via ``approxQuantile``
+       (one bounded sampling action per column — model-build class;
+       quantile bucketing, unlike ``width_bucket``, is skew-tolerant);
+    2. bucket rank = count of boundaries ≤ value, a JVM fold over a
+       literal boundary array (no Python, no join);
+    3. z-value = bit interleave of the ranks (pure integer Column
+       arithmetic);
+    4. ``repartitionByRange`` on z + local sort — balanced files, no
+       global sort barrier, same as the 1-D writer.
+
+    Nulls sort to bucket 0 (lowest) deterministically.
+    """
+    if len(cluster_cols) < 2:
+        raise ValueError("z-order needs >= 2 cluster columns; use "
+                         "write_range_sorted for one")
+    if not 1 <= bits_per_col <= 16:
+        raise ValueError(f"bits_per_col must be in [1, 16], got {bits_per_col}")
+    n_buckets = 1 << bits_per_col
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+
+    rank_cols = []
+    for c in cluster_cols:
+        dbl = df.select(F.col(c).cast("double").alias("_q")).filter(
+            F.col("_q").isNotNull()
+        )
+        bounds = dbl.approxQuantile("_q", qs, 0.001)
+        # strictly increasing boundary list: duplicates (heavy hitters
+        # spanning quantiles) collapse into one boundary, which only
+        # coarsens that bucket — never misorders it
+        uniq: list[float] = []
+        for b in bounds:
+            if not uniq or b > uniq[-1]:
+                uniq.append(b)
+        barr = F.array(*[F.lit(b) for b in uniq])
+        rank = F.size(
+            F.filter(barr, lambda b: b <= F.col(c).cast("double"))
+        )
+        rank_cols.append(
+            F.when(F.col(c).isNull(), F.lit(0)).otherwise(rank).cast("long")
+        )
+
+    z = F.lit(0).cast("long")
+    for bit in range(bits_per_col):
+        for j, rank in enumerate(rank_cols):
+            z = z + F.shiftleft(
+                F.shiftright(rank, bit).bitwiseAND(F.lit(1)),
+                bit * len(rank_cols) + j,
+            )
+
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -489,3 +489,67 @@ def test_swap_recovery_noop_when_table_healthy(spark, tmp_path):
     spark.range(7).write.parquet(path)
     assert recover_interrupted_swap(spark, path) is False
     assert spark.read.parquet(path).count() == 7
+
+
+def test_write_zorder_clusters_both_dimensions(spark, tmp_path):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_data_engineering_spark.sources.io import (
+        write_range_sorted,
+        write_zorder_clustered,
+    )
+
+    rng = random.Random(23)
+    rows = [(rng.random(), rng.random()) for _ in range(20_000)]
+    df = spark.createDataFrame(rows, "x double, y double").repartition(8)
+
+    zpath = str(tmp_path / "zorder")
+    write_zorder_clustered(df, zpath, cluster_cols=["x", "y"], n_files=16)
+
+    def file_spans(path):
+        got = (
+            spark.read.parquet(path)
+            .withColumn("f", F.input_file_name())
+            .groupBy("f")
+            .agg(
+                (F.max("x") - F.min("x")).alias("xs"),
+                (F.max("y") - F.min("y")).alias("ys"),
+            )
+            .collect()
+        )
+        xs = sum(r.xs for r in got) / len(got)
+        ys = sum(r.ys for r in got) / len(got)
+        return xs, ys, len(got)
+
+    zx, zy, nz = file_spans(zpath)
+    assert nz > 4
+    # z-order: BOTH dimensions clustered — each file covers a fraction
+    # of each axis (16 files = 4 z-bits = 2 bits/dim -> ~1/4 spans;
+    # allow generous slack for quantile-boundary fuzz)
+    assert zx < 0.6 and zy < 0.6
+
+    # contrast: 1-D range clustering nails x but leaves y full-range
+    rpath = str(tmp_path / "range1d")
+    write_range_sorted(df, rpath, cluster_cols=["x"], n_files=16)
+    rx, ry, _ = file_spans(rpath)
+    assert rx < 0.15 and ry > 0.9
+    # and the z-layout beats 1-D on the NEGLECTED dimension
+    assert zy < ry / 2
+
+
+def test_write_zorder_validates_args(spark):
+    import pytest
+
+    from sentiment_analysis_data_engineering_spark.sources.io import (
+        write_zorder_clustered,
+    )
+
+    df = spark.createDataFrame([(1.0, 2.0)], "x double, y double")
+    with pytest.raises(ValueError, match="2 cluster columns"):
+        write_zorder_clustered(df, "/tmp/nope", cluster_cols=["x"], n_files=4)
+    with pytest.raises(ValueError, match="bits_per_col"):
+        write_zorder_clustered(
+            df, "/tmp/nope", cluster_cols=["x", "y"], n_files=4, bits_per_col=0
+        )
