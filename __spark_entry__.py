@@ -111,6 +111,7 @@ _GATE_FIRST = [
     "cms_user_counts",
     "bpe_merge_stats",
     "join_view_maintenance",
+    "event_sequence_patterns",
     # -- implementation changed in round 3: need a fresh driver entry
     "customer_balance_deciles",
     "ann_cosine_topk",
@@ -120,8 +121,6 @@ _GATE_FIRST = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
-    # -- representative r1-green anchor (regression canary)
-    "star_join_revenue",
 ]
 assert len(_GATE_FIRST) <= 50, "driver gate checks only the first 50 queries"
 

@@ -123,6 +123,7 @@ HEADLINE = [
     "cms_user_counts",
     "bpe_merge_stats",
     "join_view_maintenance",
+    "event_sequence_patterns",
 ]
 
 

@@ -354,3 +354,116 @@ def daily_user_value_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000.0
         ).alias("value_interp"),
     )
+
+
+# --------------------------------------------------------------------------
+# Event-sequence pattern detection (CEP via chained forward as-of joins)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "event_sequence_patterns",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, ts AS vts, event_id AS view_id
+      FROM events WHERE event_type = 'view'
+    ),
+    c AS (
+      SELECT user_id, ts AS cts, event_id AS click_id
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, ts AS pts, event_id AS purchase_id
+      FROM events WHERE event_type = 'purchase'
+    ),
+    s1 AS (
+      SELECT v.user_id, v.view_id, v.vts,
+             (SELECT min(c.cts) FROM c
+              WHERE c.user_id = v.user_id
+                AND c.cts >= v.vts
+                AND c.cts <= v.vts + INTERVAL 24 HOUR) AS cts
+      FROM v
+    ),
+    s1m AS (
+      SELECT s1.*,
+             (SELECT min(c.click_id) FROM c
+              WHERE c.user_id = s1.user_id AND c.cts = s1.cts) AS click_id
+      FROM s1 WHERE s1.cts IS NOT NULL
+    ),
+    s2 AS (
+      SELECT m.*,
+             (SELECT min(p.pts) FROM p
+              WHERE p.user_id = m.user_id
+                AND p.pts >= m.cts
+                AND p.pts <= m.cts + INTERVAL 72 HOUR) AS pts
+      FROM s1m m
+    ),
+    s2m AS (
+      SELECT s2.*,
+             (SELECT min(p.purchase_id) FROM p
+              WHERE p.user_id = s2.user_id AND p.pts = s2.pts) AS purchase_id
+      FROM s2 WHERE s2.pts IS NOT NULL
+    )
+    SELECT user_id, view_id, click_id, purchase_id,
+           epoch_us(cts) - epoch_us(vts) AS view_to_click_us,
+           epoch_us(pts) - epoch_us(cts) AS click_to_purchase_us
+    FROM s2m
+    """,
+)
+def event_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern match: every occurrence of
+    view → (first click ≤ 24 h later) → (first purchase ≤ 72 h
+    after that click), per user — the MATCH_RECOGNIZE/funnel-per-
+    instance shape, composed from TWO chained forward as-of joins
+    (operators/temporal.py::as_of_join, direction='forward' with
+    tolerance). Unlike funnel_view_click_purchase (first conversion
+    per user), this emits one row PER completed pattern instance with
+    exact microsecond stage gaps.
+
+    Plan: each as-of stage is the union-then-window single shuffle on
+    user_id — the same key both stages and the event scan share, so a
+    100 TB log streams through one partitioning; no self-join, no
+    inequality join, state per key is one running struct. The oracle
+    replays the semantics with correlated min-subqueries (DuckDB
+    decorrelates them itself)."""
+    from ..operators.temporal import as_of_join
+
+    (events,) = load_tables(spark, sf_dir, "events")
+    ev = events.select("user_id", "event_type", "ts", "event_id")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+
+    s1 = as_of_join(
+        views, clicks,
+        ts="ts", by=["user_id"], right_value_cols=["click_id"],
+        tolerance_seconds=86400, direction="forward",
+    )
+    s1 = s1.filter(F.col("matched").isNotNull()).select(
+        "user_id",
+        "view_id",
+        F.col("ts").alias("vts"),
+        F.col("matched._rts").alias("ts"),
+        F.col("matched.click_id").alias("click_id"),
+    )
+    s2 = as_of_join(
+        s1, purchases,
+        ts="ts", by=["user_id"], right_value_cols=["purchase_id"],
+        tolerance_seconds=259200, direction="forward",
+    )
+    return s2.filter(F.col("matched").isNotNull()).select(
+        "user_id",
+        "view_id",
+        "click_id",
+        F.col("matched.purchase_id").alias("purchase_id"),
+        (F.unix_micros("ts") - F.unix_micros("vts")).alias("view_to_click_us"),
+        (F.unix_micros("matched._rts") - F.unix_micros("ts")).alias(
+            "click_to_purchase_us"
+        ),
+    )
