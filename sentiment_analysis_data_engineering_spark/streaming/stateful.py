@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
-__all__ = ["running_user_stats", "streaming_ewma"]
+__all__ = ["running_user_stats", "streaming_ewma", "streaming_zscore"]
 
 #: (n_events, total_value) carried per user across micro-batches.
 _STATE = T.StructType([
@@ -122,5 +122,77 @@ def streaming_ewma(events: DataFrame, *, alpha: float = 0.3) -> DataFrame:
         outputStructType=_EWMA_OUTPUT,
         stateStructType=_EWMA_STATE,
         outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+#: last-N value window carried per user across micro-batches.
+_Z_STATE = T.StructType([
+    T.StructField("window", T.ArrayType(T.DoubleType())),
+])
+
+_Z_OUTPUT = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_id", T.LongType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("zscore", T.DoubleType()),
+])
+
+
+def streaming_zscore(
+    events: DataFrame,
+    *,
+    lookback: int = 20,
+    min_obs: int = 10,
+    threshold: float = 2.5,
+) -> DataFrame:
+    """Streaming twin of the batch ``rolling_zscore_anomalies`` query:
+    each event's value scored against the mean/stddev of the user's
+    preceding ``lookback`` events (strictly exclusive of itself),
+    emitting only the anomalies (|z| > threshold after rounding, with
+    ≥ ``min_obs`` priors and positive variance).
+
+    State per key is just the last ``lookback`` values (an
+    array<double> — bounded, watermark-free). Batch rows are sorted by
+    (ts, event_id) and scored with one vectorized pandas rolling pass
+    over [carried window ‖ batch values] — no Python row loop. Like
+    the EWMA twin, cross-batch equivalence to the batch query requires
+    per-key event-order delivery across micro-batches.
+    """
+    import numpy as np
+
+    def _update(key, pdfs, state: GroupState):
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        prev = list(state.get[0]) if state.exists else []
+        xs = rows["value"].to_numpy(dtype=float)
+        s = pd.Series(np.concatenate([np.array(prev, dtype=float), xs]))
+        shifted = s.shift(1)
+        mu = shifted.rolling(lookback, min_periods=1).mean()
+        sd = shifted.rolling(lookback, min_periods=2).std(ddof=1)
+        n_prev = shifted.rolling(lookback, min_periods=1).count()
+
+        k = len(prev)
+        mu_b, sd_b, np_b = (
+            a.to_numpy()[k:] for a in (mu, sd, n_prev)
+        )
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = np.round((xs - mu_b) / sd_b, 4)
+        ok = (np_b >= min_obs) & (sd_b > 0) & (np.abs(z) > threshold)
+
+        # plain Python floats: the state pickler rejects numpy scalars
+        new_window = [float(v) for v in s.to_numpy()[-lookback:]]
+        state.update((new_window,))
+        out = rows.loc[ok, ["user_id", "event_id"]].copy()
+        out["value"] = np.round(xs[ok], 4)
+        out["zscore"] = z[ok]
+        yield out.astype(
+            {"user_id": "int64", "event_id": "int64"}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=_Z_OUTPUT,
+        stateStructType=_Z_STATE,
+        outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -500,3 +500,28 @@ def test_streaming_cms_maintenance_matches_batch_and_replays(
         for r in st.read_cms_sketch(spark, target).collect()
     }
     assert replayed == whole
+
+
+def test_streaming_zscore_matches_batch_query(spark, sf_dir, events_dir):
+    from sentiment_analysis_data_engineering_spark.streaming import stateful
+
+    stream = st.read_events_stream(spark, events_dir)
+    out = st.run_available_now(
+        stateful.streaming_zscore(stream), "t_szscore", output_mode="append"
+    ).toPandas()
+    got = {
+        (r.user_id, r.event_id): (r.value, r.zscore)
+        for r in out.itertuples()
+    }
+
+    from sentiment_analysis_data_engineering_spark.plans import behavior_queries
+
+    batch = behavior_queries.rolling_zscore_anomalies(spark, sf_dir).toPandas()
+    want = {
+        (r.user_id, r.event_id): (r.value, r.zscore)
+        for r in batch.itertuples()
+    }
+    assert got.keys() == want.keys() and want
+    for k in want:
+        assert abs(got[k][0] - want[k][0]) < 1e-9
+        assert abs(got[k][1] - want[k][1]) < 1e-9
