@@ -190,3 +190,86 @@ def test_scd2_sequential_laws(spark, batches):
         for a, b in zip(chain, chain[1:]):
             assert a.valid_to == b.valid_from       # law 2
         assert chain[-1].is_current
+
+
+@given(
+    keys=st.lists(st.integers(0, 50), min_size=5, max_size=200),
+    k=st.integers(2, 12),
+)
+@_slow
+def test_misra_gries_superset_law(spark, keys, k):
+    from sentiment_analysis_data_engineering_spark.operators.sketches import (
+        misra_gries_candidates,
+    )
+
+    df = spark.createDataFrame([(x,) for x in keys], "k long").repartition(3)
+    cands = {
+        r.k
+        for r in misra_gries_candidates(df, "k", k=k)
+        .filter(~F.col("is_total"))
+        .collect()
+    }
+    counts: dict[int, int] = {}
+    for x in keys:
+        counts[x] = counts.get(x, 0) + 1
+    heavy = {x for x, c in counts.items() if c > len(keys) / (k + 1)}
+    # law: every key above N/(k+1) is in the candidate set, ANY input
+    assert heavy <= cands
+
+
+@given(
+    dim=st.lists(st.integers(0, 10**9), min_size=1, max_size=60, unique=True),
+    probe=st.lists(st.integers(0, 10**9), min_size=1, max_size=60),
+)
+@_slow
+def test_bloom_no_false_negative_law(spark, dim, probe):
+    from sentiment_analysis_data_engineering_spark.operators.sketches import (
+        bloom_build,
+        bloom_prune,
+    )
+
+    d = spark.createDataFrame([(x,) for x in dim], "k long")
+    bloom = bloom_build(d, "k", m_bits=1 << 12)
+    p = spark.createDataFrame([(x,) for x in probe], "k long")
+    kept = [r.k for r in bloom_prune(p, "k", bloom).collect()]
+    want_kept = [x for x in probe if x in set(dim)]
+    # law: every probe row whose key IS in the dim survives (multiset)
+    from collections import Counter
+
+    assert not (Counter(want_kept) - Counter(kept))
+
+
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.integers(-1000, 1000)),
+        min_size=1, max_size=30,
+    )
+)
+@_slow
+def test_linear_interpolate_laws(spark, vals):
+    from sentiment_analysis_data_engineering_spark.operators.temporal import (
+        linear_interpolate,
+    )
+
+    rows = [(1, i, float(v) if v is not None else None)
+            for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k long, d long, v double")
+    out = {
+        r.d: r.f
+        for r in df.select(
+            "d",
+            linear_interpolate(df, "v", key_cols=["k"], order_col="d").alias("f"),
+        ).collect()
+    }
+    obs = [i for i, v in enumerate(vals) if v is not None]
+    for i, v in enumerate(vals):
+        if v is not None:
+            assert out[i] == float(v)  # anchors pass through exactly
+        elif not obs or i < obs[0] or i > obs[-1]:
+            assert out[i] is None  # no extrapolation, ever
+        else:
+            lo = max(x for x in obs if x < i)
+            hi = min(x for x in obs if x > i)
+            a, b = float(vals[lo]), float(vals[hi])
+            # law: interior fills stay within the bracketing anchors
+            assert min(a, b) - 1e-9 <= out[i] <= max(a, b) + 1e-9
