@@ -320,6 +320,7 @@ def merge_join_view(
     right_delta: DataFrame | None,
     *,
     on: list[str],
+    batch_id: int | None = None,
 ) -> None:
     """Incremental maintenance of a materialized INNER-join view — the
     join twin of :func:`merge_rollup`'s algebraic aggregate merge.
@@ -339,15 +340,48 @@ def merge_join_view(
     :func:`snapshot_diff` + rebuild for low-churn dimensions);
     duplicate join keys are fine on either side, multiplicity is
     preserved exactly like the one-shot join.
+
+    Retry safety: the three writes cannot be atomic on plain parquet,
+    so pass ``batch_id`` — every write then lands as that batch's OWN
+    ``_batch_id`` partition via partition replacement, and stored-side
+    reads EXCLUDE the in-flight batch. A crash anywhere mid-refresh
+    converges on retry: re-derived deltas overwrite their own
+    partitions instead of appending twice, and the view delta is
+    recomputed against exactly the pre-batch history even if a side
+    delta already landed. Without ``batch_id`` writes are plain
+    appends (single-writer, no-retry callers only).
     """
-    from ..sources.io import append, scan_or_none
+    from ..sources.io import append, replace_partition, scan_or_none
 
     root = root.rstrip("/")
     left_path, right_path = f"{root}/left", f"{root}/right"
     view_path = f"{root}/view"
 
-    stored_l = scan_or_none(spark, left_path)
-    stored_r = scan_or_none(spark, right_path)
+    def load_stored(path: str) -> DataFrame | None:
+        stored = scan_or_none(spark, path)
+        if stored is None:
+            return None
+        if "_batch_id" in stored.columns:
+            if batch_id is not None:
+                # exclude the in-flight batch: a crashed earlier attempt
+                # may already have landed this batch's side delta
+                stored = stored.filter(F.col("_batch_id") != batch_id)
+            stored = stored.drop("_batch_id")
+        return stored
+
+    def install(df: DataFrame, path: str) -> None:
+        if batch_id is None:
+            append(df, path)
+        else:
+            replace_partition(
+                spark,
+                df.withColumn("_batch_id", F.lit(batch_id)),
+                path,
+                ["_batch_id"],
+            )
+
+    stored_l = load_stored(left_path)
+    stored_r = load_stored(right_path)
     rd = right_delta
 
     def pruned(stored: DataFrame, delta: DataFrame) -> DataFrame:
@@ -369,8 +403,8 @@ def merge_join_view(
         view_delta = terms[0]
         for t in terms[1:]:
             view_delta = view_delta.unionByName(t)
-        append(view_delta, view_path)
+        install(view_delta, view_path)
 
-    append(left_delta, left_path)
+    install(left_delta, left_path)
     if rd is not None:
-        append(rd, right_path)
+        install(rd, right_path)

@@ -219,7 +219,7 @@ def bloom_build(
         arr = np.zeros(n_bytes, dtype=np.uint8)
         n_keys = 0
         for pdf in batches:
-            keys = pdf[key_col].dropna().to_numpy()
+            keys = pdf[key_col].to_numpy()
             if not len(keys):
                 continue
             n_keys += len(keys)
@@ -230,7 +230,9 @@ def bloom_build(
             )
         yield pd.DataFrame({"bitmap": [arr.tobytes()], "n_keys": [n_keys]})
 
-    src = df.select(key_col)
+    # nulls dropped JVM-side: a nullable long batch crosses Arrow as
+    # float64 and would round keys above 2^53 into wrong bit positions
+    src = df.select(key_col).filter(F.col(key_col).isNotNull())
     if src.rdd.getNumPartitions() > build_partitions:
         src = src.coalesce(build_partitions)
     rows = src.mapInPandas(build, schema="bitmap binary, n_keys long").collect()
@@ -255,6 +257,12 @@ def bloom_prune(fact: DataFrame, key_col: str, bloom: dict) -> DataFrame:
     Composition contract: ``prune → exact join`` ≡ ``exact join``,
     because Bloom filters admit false positives (removed by the join)
     but never false negatives.
+
+    The UDF probes ``coalesce(key, 0)`` and the null-keep happens in
+    the surrounding filter expression: a nullable long column crosses
+    Arrow into pandas as float64, which silently rounds keys above
+    2^53 and WOULD create false negatives — coalescing first keeps the
+    batch int64 end-to-end.
     """
     m_bits, g = bloom["m_bits"], bloom["g"]
     bc = fact.sparkSession.sparkContext.broadcast(bloom["bitmap"])
@@ -262,20 +270,19 @@ def bloom_prune(fact: DataFrame, key_col: str, bloom: dict) -> DataFrame:
     @pandas_udf("boolean")
     def might_contain(keys: pd.Series) -> pd.Series:
         arr = np.frombuffer(bc.value, dtype=np.uint8)
-        mask = keys.notna().to_numpy()
-        out = np.ones(len(keys), dtype=bool)  # nulls: keep
-        if mask.any():
-            kv = keys.to_numpy()[mask]
-            pos = _bloom_positions(kv, m_bits, g)
-            hit = np.ones(mask.sum(), dtype=bool)
-            for i in range(g):
-                byte = arr[(pos[i] >> np.uint64(3)).astype(np.int64)]
-                bit = np.uint8(1) << (pos[i] & np.uint64(7)).astype(np.uint8)
-                hit &= (byte & bit) != 0
-            out[mask] = hit
-        return pd.Series(out)
+        kv = keys.to_numpy()
+        pos = _bloom_positions(kv, m_bits, g)
+        hit = np.ones(len(kv), dtype=bool)
+        for i in range(g):
+            byte = arr[(pos[i] >> np.uint64(3)).astype(np.int64)]
+            bit = np.uint8(1) << (pos[i] & np.uint64(7)).astype(np.uint8)
+            hit &= (byte & bit) != 0
+        return pd.Series(hit)
 
-    return fact.filter(might_contain(F.col(key_col)))
+    key = F.col(key_col)
+    return fact.filter(
+        key.isNull() | might_contain(F.coalesce(key, F.lit(0)))
+    )
 
 
 # --------------------------------------------------------------------------

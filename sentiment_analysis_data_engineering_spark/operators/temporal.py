@@ -40,6 +40,7 @@ def as_of_join(
     right_value_cols: list[str],
     tolerance_seconds: int | None = None,
     direction: str = "backward",
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """As-of join: each left row gets the nearest right row with the
     same by-key — ``direction='backward'`` (default) the most recent
@@ -51,24 +52,37 @@ def as_of_join(
     semantics) in either direction. The forward variant is the same
     union-then-window plan with the frame reversed (following instead
     of preceding) and the sort tie flipped.
+
+    ``tiebreak`` names a right-side column deciding between MULTIPLE
+    right rows sharing the nearest timestamp: the row with the
+    SMALLEST tiebreak value wins, under any partition layout. Without
+    it, equal-(by, ts) right rows leave the pick to partition order —
+    fine for unique timestamps, nondeterministic otherwise.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     rv = F.struct(
         F.col(ts).alias("_rts"), *[F.col(c) for c in right_value_cols]
     )
-    r = right.select(*by, F.col(ts).alias(ts), rv.alias("_rv")).withColumn(
-        "_side", F.lit(0)
-    )
+    r = right.select(
+        *by, F.col(ts).alias(ts), rv.alias("_rv"),
+        *( [F.col(tiebreak).alias("_tb")] if tiebreak else [] ),
+    ).withColumn("_side", F.lit(0))
     l = left.withColumn("_rv", F.lit(None).cast(r.schema["_rv"].dataType)).withColumn(
         "_side", F.lit(1)
     )
     combined = l.unionByName(r, allowMissingColumns=True)
 
     if direction == "backward":
+        # last() at the left row scans backward: among equal-ts right
+        # rows the LATEST in sort order wins, so tiebreak sorts DESC
+        # to make that the smallest value
+        order = [F.col(ts).asc(), F.col("_side").asc()]
+        if tiebreak:
+            order.append(F.col("_tb").desc())
         w = (
             W.partitionBy(*by)
-            .orderBy(F.col(ts).asc(), F.col("_side").asc())
+            .orderBy(*order)
             .rowsBetween(W.unboundedPreceding, 0)
         )
         carried = combined.withColumn(
@@ -76,9 +90,12 @@ def as_of_join(
         )
         gap = F.unix_micros(F.col(ts)) - F.unix_micros(F.col("_m._rts"))
     else:
+        order = [F.col(ts).asc(), F.col("_side").desc()]
+        if tiebreak:
+            order.append(F.col("_tb").asc())
         w = (
             W.partitionBy(*by)
-            .orderBy(F.col(ts).asc(), F.col("_side").desc())
+            .orderBy(*order)
             .rowsBetween(0, W.unboundedFollowing)
         )
         carried = combined.withColumn(
@@ -86,6 +103,8 @@ def as_of_join(
         )
         gap = F.unix_micros(F.col("_m._rts")) - F.unix_micros(F.col(ts))
     out = carried.filter(F.col("_side") == 1).drop("_rv", "_side")
+    if tiebreak:
+        out = out.drop("_tb")
     if tolerance_seconds is not None:
         out = out.withColumn(
             "_m",

@@ -443,7 +443,7 @@ def event_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1 = as_of_join(
         views, clicks,
         ts="ts", by=["user_id"], right_value_cols=["click_id"],
-        tolerance_seconds=86400, direction="forward",
+        tolerance_seconds=86400, direction="forward", tiebreak="click_id",
     )
     s1 = s1.filter(F.col("matched").isNotNull()).select(
         "user_id",
@@ -455,7 +455,7 @@ def event_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = as_of_join(
         s1, purchases,
         ts="ts", by=["user_id"], right_value_cols=["purchase_id"],
-        tolerance_seconds=259200, direction="forward",
+        tolerance_seconds=259200, direction="forward", tiebreak="purchase_id",
     )
     return s2.filter(F.col("matched").isNotNull()).select(
         "user_id",

@@ -347,7 +347,11 @@ _BPE_MERGES = 8
       FROM words, unnest(range(1, len(word))) AS u(i)
       GROUP BY l, r
     ),
-    top AS (SELECT l, r, c FROM pairs ORDER BY c DESC, l, r LIMIT 1)
+    top AS (
+      -- mirror bpe_train's min_count stop: no pair with weighted
+      -- count >= 2 means NO first merge exists
+      SELECT l, r, c FROM pairs WHERE c >= 2 ORDER BY c DESC, l, r LIMIT 1
+    )
     SELECT (SELECT CAST(count(*) AS BIGINT) FROM words) AS n_words,
            (SELECT l FROM top) AS first_left,
            (SELECT r FROM top) AS first_right,
@@ -399,11 +403,12 @@ def bpe_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         )
+        first = merges[0] if merges else (None, None, None)
         out = stats.select(
             "n_words",
-            F.lit(merges[0][0]).alias("first_left"),
-            F.lit(merges[0][1]).alias("first_right"),
-            F.lit(merges[0][2]).alias("first_count"),
+            F.lit(first[0]).cast("string").alias("first_left"),
+            F.lit(first[1]).cast("string").alias("first_right"),
+            F.lit(first[2]).cast("long").alias("first_count"),
             F.lit(len(merges) <= _BPE_MERGES).alias("n_merges_ok"),
             F.lit(counts == sorted(counts, reverse=True)).alias(
                 "monotonic_ok"

@@ -898,6 +898,7 @@ def join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             o.filter(F.col("o_orderkey") % 2 == parity),
             c.filter(F.col("custkey") % 2 == parity),
             on=["custkey"],
+            batch_id=parity,
         )
     view = spark.read.parquet(root + "/view")
     return view.groupBy(F.col("c_nationkey")).agg(

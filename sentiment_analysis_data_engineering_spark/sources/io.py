@@ -744,12 +744,18 @@ def write_zorder_clustered(
     n_buckets = 1 << bits_per_col
     qs = [i / n_buckets for i in range(1, n_buckets)]
 
+    # ONE sampling pass computes every column's boundaries (the
+    # multi-column approxQuantile form) — k separate calls would scan
+    # the input k times for nothing
+    qcols = [f"_q{j}" for j in range(len(cluster_cols))]
+    dbl = df.select(
+        *[F.col(c).cast("double").alias(q)
+          for c, q in zip(cluster_cols, qcols)]
+    )
+    all_bounds = dbl.approxQuantile(qcols, qs, 0.001)
+
     rank_cols = []
-    for c in cluster_cols:
-        dbl = df.select(F.col(c).cast("double").alias("_q")).filter(
-            F.col("_q").isNotNull()
-        )
-        bounds = dbl.approxQuantile("_q", qs, 0.001)
+    for c, bounds in zip(cluster_cols, all_bounds):
         # strictly increasing boundary list: duplicates (heavy hitters
         # spanning quantiles) collapse into one boundary, which only
         # coarsens that bucket — never misorders it

@@ -166,20 +166,37 @@ def streaming_zscore(
         prev = list(state.get[0]) if state.exists else []
         xs = rows["value"].to_numpy(dtype=float)
         s = pd.Series(np.concatenate([np.array(prev, dtype=float), xs]))
-        shifted = s.shift(1)
-        mu = shifted.rolling(lookback, min_periods=1).mean()
-        sd = shifted.rolling(lookback, min_periods=2).std(ddof=1)
-        n_prev = shifted.rolling(lookback, min_periods=1).count()
+
+        # Null parity with the batch query: Spark's windowed avg/stddev
+        # SKIP null values while count(*) counts ROWS. pandas rolling
+        # mean/std instead poison any window containing NaN, so build
+        # the moments from null-aware sums: row count from a ones
+        # series, value count/sum/sum-of-squares from NaN-masked ones.
+        def roll(t: pd.Series) -> pd.Series:
+            return t.shift(1).rolling(lookback, min_periods=1).sum()
+
+        nn = s.notna().astype(float)
+        xf = s.fillna(0.0)
+        n_rows = roll(pd.Series(1.0, index=s.index))
+        n_vals = roll(nn)
+        sx = roll(xf)
+        sxx = roll(xf * xf)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mu = (sx / n_vals).to_numpy()
+            var = ((sxx - n_vals * (sx / n_vals) ** 2)
+                   / (n_vals - 1)).to_numpy()
+            var = np.where(var < 0, 0.0, var)  # fp cancellation guard
+            sd = np.sqrt(var)
 
         k = len(prev)
-        mu_b, sd_b, np_b = (
-            a.to_numpy()[k:] for a in (mu, sd, n_prev)
-        )
+        mu_b, sd_b, nr_b = mu[k:], sd[k:], n_rows.to_numpy()[k:]
         with np.errstate(invalid="ignore", divide="ignore"):
             z = np.round((xs - mu_b) / sd_b, 4)
-        ok = (np_b >= min_obs) & (sd_b > 0) & (np.abs(z) > threshold)
+        ok = (nr_b >= min_obs) & (sd_b > 0) & (np.abs(z) > threshold)
+        ok &= ~np.isnan(z)
 
         # plain Python floats: the state pickler rejects numpy scalars
+        # (NaN survives the round-trip and keeps null slots as rows)
         new_window = [float(v) for v in s.to_numpy()[-lookback:]]
         state.update((new_window,))
         out = rows.loc[ok, ["user_id", "event_id"]].copy()

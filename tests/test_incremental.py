@@ -284,3 +284,39 @@ def test_merge_join_view_left_only_delta(spark, tmp_path):
         map(tuple, spark.read.parquet(root + "/view").select("k", "lv", "rv").collect())
     )
     assert got == [(1, "a", "x"), (2, "b", "y")]
+
+
+def test_merge_join_view_batch_id_retry_idempotent(spark, tmp_path):
+    from sentiment_analysis_data_engineering_spark.operators.incremental import merge_join_view
+
+    left = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, lv string"
+    )
+    right = spark.createDataFrame([(1, "x"), (2, "y")], "k long, rv string")
+    root = str(tmp_path / "ivm3")
+    for parity in (0, 1):
+        merge_join_view(
+            spark, root,
+            left.filter(F.col("k") % 2 == parity),
+            right.filter(F.col("k") % 2 == parity),
+            on=["k"], batch_id=parity,
+        )
+    want = sorted(
+        map(tuple, spark.read.parquet(root + "/view")
+            .select("k", "lv", "rv").collect())
+    )
+    # replay batch 1 wholesale (crash-after-partial-commit recovery):
+    # partition replacement + in-flight-batch exclusion must converge
+    merge_join_view(
+        spark, root,
+        left.filter(F.col("k") % 2 == 1),
+        right.filter(F.col("k") % 2 == 1),
+        on=["k"], batch_id=1,
+    )
+    got = sorted(
+        map(tuple, spark.read.parquet(root + "/view")
+            .select("k", "lv", "rv").collect())
+    )
+    assert got == want
+    plain = sorted(map(tuple, left.join(right, "k").collect()))
+    assert got == plain

@@ -164,3 +164,20 @@ def test_cms_rejects_bad_depth(spark):
     df = spark.createDataFrame([(1,)], "k long")
     with pytest.raises(ValueError, match="depth"):
         cms_build(df, "k", depth=9)
+
+
+def test_bloom_exact_above_2_53_with_nulls_present(spark):
+    from sentiment_analysis_data_engineering_spark.operators.sketches import (
+        bloom_build,
+        bloom_prune,
+    )
+
+    big = (1 << 53) + 1  # loses precision if it ever becomes float64
+    dim = spark.createDataFrame([(big,), (None,), (7,)], "k long")
+    bloom = bloom_build(dim, "k", m_bits=1 << 14)
+    assert bloom["n_keys"] == 2  # null dropped JVM-side
+    probe = spark.createDataFrame(
+        [(big,), ((1 << 53),), (None,), (7,)], "k long"
+    )
+    kept = [r.k for r in bloom_prune(probe, "k", bloom).collect()]
+    assert big in kept and 7 in kept and None in kept

@@ -525,3 +525,52 @@ def test_streaming_zscore_matches_batch_query(spark, sf_dir, events_dir):
     for k in want:
         assert abs(got[k][0] - want[k][0]) < 1e-9
         assert abs(got[k][1] - want[k][1]) < 1e-9
+
+
+def test_streaming_zscore_null_values_match_batch_semantics(spark, tmp_path):
+    """Null values count toward the warm-up ROW count (like the batch
+    count(*)) but are skipped by the moments (like Spark avg/stddev)."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from sentiment_analysis_data_engineering_spark.streaming import stateful
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    vals = [10.0, None, 10.2, 9.9, None, 10.1, 9.8, 10.0, 10.2, 9.9,
+            10.1, 10.0, 50.0]  # the 50 is the anomaly
+    for i, v in enumerate(vals):
+        rows.append((i + 1, base + dt.timedelta(minutes=i), 7, "view", v, "{}"))
+    pdir = str(tmp_path / "nullev")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string"
+    ).coalesce(1).write.parquet(pdir)
+
+    stream = st.read_events_stream(spark, pdir)
+    out = st.run_available_now(
+        stateful.streaming_zscore(stream, min_obs=10), "t_sznull",
+        output_mode="append",
+    ).toPandas()
+    got = {(r.user_id, r.event_id): r.zscore for r in out.itertuples()}
+
+    batch = spark.read.parquet(pdir)
+    w = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    z = F.round((F.col("value") - F.avg("value").over(w))
+                / F.stddev_samp("value").over(w), 4)
+    want_df = (
+        batch.select(
+            "user_id", "event_id",
+            F.count("*").over(w).alias("n_prev"), z.alias("z"),
+            F.stddev_samp("value").over(w).alias("sd"),
+        )
+        .filter((F.col("n_prev") >= 10) & (F.col("sd") > 0)
+                & (F.abs(F.col("z")) > 2.5))
+    )
+    want = {(r.user_id, r.event_id): r.z for r in want_df.collect()}
+    assert got.keys() == want.keys() and want  # anomaly found both ways
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9

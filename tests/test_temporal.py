@@ -220,3 +220,22 @@ def test_linear_interpolate_missing_column_raises(spark):
     df = spark.createDataFrame([(1, 1, 1.0)], "k long, d long, v double")
     with pytest.raises(ValueError, match="nope"):
         linear_interpolate(df, "nope", key_cols=["k"], order_col="d")
+
+
+def test_as_of_join_tiebreak_picks_smallest_both_directions(spark):
+    import datetime as dt
+
+    from sentiment_analysis_data_engineering_spark.operators.temporal import as_of_join
+
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame([(1, t)], "k long, ts timestamp")
+    # two right rows at the SAME nearest timestamp
+    right = spark.createDataFrame(
+        [(1, t, 88), (1, t, 11)], "k long, ts timestamp, rid long"
+    )
+    for direction in ("backward", "forward"):
+        out = as_of_join(
+            left, right, ts="ts", by=["k"], right_value_cols=["rid"],
+            direction=direction, tiebreak="rid",
+        ).collect()
+        assert out[0]["matched"]["rid"] == 11, direction
