@@ -196,6 +196,10 @@ def bloom_build(
     ~0.24% false-positive rate; FPs only cost wasted probe rows, never
     correctness (no false negatives by construction).
 
+    Integer keys only. For strings (or composites), pre-hash JVM-side
+    — ``F.xxhash64(col)`` on BOTH the build and probe sides — and
+    bloom the hashes (hash collisions just add to the FP rate).
+
     Scale shape: the build side is coalesced to ≤ ``build_partitions``
     tasks, each emitting ONE packed bitmap row (m_bits/8 bytes); the
     driver ORs ≤ build_partitions bitmaps. Driver traffic is

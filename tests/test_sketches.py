@@ -181,3 +181,22 @@ def test_bloom_exact_above_2_53_with_nulls_present(spark):
     )
     kept = [r.k for r in bloom_prune(probe, "k", bloom).collect()]
     assert big in kept and 7 in kept and None in kept
+
+
+def test_bloom_string_keys_via_xxhash64(spark):
+    """Non-integer keys: pre-hash JVM-side with xxhash64, then bloom
+    the hashes — the composition the operator docstring prescribes."""
+    from sentiment_analysis_data_engineering_spark.operators.sketches import (
+        bloom_build,
+        bloom_prune,
+    )
+
+    dim = spark.createDataFrame(
+        [(f"key_{i}",) for i in range(0, 600, 3)], "k string"
+    ).select(F.xxhash64("k").alias("h"), "k")
+    bloom = bloom_build(dim, "h", m_bits=1 << 14)
+    probe = spark.createDataFrame(
+        [(f"key_{i}",) for i in range(600)], "k string"
+    ).select(F.xxhash64("k").alias("h"), "k")
+    kept = {r.k for r in bloom_prune(probe, "h", bloom).collect()}
+    assert {f"key_{i}" for i in range(0, 600, 3)} <= kept
