@@ -160,3 +160,82 @@ def test_quantize_int8_empty_frame(spark):
 
     df = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert quantize_int8_stats(df, vec_col="embedding", id_col="vec_id").count() == 0
+
+
+def test_sketch_ops_on_empty_frames(spark):
+    from sentiment_analysis_data_engineering_spark.operators.sketches import (
+        bloom_build,
+        bloom_prune,
+        cms_build,
+        cms_estimate,
+        heavy_hitters_exact,
+    )
+
+    empty = spark.createDataFrame([], "k long")
+    assert heavy_hitters_exact(empty, "k", k=10).count() == 0
+    assert cms_build(empty, "k").count() == 0
+    sk = cms_build(empty, "k")
+    keys = spark.createDataFrame([(1,)], "k long")
+    assert cms_estimate(sk, keys, "k").count() == 0  # no cells -> no estimates
+    bloom = bloom_build(empty, "k", m_bits=1 << 14)
+    assert bloom["n_keys"] == 0
+    # empty filter rejects everything non-null, keeps nulls
+    probe = spark.createDataFrame([(5,), (None,)], "k long")
+    assert [r.k for r in bloom_prune(probe, "k", bloom).collect()] == [None]
+
+
+def test_zorder_constant_column_degrades_gracefully(spark, tmp_path):
+    """A constant cluster column collapses every quantile boundary into
+    one bucket — the write must still succeed and cluster the OTHER
+    column."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_data_engineering_spark.sources.io import (
+        write_zorder_clustered,
+    )
+
+    rng = random.Random(3)
+    df = spark.createDataFrame(
+        [(1.0, rng.random()) for _ in range(4000)], "x double, y double"
+    ).repartition(4)
+    path = str(tmp_path / "zconst")
+    write_zorder_clustered(df, path, cluster_cols=["x", "y"], n_files=8)
+    spans = (
+        spark.read.parquet(path)
+        .withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg((F.max("y") - F.min("y")).alias("ys"))
+        .collect()
+    )
+    assert len(spans) > 2
+    assert sum(r.ys for r in spans) / len(spans) < 0.6
+
+
+def test_linear_interpolate_single_observation(spark):
+    from sentiment_analysis_data_engineering_spark.operators.temporal import (
+        linear_interpolate,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0, None), (1, 1, 5.0), (1, 2, None)], "k long, d long, v double"
+    )
+    got = {
+        r.d: r.f
+        for r in df.select(
+            "d", linear_interpolate(df, "v", key_cols=["k"], order_col="d").alias("f")
+        ).collect()
+    }
+    assert got == {0: None, 1: 5.0, 2: None}
+
+
+def test_pagerank_self_loop_only_graph(spark):
+    from sentiment_analysis_data_engineering_spark.operators.graph import (
+        PR_SCALE,
+        pagerank_fixed_point,
+    )
+
+    edges = spark.createDataFrame([(1, 1), (2, 2)], "src long, dst long")
+    got = {r.node: r.pr_fixed for r in pagerank_fixed_point(edges).collect()}
+    assert got == {1: PR_SCALE // 2, 2: PR_SCALE // 2}
