@@ -44,6 +44,7 @@ def pagerank_fixed_point(
     dst: str = "dst",
     damping: Fraction = Fraction(17, 20),
     iterations: int = 3,
+    assume_symmetric: bool = False,
 ) -> DataFrame:
     """Fixed-point PageRank; returns (node long, pr_fixed long) where
     ``pr_fixed`` is the rank scaled by :data:`PR_SCALE`.
@@ -58,10 +59,15 @@ def pagerank_fixed_point(
     (edges ⋈ ranks on src — both sides hash-partitioned on the same
     key) plus one map-side-combining sum keyed on dst, then a left join
     back to the node set so in-degree-0 nodes keep their teleport mass.
-    Per-iteration shuffle volume ∝ edges, never pairs-of-pairs; the
-    rank frame is O(nodes). The node count N is one bounded aggregate
-    action (model-build class). The final frame is localCheckpoint-ed
-    so the persisted edge frame can be released eagerly.
+    ``assume_symmetric=True`` (correct for any undirected edge list)
+    skips that per-iteration left join — a symmetric graph has no
+    in-degree-0 nodes, so the contribution aggregate already covers
+    every node. Per-iteration shuffle volume ∝ edges, never
+    pairs-of-pairs; the rank frame is O(nodes). The node count rides
+    the plan as a 1-row broadcast aggregate (no driver action), so the
+    whole fixed-iteration recurrence compiles into ONE job. The final
+    frame is localCheckpoint-ed so the persisted edge frame can be
+    released eagerly.
     """
     if iterations < 0:
         raise ValueError(f"iterations must be >= 0, got {iterations}")
@@ -77,16 +83,18 @@ def pagerank_fixed_point(
     deg = e.groupBy("_s").agg(F.count("*").alias("_dg"))
     edges_deg = e.join(deg, "_s").persist()
     try:
-        n = deg.count()
-        if n == 0:
-            return edges.sparkSession.createDataFrame(
-                [], "node long, pr_fixed long"
-            )
+        # node count as a 1-row broadcast frame — stays in-plan, exact
+        # integer arithmetic throughout (empty graph => empty output;
+        # the DIV-by-zero branch is never evaluated on zero rows)
+        n1 = deg.agg(F.count("*").alias("_n"))
         nodes = deg.select(F.col("_s").alias("node"))
-        teleport = ((dden - dnum) * PR_SCALE) // (dden * n)
+        new_rank = (
+            F.expr(f"(({dden - dnum}) * {PR_SCALE}) DIV ({dden} * _n)")
+            + F.expr(f"({dnum} * coalesce(_sum, 0L)) DIV {dden}")
+        ).cast("long")
 
-        ranks = nodes.select(
-            "node", F.lit(PR_SCALE // n).cast("long").alias("pr_fixed")
+        ranks = nodes.crossJoin(F.broadcast(n1)).select(
+            "node", F.expr(f"{PR_SCALE} DIV _n").cast("long").alias("pr_fixed")
         )
         for _ in range(iterations):
             contribs = (
@@ -100,17 +108,12 @@ def pagerank_fixed_point(
                 .groupBy("node")
                 .agg(F.sum("_c").alias("_sum"))
             )
-            ranks = (
-                nodes.join(contribs, "node", "left")
-                .select(
-                    "node",
-                    (
-                        F.lit(teleport)
-                        + F.expr(
-                            f"({dnum} * coalesce(_sum, 0L)) DIV {dden}"
-                        )
-                    ).cast("long").alias("pr_fixed"),
-                )
+            if assume_symmetric:
+                base = contribs
+            else:
+                base = nodes.join(contribs, "node", "left")
+            ranks = base.crossJoin(F.broadcast(n1)).select(
+                "node", new_rank.alias("pr_fixed")
             )
         ranks = ranks.localCheckpoint(eager=True)
     finally:

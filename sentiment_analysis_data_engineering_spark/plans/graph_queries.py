@@ -95,5 +95,6 @@ def pagerank_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = pagerank_fixed_point(
         edges, src="s", dst="t",
         damping=Fraction(17, 20), iterations=_PR_ITERS,
+        assume_symmetric=True,  # undirected edge list by construction
     )
     return ranks.select(F.col("node").alias("p_partkey"), "pr_fixed")
