@@ -239,3 +239,53 @@ def test_pagerank_self_loop_only_graph(spark):
     edges = spark.createDataFrame([(1, 1), (2, 2)], "src long, dst long")
     got = {r.node: r.pr_fixed for r in pagerank_fixed_point(edges).collect()}
     assert got == {1: PR_SCALE // 2, 2: PR_SCALE // 2}
+
+
+def test_jaro_winkler_matches_duckdb_exactly(spark):
+    """The engine's JW scorer must agree with DuckDB's
+    jaro_winkler_similarity bit-for-bit — the cross-engine contract
+    that lets an oracle verify blocked JW matching."""
+    import duckdb
+
+    from sentiment_analysis_data_engineering_spark.operators.fuzzy import _jaro_winkler
+
+    probes = [
+        ("martha", "marhta"), ("dixon", "dicksonx"),
+        ("jellyfish", "smellyfish"), ("abc", "abc"), ("abc", "xyz"),
+        ("a", ""), ("", ""), ("crate", "trace"), ("dwayne", "duane"),
+        ("brennan", "brennen"), ("STANDARD", "STNDRD"), ("ab", "ba"),
+        ("prefixmatch", "prefixmatxh"), ("x", "x"),
+    ]
+    con = duckdb.connect()
+    for s1, s2 in probes:
+        want = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [s1, s2]
+        ).fetchone()[0]
+        assert abs(_jaro_winkler(s1, s2) - want) < 1e-12, (s1, s2)
+
+
+def test_jaro_winkler_pairs_blocked(spark):
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_data_engineering_spark.operators.fuzzy import (
+        _jaro_winkler,
+        jaro_winkler_pairs,
+    )
+
+    rows = [
+        (1, "jonathan smith"), (2, "jonathon smith"), (3, "jon smith"),
+        (4, "martha jones"), (5, "marhta jones"), (6, "zzz unrelated"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    out = jaro_winkler_pairs(
+        df, "name", "id",
+        block_col=F.split_part(F.col("name"), F.lit(" "), F.lit(2)),
+        min_similarity=0.9,
+    ).collect()
+    got = {(r.id_a, r.id_b): r.similarity for r in out}
+    assert (1, 2) in got and (4, 5) in got
+    assert all(v >= 0.9 for v in got.values())
+    for (ia, ib), v in got.items():
+        ta = dict(rows)[ia]
+        tb = dict(rows)[ib]
+        assert abs(v - _jaro_winkler(ta, tb)) < 1e-12
