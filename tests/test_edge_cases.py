@@ -289,3 +289,27 @@ def test_jaro_winkler_pairs_blocked(spark):
         ta = dict(rows)[ia]
         tb = dict(rows)[ib]
         assert abs(v - _jaro_winkler(ta, tb)) < 1e-12
+
+
+def test_phonetic_blocking_with_soundex_feeds_jw(spark):
+    """Phonetic blocking (F.soundex) composed with the JW refiner —
+    the classic record-linkage pairing: variant spellings land in the
+    same phonetic block, then Jaro-Winkler ranks them."""
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_data_engineering_spark.operators.fuzzy import (
+        jaro_winkler_pairs,
+    )
+
+    rows = [(1, "robert"), (2, "rupert"), (3, "rubin"), (4, "ashcraft"),
+            (5, "ashcroft"), (6, "tymczak")]
+    df = spark.createDataFrame(rows, "id long, name string")
+    out = jaro_winkler_pairs(
+        df, "name", "id",
+        block_col=F.soundex(F.col("name")),
+        min_similarity=0.75,
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in out}
+    # soundex(robert)==soundex(rupert)==R163; ashcraft/ashcroft A261
+    assert (4, 5) in got
+    assert (1, 2) in got
