@@ -26,28 +26,18 @@ from pyspark.sql import functions as F
 __all__ = ["fuzzy_match_pairs", "jaro_winkler_pairs"]
 
 
-def fuzzy_match_pairs(
+def _blocked_candidate_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
     *,
     block_col: Column,
-    max_distance: int,
-    max_block_size: int = 1000,
+    max_block_size: int,
 ) -> DataFrame:
-    """All (id_a < id_b) pairs whose ``text_col`` values sit in the
-    same block and within ``max_distance`` Levenshtein edits.
-
-    Plan: project (id, text, block) once; self-equi-join on the block
-    key (one keyed shuffle — never a cross join); refine with
-    ``F.levenshtein`` inside codegen. ``max_block_size`` mirrors
-    ``dedup.py``'s stop-shingle guard: a degenerate block (every row
-    keyed the same) would quadratically explode, so oversized blocks
-    are dropped BEFORE the pair join — the documented recall trade for
-    bounded cost, enforced with a window count rather than a collect.
-
-    Returns ``id_a, id_b, text_a, text_b, distance``.
-    """
+    """Shared blocking scaffolding for every matcher in this module:
+    project (id, text, block) once, drop oversized blocks BEFORE
+    pairing (window count, no collect), self-equi-join on the block
+    key with id_a < id_b. Returns (id_a, id_b, text_a, text_b)."""
     from pyspark.sql import Window
 
     keyed = df.select(
@@ -75,9 +65,40 @@ def fuzzy_match_pairs(
     return (
         a.join(b, (F.col("_block") == F.col("_block_b"))
                & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", "text_a", "text_b")
+    )
+
+
+
+def fuzzy_match_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    block_col: Column,
+    max_distance: int,
+    max_block_size: int = 1000,
+) -> DataFrame:
+    """All (id_a < id_b) pairs whose ``text_col`` values sit in the
+    same block and within ``max_distance`` Levenshtein edits.
+
+    Plan: project (id, text, block) once; self-equi-join on the block
+    key (one keyed shuffle — never a cross join); refine with
+    ``F.levenshtein`` inside codegen. ``max_block_size`` mirrors
+    ``dedup.py``'s stop-shingle guard: a degenerate block (every row
+    keyed the same) would quadratically explode, so oversized blocks
+    are dropped BEFORE the pair join — the documented recall trade for
+    bounded cost, enforced with a window count rather than a collect.
+
+    Returns ``id_a, id_b, text_a, text_b, distance``.
+    """
+    return (
+        _blocked_candidate_pairs(
+            df, text_col, id_col,
+            block_col=block_col, max_block_size=max_block_size,
+        )
         .withColumn("distance", F.levenshtein("text_a", "text_b"))
         .filter(F.col("distance") <= max_distance)
-        .select("id_a", "id_b", "text_a", "text_b", "distance")
     )
 
 
@@ -150,7 +171,6 @@ def jaro_winkler_pairs(
     Returns ``id_a, id_b, text_a, text_b, similarity`` (round before
     hashing across engines).
     """
-    from pyspark.sql import Window
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
@@ -159,32 +179,11 @@ def jaro_winkler_pairs(
             [_jaro_winkler(x or "", y or "") for x, y in zip(a, b)]
         )
 
-    keyed = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(text_col).alias("_text"),
-        block_col.alias("_block"),
-    )
-    guarded = (
-        keyed.withColumn(
-            "_bn", F.count("*").over(Window.partitionBy("_block"))
-        )
-        .filter(F.col("_bn") <= max_block_size)
-        .drop("_bn")
-    )
-    a = guarded.select(
-        F.col("_id").alias("id_a"),
-        F.col("_text").alias("text_a"),
-        F.col("_block").alias("_block"),
-    )
-    b = guarded.select(
-        F.col("_id").alias("id_b"),
-        F.col("_text").alias("text_b"),
-        F.col("_block").alias("_block_b"),
-    )
     return (
-        a.join(b, (F.col("_block") == F.col("_block_b"))
-               & (F.col("id_a") < F.col("id_b")))
+        _blocked_candidate_pairs(
+            df, text_col, id_col,
+            block_col=block_col, max_block_size=max_block_size,
+        )
         .withColumn("similarity", jw(F.col("text_a"), F.col("text_b")))
         .filter(F.col("similarity") >= min_similarity)
-        .select("id_a", "id_b", "text_a", "text_b", "similarity")
     )

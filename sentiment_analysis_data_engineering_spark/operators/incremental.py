@@ -361,11 +361,24 @@ def merge_join_view(
         stored = scan_or_none(spark, path)
         if stored is None:
             return None
-        if "_batch_id" in stored.columns:
-            if batch_id is not None:
-                # exclude the in-flight batch: a crashed earlier attempt
-                # may already have landed this batch's side delta
-                stored = stored.filter(F.col("_batch_id") != batch_id)
+        has_bid = "_batch_id" in stored.columns
+        # a root must be written in ONE mode for its lifetime: mixing
+        # partitioned (_batch_id) and plain layouts corrupts partition
+        # discovery on the next read — fail loudly instead
+        if batch_id is not None and not has_bid:
+            raise ValueError(
+                f"{path} was written without batch_id mode; "
+                "a root cannot mix plain and batch-keyed writes"
+            )
+        if batch_id is None and has_bid:
+            raise ValueError(
+                f"{path} was written WITH batch_id mode; "
+                "pass batch_id to keep the layout consistent"
+            )
+        if has_bid:
+            # exclude the in-flight batch: a crashed earlier attempt
+            # may already have landed this batch's side delta
+            stored = stored.filter(F.col("_batch_id") != batch_id)
             stored = stored.drop("_batch_id")
         return stored
 

@@ -55,8 +55,10 @@ def as_of_join(
 
     ``tiebreak`` names a right-side column deciding between MULTIPLE
     right rows sharing the nearest timestamp: the row with the
-    SMALLEST tiebreak value wins, under any partition layout. Without
-    it, equal-(by, ts) right rows leave the pick to partition order —
+    SMALLEST non-null tiebreak value wins, under any partition layout
+    (NULL tiebreaks lose to any non-null; ties among multiple NULLs
+    remain layout-dependent, so pass a non-null column). Without it,
+    equal-(by, ts) right rows leave the pick to partition order —
     fine for unique timestamps, nondeterministic otherwise.
     """
     if direction not in ("backward", "forward"):
@@ -79,7 +81,9 @@ def as_of_join(
         # to make that the smallest value
         order = [F.col(ts).asc(), F.col("_side").asc()]
         if tiebreak:
-            order.append(F.col("_tb").desc())
+            # last-wins scan: smallest real tiebreak must sort LAST and
+            # NULL tiebreaks FIRST (they lose to any non-null)
+            order.append(F.col("_tb").desc_nulls_first())
         w = (
             W.partitionBy(*by)
             .orderBy(*order)
@@ -92,7 +96,8 @@ def as_of_join(
     else:
         order = [F.col(ts).asc(), F.col("_side").desc()]
         if tiebreak:
-            order.append(F.col("_tb").asc())
+            # first-wins scan: smallest real tiebreak first, NULLs last
+            order.append(F.col("_tb").asc_nulls_last())
         w = (
             W.partitionBy(*by)
             .orderBy(*order)

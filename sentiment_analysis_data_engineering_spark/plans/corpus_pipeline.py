@@ -67,8 +67,10 @@ def curate_training_corpus(
     are used as the decontamination reference and excluded from the
     training output. Near-dup survivor choice is highest quality, then
     smallest id — deterministic. With ``persist`` the post-dedup
-    survivor frame is pinned (dedup.pinned_scope semantics apply: call
-    ``dedup.release_pinned()`` when done in a long-lived session).
+    survivor frame AND the LSH signature internals are pinned
+    (dedup._pin registry: call ``dedup.release_pinned()`` when done in
+    a long-lived session). A NULL ``eval_pred`` result counts the row
+    as training input.
 
     Stage order matters and is fixed: dedup BEFORE decontamination
     (contaminated duplicates die once, not per copy), decontamination
@@ -83,6 +85,13 @@ def curate_training_corpus(
     )
     if eval_pred is None:
         docs = docs.withColumn("_is_eval", F.lit(False))
+    else:
+        # NULL predicate results (e.g. a null label column) must count
+        # as training input, not silently vanish from every branch AND
+        # the accounting
+        docs = docs.withColumn(
+            "_is_eval", F.coalesce(F.col("_is_eval"), F.lit(False))
+        )
 
     scored = docs.select(
         "doc_id",
@@ -135,6 +144,12 @@ def curate_training_corpus(
         .filter(F.col("_rk") == 1)
         .drop("_rk", "component")
     )
+    if persist:
+        # the survivor frame feeds decontamination, capping/sampling,
+        # chunking AND four accounting branches — pin it so the
+        # scoring/gating/dedup lineage runs once (released with
+        # dedup.release_pinned, same registry as the LSH internals)
+        near = dd._pin(near, True)
 
     # decontamination against the eval split (skippable when absent)
     if eval_pred is not None:
@@ -180,8 +195,22 @@ def curate_training_corpus(
         final, "text", "doc_id", chunk_size=chunk_size, stride=chunk_stride
     )
     # packing wants (doc_id, n_tokens): chunks get a synthetic dense id
+    # loud executor-side guard FOLDED INTO the id expression (a
+    # dropped standalone assert column would be pruned away by the
+    # optimizer): chunk_idx >= 2^20 would bleed into the next doc's id
+    # range and doc_id >= 2^42 would wrap the long — both silently
+    # corrupt packing keys otherwise. assert_true returns NULL on
+    # success, so the when() always takes the computed branch.
+    guard = F.assert_true(
+        (F.col("chunk_idx") < F.lit(1 << 20))
+        & (F.col("doc_id") < F.lit(1 << 42)),
+        F.lit("synthetic chunk-id range overflow (chunk_idx/doc_id)"),
+    )
     chunk_rows = chunks.select(
-        (F.col("doc_id") * (1 << 20) + F.col("chunk_idx")).alias("doc_id"),
+        F.when(
+            guard.isNull(),
+            F.col("doc_id") * (1 << 20) + F.col("chunk_idx"),
+        ).alias("doc_id"),
         F.col("n_chunk_tokens").alias("n_tokens"),
     )
     packed = pack_sequences(

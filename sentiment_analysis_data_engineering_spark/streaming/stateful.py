@@ -153,13 +153,28 @@ def streaming_zscore(
     ≥ ``min_obs`` priors and positive variance).
 
     State per key is just the last ``lookback`` values (an
-    array<double> — bounded, watermark-free). Batch rows are sorted by
+    array<double> — bounded, watermark-free). Rounding matches Spark's
+    ``F.round`` exactly (HALF_UP over the shortest decimal repr, via
+    ``decimal`` on the emitted rows) — numpy's half-to-even would
+    diverge from the batch twin on .xxxx5 boundaries, flipping both
+    emitted values and threshold inclusion. Batch rows are sorted by
     (ts, event_id) and scored with one vectorized pandas rolling pass
     over [carried window ‖ batch values] — no Python row loop. Like
     the EWMA twin, cross-batch equivalence to the batch query requires
     per-key event-order delivery across micro-batches.
     """
+    import decimal
+
     import numpy as np
+
+    def _r4(x: float) -> float:
+        # Spark F.round semantics: BigDecimal.valueOf(double) == the
+        # double's SHORTEST decimal repr, then setScale(4, HALF_UP)
+        return float(
+            decimal.Decimal(repr(float(x))).quantize(
+                decimal.Decimal("0.0001"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
 
     def _update(key, pdfs, state: GroupState):
         rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
@@ -191,16 +206,19 @@ def streaming_zscore(
         k = len(prev)
         mu_b, sd_b, nr_b = mu[k:], sd[k:], n_rows.to_numpy()[k:]
         with np.errstate(invalid="ignore", divide="ignore"):
-            z = np.round((xs - mu_b) / sd_b, 4)
-        ok = (nr_b >= min_obs) & (sd_b > 0) & (np.abs(z) > threshold)
-        ok &= ~np.isnan(z)
+            z_raw = (xs - mu_b) / sd_b
+        finite = ~np.isnan(z_raw) & ~np.isinf(z_raw)
+        z = np.full_like(z_raw, np.nan)
+        z[finite] = [_r4(v) for v in z_raw[finite]]
+        ok = (nr_b >= min_obs) & (sd_b > 0) & finite
+        ok &= np.abs(np.where(np.isnan(z), 0.0, z)) > threshold
 
         # plain Python floats: the state pickler rejects numpy scalars
         # (NaN survives the round-trip and keeps null slots as rows)
         new_window = [float(v) for v in s.to_numpy()[-lookback:]]
         state.update((new_window,))
         out = rows.loc[ok, ["user_id", "event_id"]].copy()
-        out["value"] = np.round(xs[ok], 4)
+        out["value"] = [_r4(v) for v in xs[ok]]
         out["zscore"] = z[ok]
         yield out.astype(
             {"user_id": "int64", "event_id": "int64"}
