@@ -42,6 +42,7 @@ def pagerank_fixed_point(
     *,
     src: str = "src",
     dst: str = "dst",
+    weight: str | None = None,
     damping: Fraction = Fraction(17, 20),
     iterations: int = 3,
     assume_symmetric: bool = False,
@@ -53,6 +54,14 @@ def pagerank_fixed_point(
     ``src`` (no dangling nodes) — symmetric/undirected edge lists
     satisfy this by construction. ``damping`` is a Fraction so the
     teleport and damping steps stay in exact integer arithmetic.
+
+    ``weight`` names an optional POSITIVE INTEGER edge-weight column
+    (e.g. co-purchase counts): each edge then carries
+    ``(rank · w) div Σw_out`` instead of ``rank div out_degree`` —
+    still exact integer arithmetic, so the determinism guarantee is
+    unchanged. Integer weights are a contract, not a limitation:
+    scale fractional weights by a fixed factor upstream (headroom:
+    rank·w ≤ 10¹²·w must stay below 2⁶³, so w < ~9·10⁶).
 
     Scale shape: the edge list joined with its out-degrees is persisted
     once and reused every iteration; each iteration is one equi-join
@@ -79,8 +88,13 @@ def pagerank_fixed_point(
     # degree-annotated edges all read it — without the pin the
     # (possibly expensive) edge derivation upstream would run once per
     # consumer (measured 2× on the co-purchase bench query).
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_t")).persist()
-    deg = e.groupBy("_s").agg(F.count("*").alias("_dg"))
+    wcol = (
+        F.col(weight).cast("long") if weight is not None else F.lit(1).cast("long")
+    )
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_t"), wcol.alias("_w")
+    ).persist()
+    deg = e.groupBy("_s").agg(F.sum("_w").alias("_dg"))
     edges_deg = e.join(deg, "_s").persist()
     try:
         # node count as a 1-row broadcast frame — stays in-plan, exact
@@ -103,7 +117,7 @@ def pagerank_fixed_point(
                 )
                 .select(
                     F.col("_t").alias("node"),
-                    F.expr("pr_fixed DIV _dg").alias("_c"),
+                    F.expr("(pr_fixed * _w) DIV _dg").alias("_c"),
                 )
                 .groupBy("node")
                 .agg(F.sum("_c").alias("_sum"))

@@ -85,3 +85,29 @@ def test_pagerank_rejects_bad_args(spark):
 def test_pagerank_empty_graph(spark):
     edges = spark.createDataFrame([], "src long, dst long")
     assert pagerank_fixed_point(edges).count() == 0
+
+
+def test_pagerank_weight_one_equals_unweighted(spark):
+    edges_w = spark.createDataFrame(
+        [(1, 2, 1), (2, 1, 1), (2, 3, 1), (3, 2, 1)],
+        "src long, dst long, w long",
+    )
+    a = _ranks(pagerank_fixed_point(edges_w, weight="w"))
+    b = _ranks(pagerank_fixed_point(edges_w.drop("w")))
+    assert a == b
+
+
+def test_pagerank_weighted_hand_computed(spark):
+    # 1 -(3)-> 2, 1 -(1)-> 3, 2 -(1)-> 1, 3 -(1)-> 1; one iteration:
+    # teleport = 50e9, r0 = SCALE // 3
+    # node1 <- r0(2) + r0(3); node2 <- (r0*3) div 4; node3 <- r0 div 4
+    edges = spark.createDataFrame(
+        [(1, 2, 3), (1, 3, 1), (2, 1, 1), (3, 1, 1)],
+        "src long, dst long, w long",
+    )
+    got = _ranks(pagerank_fixed_point(edges, weight="w", iterations=1))
+    assert got == {
+        1: 616_666_666_666,
+        2: 262_499_999_999,
+        3: 120_833_333_333,
+    }
