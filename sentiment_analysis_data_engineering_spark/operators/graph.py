@@ -32,7 +32,7 @@ from fractions import Fraction
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank_fixed_point", "PR_SCALE"]
+__all__ = ["pagerank_fixed_point", "personalized_pagerank_fixed_point", "PR_SCALE"]
 
 PR_SCALE = 10**12
 
@@ -128,6 +128,98 @@ def pagerank_fixed_point(
                 base = nodes.join(contribs, "node", "left")
             ranks = base.crossJoin(F.broadcast(n1)).select(
                 "node", new_rank.alias("pr_fixed")
+            )
+        ranks = ranks.localCheckpoint(eager=True)
+    finally:
+        edges_deg.unpersist()
+        e.unpersist()
+    return ranks
+
+
+def personalized_pagerank_fixed_point(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    damping: Fraction = Fraction(17, 20),
+    iterations: int = 3,
+) -> DataFrame:
+    """Personalized (seed-biased) PageRank: the teleport mass lands
+    ONLY on the seed nodes — the "similar to these items" random walk
+    recommenders and graph-expansion curation use. Same fixed-point
+    integer arithmetic as :func:`pagerank_fixed_point`, so results are
+    bit-identical across engines and layouts.
+
+    ``seeds`` is a one-column DataFrame of node ids (its column name is
+    irrelevant; the first column is used). Initial mass and teleport
+    are split evenly over the |S| seeds: r0 = SCALE div |S| on seeds,
+    0 elsewhere; each iteration adds ((1-d)·SCALE) div (d_den·|S|) to
+    seeds only. Non-seed nodes accumulate mass purely through walks,
+    so ranks decay with graph distance from the seed set.
+
+    Scale shape mirrors the global variant — per iteration one src
+    equi-join + one dst-keyed sum; the seed frame is aggregate-counted
+    in-plan and joined as a (node, is_seed) marker, broadcastable when
+    small (the typical case: a handful of query items).
+    """
+    if iterations < 0:
+        raise ValueError(f"iterations must be >= 0, got {iterations}")
+    dnum, dden = damping.numerator, damping.denominator
+    if not 0 <= dnum <= dden <= 100:
+        raise ValueError(
+            f"damping must be in [0, 1] with denominator <= 100, got {damping}"
+        )
+
+    wcol = (
+        F.col(weight).cast("long") if weight is not None else F.lit(1).cast("long")
+    )
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_t"), wcol.alias("_w")
+    ).persist()
+    deg = e.groupBy("_s").agg(F.sum("_w").alias("_dg"))
+    edges_deg = e.join(deg, "_s").persist()
+    try:
+        seed_nodes = (
+            seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+        )
+        ns = seed_nodes.agg(F.count("*").alias("_ns"))
+        nodes = deg.select(F.col("_s").alias("node"))
+        marked = nodes.join(
+            seed_nodes.withColumn("_seed", F.lit(True)), "node", "left"
+        ).select("node", F.coalesce(F.col("_seed"), F.lit(False)).alias("_seed"))
+
+        ranks = marked.crossJoin(F.broadcast(ns)).select(
+            "node",
+            F.when(
+                F.col("_seed"), F.expr(f"{PR_SCALE} DIV _ns")
+            ).otherwise(F.lit(0)).cast("long").alias("pr_fixed"),
+        )
+        teleport = F.when(
+            F.col("_seed"),
+            F.expr(f"(({dden - dnum}) * {PR_SCALE}) DIV ({dden} * _ns)"),
+        ).otherwise(F.lit(0))
+        for _ in range(iterations):
+            contribs = (
+                edges_deg.join(ranks, edges_deg["_s"] == ranks["node"])
+                .select(
+                    F.col("_t").alias("node"),
+                    F.expr("(pr_fixed * _w) DIV _dg").alias("_c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("_c").alias("_sum"))
+            )
+            ranks = (
+                marked.join(contribs, "node", "left")
+                .crossJoin(F.broadcast(ns))
+                .select(
+                    "node",
+                    (
+                        teleport
+                        + F.expr(f"({dnum} * coalesce(_sum, 0L)) DIV {dden}")
+                    ).cast("long").alias("pr_fixed"),
+                )
             )
         ranks = ranks.localCheckpoint(eager=True)
     finally:

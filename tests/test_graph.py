@@ -111,3 +111,70 @@ def test_pagerank_weighted_hand_computed(spark):
         2: 262_499_999_999,
         3: 120_833_333_333,
     }
+
+
+def test_personalized_pagerank_concentrates_on_seeds(spark):
+    from sentiment_analysis_data_engineering_spark.operators.graph import (
+        personalized_pagerank_fixed_point,
+    )
+
+    # path graph 1-2-3-4-5; seed at node 1. A path is bipartite, so
+    # individual ranks oscillate between odd/even layers per iteration
+    # — assert the parity-free invariants instead: mass concentrates
+    # near the seed, the far end holds residue, and total mass is
+    # conserved up to integer truncation.
+    from sentiment_analysis_data_engineering_spark.operators.graph import PR_SCALE
+
+    pairs = [(i, i + 1) for i in range(1, 5)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r.node: r.pr_fixed
+        for r in personalized_pagerank_fixed_point(
+            edges, seeds, iterations=4
+        ).collect()
+    }
+    assert got[1] + got[2] > 2 * (got[4] + got[5])  # seed side dominates
+    assert got[4] + got[5] < PR_SCALE // 10  # far end: residue only
+    total = sum(got.values())
+    assert PR_SCALE - 100 <= total <= PR_SCALE  # conservation (trunc)
+
+
+def test_personalized_pagerank_hand_computed_one_iter(spark):
+    from sentiment_analysis_data_engineering_spark.operators.graph import (
+        PR_SCALE,
+        personalized_pagerank_fixed_point,
+    )
+
+    # 1 <-> 2, seed {1}: r0 = (SCALE, 0)
+    # iter1: node1 <- r0(2)=0 -> teleport only = 3*SCALE//20·... ;
+    # teleport(seed) = (3*SCALE) // (20*1) = 150e9
+    # node2 <- r0(1) div 1 = SCALE -> 17*SCALE//20 = 850e9, teleport 0
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "s long")
+    got = {
+        r.node: r.pr_fixed
+        for r in personalized_pagerank_fixed_point(
+            edges, seeds, iterations=1
+        ).collect()
+    }
+    assert got == {1: 150_000_000_000, 2: 850_000_000_000}
+
+
+def test_personalized_pagerank_all_seeds_equals_global(spark):
+    from sentiment_analysis_data_engineering_spark.operators.graph import (
+        personalized_pagerank_fixed_point,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,), (2,), (3,)], "node long")
+    per = {
+        r.node: r.pr_fixed
+        for r in personalized_pagerank_fixed_point(edges, seeds).collect()
+    }
+    glob = _ranks(pagerank_fixed_point(edges))
+    assert per == glob  # uniform seed set == global teleport
