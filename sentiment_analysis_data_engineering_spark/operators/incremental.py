@@ -34,6 +34,7 @@ __all__ = [
     "snapshot_diff",
     "scd2_apply",
     "merge_join_view",
+    "sketch_intersection_estimate",
 ]
 
 #: measure name → (partial expr builder, merge expr builder)
@@ -421,3 +422,39 @@ def merge_join_view(
     install(left_delta, left_path)
     if rd is not None:
         install(rd, right_path)
+
+
+def sketch_intersection_estimate(
+    sketches_a: DataFrame, sketches_b: DataFrame
+) -> DataFrame:
+    """Estimate |A ∩ B| from two stored HLL sketch frames WITHOUT
+    re-reading rows: inclusion-exclusion over mergeable sketches
+    (|A∩B| = |A| + |B| - |A∪B|, the standard HLL composition — union
+    is exact sketch algebra, intersection inherits ~3× the union's
+    relative error, so treat small intersections as noisy).
+
+    One row out: (n_a, n_b, n_union, n_intersection_est). The overlap
+    question ("how many users did BOTH campaigns touch this year")
+    normally costs two full scans + a join; against stored per-batch
+    sketches it costs kilobytes.
+    """
+    ua = sketches_a.agg(F.hll_union_agg("sketch").alias("_ua"))
+    ub = sketches_b.agg(F.hll_union_agg("sketch").alias("_ub"))
+    return (
+        ua.crossJoin(F.broadcast(ub))
+        .select(
+            F.hll_sketch_estimate("_ua").alias("n_a"),
+            F.hll_sketch_estimate("_ub").alias("n_b"),
+            F.hll_sketch_estimate(
+                F.hll_union("_ua", "_ub")
+            ).alias("n_union"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "n_union",
+            F.greatest(
+                F.col("n_a") + F.col("n_b") - F.col("n_union"), F.lit(0)
+            ).alias("n_intersection_est"),
+        )
+    )

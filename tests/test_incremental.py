@@ -320,3 +320,36 @@ def test_merge_join_view_batch_id_retry_idempotent(spark, tmp_path):
     assert got == want
     plain = sorted(map(tuple, left.join(right, "k").collect()))
     assert got == plain
+
+
+def test_sketch_intersection_estimate_accuracy(spark):
+    from sentiment_analysis_data_engineering_spark.operators.incremental import (
+        distinct_sketch,
+        sketch_intersection_estimate,
+    )
+
+    # |A|=6000, |B|=6000, |A∩B|=2000 (ids 4000..5999)
+    a = spark.createDataFrame([(i,) for i in range(0, 6000)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(4000, 10000)], "k long")
+    est = sketch_intersection_estimate(
+        distinct_sketch(a, "k"), distinct_sketch(b, "k")
+    ).collect()[0]
+    assert abs(est.n_a - 6000) / 6000 < 0.05
+    assert abs(est.n_b - 6000) / 6000 < 0.05
+    assert abs(est.n_union - 10000) / 10000 < 0.05
+    assert abs(est.n_intersection_est - 2000) / 2000 < 0.15
+
+
+def test_sketch_intersection_disjoint_clamps_at_zero(spark):
+    from sentiment_analysis_data_engineering_spark.operators.incremental import (
+        distinct_sketch,
+        sketch_intersection_estimate,
+    )
+
+    a = spark.createDataFrame([(i,) for i in range(0, 500)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(10_000, 10_500)], "k long")
+    est = sketch_intersection_estimate(
+        distinct_sketch(a, "k"), distinct_sketch(b, "k")
+    ).collect()[0]
+    assert est.n_intersection_est >= 0  # never negative
+    assert est.n_intersection_est < 100  # near-disjoint reads near-zero
