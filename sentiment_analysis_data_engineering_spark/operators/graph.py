@@ -153,7 +153,10 @@ def personalized_pagerank_fixed_point(
     bit-identical across engines and layouts.
 
     ``seeds`` is a one-column DataFrame of node ids (its column name is
-    irrelevant; the first column is used). Initial mass and teleport
+    irrelevant; the first column is used). Seeds absent from the graph
+    are ignored; if NO seed is present the walk has no mass source and
+    every rank is 0 — callers wanting a loud failure should validate
+    seed membership upfront. Initial mass and teleport
     are split evenly over the |S| seeds: r0 = SCALE div |S| on seeds,
     0 elsewhere; each iteration adds ((1-d)·SCALE) div (d_den·|S|) to
     seeds only. Non-seed nodes accumulate mass purely through walks,

@@ -178,3 +178,28 @@ def test_personalized_pagerank_all_seeds_equals_global(spark):
     }
     glob = _ranks(pagerank_fixed_point(edges))
     assert per == glob  # uniform seed set == global teleport
+
+
+def test_personalized_pagerank_ignores_absent_seeds(spark):
+    from sentiment_analysis_data_engineering_spark.operators.graph import (
+        personalized_pagerank_fixed_point,
+    )
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    # seed 99 is not in the graph; seed 1 is — mass flows from 1 only,
+    # split of the seed budget still counts the absent seed (|S|=2)
+    seeds = spark.createDataFrame([(1,), (99,)], "node long")
+    got = {
+        r.node: r.pr_fixed
+        for r in personalized_pagerank_fixed_point(
+            edges, seeds, iterations=1
+        ).collect()
+    }
+    assert set(got) == {1, 2} and got[2] > 0
+    # all-absent seed set -> zero ranks, not an error
+    none = spark.createDataFrame([(99,)], "node long")
+    got0 = {
+        r.node: r.pr_fixed
+        for r in personalized_pagerank_fixed_point(edges, none).collect()
+    }
+    assert got0 == {1: 0, 2: 0}
