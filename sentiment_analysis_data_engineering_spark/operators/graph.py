@@ -31,6 +31,7 @@ from fractions import Fraction
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 __all__ = ["pagerank_fixed_point", "personalized_pagerank_fixed_point", "PR_SCALE"]
 
@@ -63,10 +64,15 @@ def pagerank_fixed_point(
     scale fractional weights by a fixed factor upstream (headroom:
     rank·w ≤ 10¹²·w must stay below 2⁶³, so w < ~9·10⁶).
 
-    Scale shape: the edge list joined with its out-degrees is persisted
-    once and reused every iteration; each iteration is one equi-join
-    (edges ⋈ ranks on src — both sides hash-partitioned on the same
-    key) plus one map-side-combining sum keyed on dst, then a left join
+    Scale shape: the edge list is annotated with its out-degree totals
+    in a SINGLE shuffle (a full-partition window sum keyed on src — one
+    exchange + sort, versus the groupBy-then-join formulation's two
+    exchanges and two cache materializations; a super-node's edges land
+    in one task either way, so the skew profile is unchanged) and that
+    one frame is persisted and reused every iteration; each iteration
+    is one equi-join (edges ⋈ ranks on src — both sides
+    hash-partitioned on the same key) plus one map-side-combining sum
+    keyed on dst, then a left join
     back to the node set so in-degree-0 nodes keep their teleport mass.
     ``assume_symmetric=True`` (correct for any undirected edge list)
     skips that per-iteration left join — a symmetric graph has no
@@ -84,24 +90,27 @@ def pagerank_fixed_point(
     if not 0 <= dnum <= dden <= 100:
         raise ValueError(f"damping must be in [0, 1] with denominator <= 100, got {damping}")
 
-    # Persist the raw edge frame FIRST: deg, the node count, and the
-    # degree-annotated edges all read it — without the pin the
-    # (possibly expensive) edge derivation upstream would run once per
-    # consumer (measured 2× on the co-purchase bench query).
+    # ONE persisted frame: the (possibly expensive) upstream edge
+    # derivation runs exactly once, into the persist, and the window
+    # sum annotates out-degree totals in the same shuffle — the node
+    # set and node count are then cheap aggregates over the cached
+    # frame instead of consumers of a second pinned copy.
     wcol = (
         F.col(weight).cast("long") if weight is not None else F.lit(1).cast("long")
     )
-    e = edges.select(
-        F.col(src).alias("_s"), F.col(dst).alias("_t"), wcol.alias("_w")
-    ).persist()
-    deg = e.groupBy("_s").agg(F.sum("_w").alias("_dg"))
-    edges_deg = e.join(deg, "_s").persist()
+    edges_deg = (
+        edges.select(
+            F.col(src).alias("_s"), F.col(dst).alias("_t"), wcol.alias("_w")
+        )
+        .withColumn("_dg", F.sum("_w").over(W.partitionBy("_s")))
+        .persist()
+    )
     try:
         # node count as a 1-row broadcast frame — stays in-plan, exact
         # integer arithmetic throughout (empty graph => empty output;
         # the DIV-by-zero branch is never evaluated on zero rows)
-        n1 = deg.agg(F.count("*").alias("_n"))
-        nodes = deg.select(F.col("_s").alias("node"))
+        nodes = edges_deg.select(F.col("_s").alias("node")).distinct()
+        n1 = nodes.agg(F.count("*").alias("_n"))
         new_rank = (
             F.expr(f"(({dden - dnum}) * {PR_SCALE}) DIV ({dden} * _n)")
             + F.expr(f"({dnum} * coalesce(_sum, 0L)) DIV {dden}")
@@ -132,7 +141,6 @@ def pagerank_fixed_point(
         ranks = ranks.localCheckpoint(eager=True)
     finally:
         edges_deg.unpersist()
-        e.unpersist()
     return ranks
 
 
@@ -178,17 +186,19 @@ def personalized_pagerank_fixed_point(
     wcol = (
         F.col(weight).cast("long") if weight is not None else F.lit(1).cast("long")
     )
-    e = edges.select(
-        F.col(src).alias("_s"), F.col(dst).alias("_t"), wcol.alias("_w")
-    ).persist()
-    deg = e.groupBy("_s").agg(F.sum("_w").alias("_dg"))
-    edges_deg = e.join(deg, "_s").persist()
+    edges_deg = (
+        edges.select(
+            F.col(src).alias("_s"), F.col(dst).alias("_t"), wcol.alias("_w")
+        )
+        .withColumn("_dg", F.sum("_w").over(W.partitionBy("_s")))
+        .persist()
+    )
     try:
         seed_nodes = (
             seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
         )
         ns = seed_nodes.agg(F.count("*").alias("_ns"))
-        nodes = deg.select(F.col("_s").alias("node"))
+        nodes = edges_deg.select(F.col("_s").alias("node")).distinct()
         marked = nodes.join(
             seed_nodes.withColumn("_seed", F.lit(True)), "node", "left"
         ).select("node", F.coalesce(F.col("_seed"), F.lit(False)).alias("_seed"))
@@ -227,5 +237,4 @@ def personalized_pagerank_fixed_point(
         ranks = ranks.localCheckpoint(eager=True)
     finally:
         edges_deg.unpersist()
-        e.unpersist()
     return ranks
