@@ -96,6 +96,9 @@ _GATE_FIRST = [
     "scd2_customer_history",
     "fuzzy_part_name_pairs",
     "daily_user_value_locf",
+    # -- NEW in round 6: never driver-checked
+    "triangle_counts_parts",
+    "kcore_parts",
     # -- NEW in round 5: never driver-checked
     "funnel_view_click_purchase",
     "weekly_retention_cohorts",
@@ -118,8 +121,10 @@ _GATE_FIRST = [
     "ann_ivf_topk",
     "dedup_embedding_cosine",
     "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
+    # dedup_simhash / dedup_ngram_jaccard fell out of the 50-name
+    # window this round: both have r2-green driver rows, and the
+    # full local check_oracle sweep (logged to PROGRESS.jsonl) covers
+    # their current implementations.
 ]
 assert len(_GATE_FIRST) <= 50, "driver gate checks only the first 50 queries"
 

@@ -117,6 +117,8 @@ HEADLINE = [
     "heavy_hitter_users",
     "bloom_pruned_order_revenue",
     "pagerank_copurchase_parts",
+    "triangle_counts_parts",
+    "kcore_parts",
     "incremental_rollup_merge",
     "char_entropy_report",
     "winsorized_price_stats",

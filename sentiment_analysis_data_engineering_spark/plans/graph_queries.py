@@ -98,3 +98,127 @@ def pagerank_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         assume_symmetric=True,  # undirected edge list by construction
     )
     return ranks.select(F.col("node").alias("p_partkey"), "pr_fixed")
+
+
+def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected (u < v) part pairs sharing an order — the
+    shared graph-build for the triangle/k-core queries. Fan-out is
+    bounded by (items-per-order choose 2), a data-model constant."""
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    li = lineitem.select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+
+
+_PAIRS_SQL = """
+    SELECT DISTINCT a.l_partkey u, b.l_partkey v
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+"""
+
+_TRIANGLE_ORACLE = f"""
+    WITH pairs AS ({_PAIRS_SQL}),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs
+      ) GROUP BY node
+    ),
+    ord_e AS (
+      SELECT CASE WHEN (da.d, p.u) < (db.d, p.v) THEN p.u ELSE p.v END AS a,
+             CASE WHEN (da.d, p.u) < (db.d, p.v) THEN p.v ELSE p.u END AS b
+      FROM pairs p
+      JOIN deg da ON da.node = p.u
+      JOIN deg db ON db.node = p.v
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM ord_e e1
+      JOIN ord_e e2 ON e1.b = e2.a
+      JOIN ord_e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    corners AS (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    ),
+    cnt AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS triangles
+      FROM corners GROUP BY node
+    )
+    SELECT c.node AS p_partkey, CAST(d.d AS BIGINT) AS degree, c.triangles
+    FROM cnt c JOIN deg d ON d.node = c.node
+"""
+
+
+@query("triangle_counts_parts", oracle=_TRIANGLE_ORACLE)
+def triangle_counts_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-part triangle counts on the co-purchase graph — the
+    cohesion signal behind community detection and "bought-together
+    bundle" mining (a triangle = three parts pairwise co-purchased).
+    Delegates to operators/graph.py::triangle_counts: degree-ordered
+    (compact-forward) enumeration, so wedge volume is O(m^1.5) with no
+    hub blow-up, all equi-joins. Counts and degrees are exact integers
+    — the oracle replays the identical orientation and gets identical
+    triangle sets, zero tolerance."""
+    from ..operators.graph import triangle_counts
+
+    pairs = _copurchase_pairs(spark, sf_dir)
+    out = triangle_counts(pairs, src="u", dst="v")
+    return out.select(F.col("node").alias("p_partkey"), "degree", "triangles")
+
+
+_KCORE_K = 70
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    # AS MATERIALIZED: each round references its predecessor 3x (the
+    # degree union reads it twice, the filter join once) — without the
+    # hint DuckDB inlines the chain and re-evaluates the base pair join
+    # 3^rounds times (measured 56 s vs 0.1 s at sf0.01).
+    prev = "p0"
+    rounds = []
+    for i in range(1, _KCORE_ROUNDS + 1):
+        rounds.append(f"""
+    d{i} AS MATERIALIZED (
+      SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev}
+      ) GROUP BY node
+    ),
+    p{i} AS MATERIALIZED (
+      SELECT p.u, p.v FROM {prev} p
+      JOIN (SELECT node FROM d{i} WHERE d >= {_KCORE_K}) au ON au.node = p.u
+      JOIN (SELECT node FROM d{i} WHERE d >= {_KCORE_K}) av ON av.node = p.v
+    )""")
+        prev = f"p{i}"
+    return f"""
+    WITH p0 AS MATERIALIZED ({_PAIRS_SQL}),{",".join(rounds)}
+    SELECT node AS p_partkey, CAST(count(*) AS BIGINT) AS core_degree
+    FROM (SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev})
+    GROUP BY node
+    """
+
+
+@query("kcore_parts", oracle=_kcore_oracle())
+def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_KCORE_K}-core of the part co-purchase graph via
+    operators/graph.py::kcore_peel with a {_KCORE_ROUNDS}-round budget
+    — the dense backbone a recommender or sampler keeps when pruning
+    peripheral items. At the driver scale factors the peel reaches its
+    fixed point inside the budget (min surviving degree == k), so the
+    output IS the exact k-core; the oracle replays the synchronous
+    peel round for round, zero tolerance either way."""
+    from ..operators.graph import kcore_peel
+
+    pairs = _copurchase_pairs(spark, sf_dir)
+    out = kcore_peel(pairs, k=_KCORE_K, rounds=_KCORE_ROUNDS, src="u", dst="v")
+    return out.select(F.col("node").alias("p_partkey"), "core_degree")

@@ -203,3 +203,124 @@ def test_personalized_pagerank_ignores_absent_seeds(spark):
         for r in personalized_pagerank_fixed_point(edges, none).collect()
     }
     assert got0 == {1: 0, 2: 0}
+
+
+# ---------------------------------------------------------------- triangles
+
+
+def _tris(df) -> dict[int, tuple[int, int]]:
+    return {r.node: (r.degree, r.triangles) for r in df.collect()}
+
+
+def test_triangle_counts_k4(spark):
+    from sentiment_analysis_data_engineering_spark.operators.graph import triangle_counts
+
+    # complete graph on 4 nodes: C(4,3)=4 triangles, each node in 3
+    pairs = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = _tris(triangle_counts(edges))
+    assert got == {n: (3, 3) for n in range(1, 5)}
+
+
+def test_triangle_counts_triangle_plus_pendant(spark):
+    from sentiment_analysis_data_engineering_spark.operators.graph import triangle_counts
+
+    # triangle 1-2-3 plus pendant edge 3-4: node 4 closes nothing and
+    # is absent from the output; node 3's degree counts the pendant
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+    )
+    got = _tris(triangle_counts(edges))
+    assert got == {1: (2, 1), 2: (2, 1), 3: (3, 1)}
+
+
+def test_triangle_counts_canonicalizes_input(spark):
+    from sentiment_analysis_data_engineering_spark.operators.graph import triangle_counts
+
+    # reversed duplicates and self-loops must not change counts
+    messy = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (1, 1), (2, 2), (1, 3)],
+        "src long, dst long",
+    )
+    clean = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src long, dst long"
+    )
+    assert _tris(triangle_counts(messy)) == _tris(triangle_counts(clean))
+
+
+def test_triangle_counts_triangle_free_graph_is_empty(spark):
+    from sentiment_analysis_data_engineering_spark.operators.graph import triangle_counts
+
+    # 4-cycle: no triangles at all
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    )
+    assert triangle_counts(edges).count() == 0
+
+
+def test_triangle_counts_hub_graph(spark):
+    from sentiment_analysis_data_engineering_spark.operators.graph import triangle_counts
+
+    # hub 0 connected to 1..6, plus rim edges 1-2 and 3-4: exactly the
+    # two hub triangles; skewed-degree path exercises the orientation
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 7)] + [(1, 2), (3, 4)],
+        "src long, dst long",
+    )
+    got = _tris(triangle_counts(edges))
+    assert got == {
+        0: (6, 2),
+        1: (2, 1),
+        2: (2, 1),
+        3: (2, 1),
+        4: (2, 1),
+    }
+
+
+# ------------------------------------------------------------------ k-core
+
+
+def _core(df) -> dict[int, int]:
+    return {r.node: r.core_degree for r in df.collect()}
+
+
+def test_kcore_peels_pendant_chain(spark):
+    from sentiment_analysis_data_engineering_spark.operators.graph import kcore_peel
+
+    # triangle 1-2-3 with a tail 3-4-5: the 2-core is the triangle,
+    # but ONLY after two rounds (removing 5 drops 4's degree to 1)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    after1 = _core(kcore_peel(edges, k=2, rounds=1))
+    assert set(after1) == {1, 2, 3, 4}  # 5 gone, 4 not yet
+    after2 = _core(kcore_peel(edges, k=2, rounds=2))
+    assert after2 == {1: 2, 2: 2, 3: 2}
+    # converged: round 3 changes nothing
+    assert _core(kcore_peel(edges, k=2, rounds=3)) == after2
+
+
+def test_kcore_zero_rounds_is_input_degrees(spark):
+    from sentiment_analysis_data_engineering_spark.operators.graph import kcore_peel
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+    )
+    assert _core(kcore_peel(edges, k=99, rounds=0)) == {1: 2, 2: 2, 3: 3, 4: 1}
+
+
+def test_kcore_everything_peels(spark):
+    from sentiment_analysis_data_engineering_spark.operators.graph import kcore_peel
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    assert kcore_peel(edges, k=2, rounds=3).count() == 0
+
+
+def test_kcore_rejects_bad_args(spark):
+    from sentiment_analysis_data_engineering_spark.operators.graph import kcore_peel
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="k must"):
+        kcore_peel(edges, k=-1, rounds=1)
+    with pytest.raises(ValueError, match="rounds"):
+        kcore_peel(edges, k=1, rounds=-1)
