@@ -119,6 +119,7 @@ HEADLINE = [
     "pagerank_copurchase_parts",
     "triangle_counts_parts",
     "kcore_parts",
+    "bigram_pmi_collocations",
     "incremental_rollup_merge",
     "char_entropy_report",
     "winsorized_price_stats",

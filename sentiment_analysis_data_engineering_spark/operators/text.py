@@ -35,6 +35,7 @@ __all__ = [
     "repetition_signals",
     "chunk_token_windows",
     "unigram_logprob_score",
+    "bigram_pmi",
 ]
 
 
@@ -373,4 +374,87 @@ def unigram_logprob_score(
             ).alias("avg_logprob"),
         )
         .select(F.col("_id").alias(id_col), "n_tokens", "avg_logprob")
+    )
+
+
+def bigram_pmi(
+    df: DataFrame,
+    text_col: str,
+    *,
+    min_count: int = 5,
+) -> DataFrame:
+    """Corpus-level bigram collocations by pointwise mutual information
+    — (w1, w2, pair_count, pmi), adjacent-token bigrams occurring at
+    least ``min_count`` times. The classic collocation-mining signal
+    (Church-Hanks 1990): PMI = ln(c_xy·N / (c_x·c_y)) with unigram
+    counts c_x over the whole token stream and N = total tokens — high
+    PMI ⇒ the pair co-occurs far above chance ("new york", "per
+    annum"), which is what phrase-vocabulary induction and
+    boilerplate-phrase detection read. Tokenization is the engine
+    convention (normalize_text + whitespace split), so PMI composes
+    with the unigram/TF-IDF family on identical terms.
+
+    Plan shape: bigrams come from an index-zip over each doc's token
+    array — a narrow projection + explode, NO positional self-join of
+    the token stream (the join formulation shuffles the corpus twice
+    and dies at scale). One map-side-combining agg per table (bigram
+    counts, unigram counts), then two term-keyed equi-joins of the
+    bigram frame against the (much smaller) vocabulary — AQE
+    broadcasts small vocabularies; at 100 TB they shuffle-join on the
+    term without rescanning the corpus. The token total enters as a
+    1-row crossJoin broadcast. The PMI ratio is computed in DOUBLE
+    (counts can reach 10¹³ at scale — a long product c_xy·N would
+    overflow; IEEE multiply/divide round identically everywhere) and
+    rounded to 6 dp, the cross-engine ln convention.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    t = F.filter(tokens(normalize_text(text_col)), lambda x: x != "")
+    base = df.select(t.alias("_t"))
+    uni = (
+        base.select(F.explode("_t").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("_c"))
+    )
+    total = uni.select(F.sum("_c").alias("_n"))
+    # sequence(1, n-1) would COUNT DOWN for n < 2 (Spark defaults to
+    # step -1 when start > stop) — guard explicitly
+    idx = F.when(
+        F.size("_t") >= 2, F.sequence(F.lit(1), F.size("_t") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bigrams = (
+        base.select(
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        F.element_at("_t", i).alias("w1"),
+                        F.element_at("_t", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("_b")
+        )
+        .select("_b.w1", "_b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("pair_count"))
+        .filter(F.col("pair_count") >= min_count)
+    )
+    c1 = uni.select(F.col("term").alias("w1"), F.col("_c").alias("_c1"))
+    c2 = uni.select(F.col("term").alias("w2"), F.col("_c").alias("_c2"))
+    return (
+        bigrams.join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            F.round(
+                F.log(
+                    (F.col("pair_count").cast("double") * F.col("_n"))
+                    / (F.col("_c1").cast("double") * F.col("_c2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
     )

@@ -1412,6 +1412,48 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bigram_pmi_collocations",
+    oracle=r"""
+    WITH norm AS (
+      SELECT list_filter(
+               string_split_regex(
+                 trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+               x -> x <> '') AS t
+      FROM documents
+    ),
+    uni AS (SELECT unnest(t) AS term FROM norm),
+    uc AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY term),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uc),
+    bi AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM norm, unnest(generate_series(1, len(t) - 1)) AS g(i)
+      WHERE len(t) >= 2
+    ),
+    bc AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_count
+      FROM bi GROUP BY 1, 2 HAVING count(*) >= 10
+    )
+    SELECT bc.w1, bc.w2, bc.pair_count,
+           round(ln((bc.pair_count::DOUBLE * tot.n)
+                    / (c1.c::DOUBLE * c2.c)), 6) AS pmi
+    FROM bc
+    JOIN uc c1 ON c1.term = bc.w1
+    JOIN uc c2 ON c2.term = bc.w2, tot
+    """,
+)
+def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram collocations by pointwise mutual information
+    (operators/text.py::bigram_pmi, Church-Hanks) — the
+    phrase-induction / boilerplate-phrase signal. Bigrams come from an
+    index-zip over each doc's token array (narrow projection +
+    explode, never a positional self-join of the token stream); one
+    map-side-combining agg per frame; PMI computed in double (long
+    products would overflow at corpus scale) and rounded to 6 dp."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return tx.bigram_pmi(documents, "text", min_count=10)
+
+
+@query(
     "data_quality_report",
     oracle="""
     WITH dup AS (

@@ -201,3 +201,61 @@ def test_fuzzy_match_oversized_block_guard(spark):
         max_distance=10, max_block_size=10,
     )
     assert out.count() == 0  # whole block dropped, not exploded
+
+
+def test_bigram_pmi_hand_computed(spark):
+    import math
+
+    # corpus: "a b" ×2 and "a c" — tokens: a=3, b=2... wait, build it:
+    # doc1 "a b a b", doc2 "a c"
+    # unigrams: a=3, b=2, c=1, N=6
+    # bigrams: (a,b)=2, (b,a)=1, (a,c)=1
+    df = spark.createDataFrame([("a b a b",), ("a c",)], "text string")
+    got = {
+        (r.w1, r.w2): (r.pair_count, r.pmi)
+        for r in tx.bigram_pmi(df, "text", min_count=1).collect()
+    }
+    assert got[("a", "b")][0] == 2
+    assert got[("b", "a")][0] == 1
+    assert got[("a", "c")][0] == 1
+    assert got[("a", "b")][1] == round(math.log(2 * 6 / (3 * 2)), 6)
+    assert got[("a", "c")][1] == round(math.log(1 * 6 / (3 * 1)), 6)
+
+
+def test_bigram_pmi_min_count_filter(spark):
+    df = spark.createDataFrame([("a b a b",), ("a c",)], "text string")
+    got = {
+        (r.w1, r.w2)
+        for r in tx.bigram_pmi(df, "text", min_count=2).collect()
+    }
+    assert got == {("a", "b")}
+
+
+def test_bigram_pmi_short_docs_yield_no_bigrams(spark):
+    # single-token and empty docs must contribute nothing (and must NOT
+    # hit Spark's descending-sequence default for n < 2)
+    df = spark.createDataFrame(
+        [("solo",), ("",), ("   ",), ("x y",)], "text string"
+    )
+    got = {
+        (r.w1, r.w2): r.pair_count
+        for r in tx.bigram_pmi(df, "text", min_count=1).collect()
+    }
+    assert got == {("x", "y"): 1}
+
+
+def test_bigram_pmi_normalizes_case_and_whitespace(spark):
+    df = spark.createDataFrame([("New  YORK",), ("new york",)], "text string")
+    got = {
+        (r.w1, r.w2): r.pair_count
+        for r in tx.bigram_pmi(df, "text", min_count=1).collect()
+    }
+    assert got == {("new", "york"): 2}
+
+
+def test_bigram_pmi_rejects_bad_min_count(spark):
+    import pytest
+
+    df = spark.createDataFrame([("a b",)], "text string")
+    with pytest.raises(ValueError, match="min_count"):
+        tx.bigram_pmi(df, "text", min_count=0)
