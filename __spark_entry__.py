@@ -100,6 +100,7 @@ _GATE_FIRST = [
     "triangle_counts_parts",
     "kcore_parts",
     "bigram_pmi_collocations",
+    "table_profile_orders",
     # -- NEW in round 5: never driver-checked
     "funnel_view_click_purchase",
     "weekly_retention_cohorts",
@@ -120,11 +121,11 @@ _GATE_FIRST = [
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
-    "dedup_embedding_cosine",
-    # dedup_minhash_lsh / dedup_simhash / dedup_ngram_jaccard fell out
-    # of the 50-name window this round: all three have r2-green driver
-    # rows, and the full local check_oracle sweep (logged to
-    # PROGRESS.jsonl) covers their current implementations.
+    # dedup_embedding_cosine / dedup_minhash_lsh / dedup_simhash /
+    # dedup_ngram_jaccard fell out of the 50-name window this round:
+    # all four have r2-green driver rows, and the full local
+    # check_oracle sweep (logged to PROGRESS.jsonl) covers their
+    # current implementations.
 ]
 assert len(_GATE_FIRST) <= 50, "driver gate checks only the first 50 queries"
 

@@ -120,6 +120,7 @@ HEADLINE = [
     "triangle_counts_parts",
     "kcore_parts",
     "bigram_pmi_collocations",
+    "table_profile_orders",
     "incremental_rollup_merge",
     "char_entropy_report",
     "winsorized_price_stats",

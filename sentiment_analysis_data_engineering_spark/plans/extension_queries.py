@@ -27,6 +27,7 @@ from ..operators import quality_checks as qc
 from ..operators import sampling as sp
 from ..operators import similarity as sim
 from ..operators import skew as sk
+from ..operators import profile as pf
 from ..operators import text as tx
 from .registry import load_tables, query
 
@@ -1451,6 +1452,69 @@ def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     products would overflow at corpus scale) and rounded to 6 dp."""
     (documents,) = load_tables(spark, sf_dir, "documents")
     return tx.bigram_pmi(documents, "text", min_count=10)
+
+
+def _profile_orders_oracle() -> str:
+    # mirrors operators/profile.py::profile_table metric-for-metric on
+    # the orders table; every value uses the same cross-engine string
+    # formatting rule (plain cast for exact ints, printf for doubles,
+    # strftime for timestamps)
+    rows = ["SELECT '_table' AS col_name, 'n_rows' AS metric, CAST(count(*) AS VARCHAR) AS value FROM orders"]
+    cols = {
+        "o_orderkey": "bigint",
+        "o_custkey": "bigint",
+        "o_orderstatus": "string",
+        "o_totalprice": "double",
+        "o_orderdate": "timestamp",
+        "o_orderpriority": "string",
+    }
+    for c, t in cols.items():
+        rows.append(
+            f"SELECT '{c}', 'n_null', CAST(count(*) - count({c}) AS VARCHAR) FROM orders"
+        )
+        rows.append(
+            f"SELECT '{c}', 'n_distinct', CAST(count(DISTINCT {c}) AS VARCHAR) FROM orders"
+        )
+        if t == "bigint":
+            rows.append(f"SELECT '{c}', 'min', CAST(min({c}) AS VARCHAR) FROM orders")
+            rows.append(f"SELECT '{c}', 'max', CAST(max({c}) AS VARCHAR) FROM orders")
+            rows.append(
+                f"SELECT '{c}', 'mean', printf('%.6f', round(avg({c}), 6)) FROM orders"
+            )
+        elif t == "double":
+            rows.append(f"SELECT '{c}', 'min', printf('%.6f', min({c})) FROM orders")
+            rows.append(f"SELECT '{c}', 'max', printf('%.6f', max({c})) FROM orders")
+            rows.append(
+                f"SELECT '{c}', 'mean', printf('%.6f', round(avg({c}), 6)) FROM orders"
+            )
+        elif t == "string":
+            rows.append(f"SELECT '{c}', 'min', min({c}) FROM orders")
+            rows.append(f"SELECT '{c}', 'max', max({c}) FROM orders")
+            rows.append(
+                f"SELECT '{c}', 'avg_len', printf('%.6f', round(avg(len({c})), 6)) FROM orders"
+            )
+        elif t == "timestamp":
+            rows.append(
+                f"SELECT '{c}', 'min', strftime(min({c}), '%Y-%m-%d %H:%M:%S') FROM orders"
+            )
+            rows.append(
+                f"SELECT '{c}', 'max', strftime(max({c}), '%Y-%m-%d %H:%M:%S') FROM orders"
+            )
+    return "\nUNION ALL\n".join(rows)
+
+
+@query("table_profile_orders", oracle=_profile_orders_oracle())
+def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan profile of the orders table
+    (operators/profile.py::profile_table): per-column null counts,
+    exact distinct counts, min/max, means and string lengths as a
+    long-format (col_name, metric, value) frame — the ANALYZE/
+    SUMMARIZE primitive behind schema-drift alarms and ingest QA. All
+    metrics are aggregate expressions in a single agg (one scan; the
+    N-distinct Expand is the documented exact-mode trade, with
+    approx_count_distinct as the 100 TB flag)."""
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    return pf.profile_table(orders)
 
 
 @query(
