@@ -121,6 +121,8 @@ HEADLINE = [
     "kcore_parts",
     "bigram_pmi_collocations",
     "table_profile_orders",
+    "daily_new_returning_users",
+    "pareto_revenue_by_segment",
     "incremental_rollup_merge",
     "char_entropy_report",
     "winsorized_price_stats",

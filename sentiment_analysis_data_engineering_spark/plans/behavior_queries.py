@@ -467,3 +467,73 @@ def event_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
             "click_to_purchase_us"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Daily new vs returning users
+# --------------------------------------------------------------------------
+
+
+@query(
+    "daily_new_returning_users",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    firsts AS (
+      SELECT user_id, min(day) AS first_day FROM du GROUP BY user_id
+    ),
+    daily AS (
+      SELECT du.day,
+             CAST(count(*) AS BIGINT) AS active_users,
+             CAST(coalesce(sum(CASE WHEN f.first_day = du.day THEN 1 END), 0)
+                  AS BIGINT) AS new_users
+      FROM du JOIN firsts f USING (user_id)
+      GROUP BY du.day
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           active_users,
+           new_users,
+           active_users - new_users AS returning_users,
+           CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT)
+             AS cum_users
+    FROM daily
+    """,
+)
+def daily_new_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active / new / returning user counts with a cumulative
+    user total — the growth-accounting companion to the retention
+    triangle (a "new" user is one whose FIRST-ever event lands that
+    day; cumulative new == all users ever seen, the first-seen
+    pattern that computes running distinct-user counts WITHOUT a
+    running-distinct aggregate).
+
+    Plan: one (user, day) distinct and one per-user min — both keyed
+    on user_id like the rest of the events family — joined on user_id
+    and re-aggregated by day. The cumulative sum is a global window
+    over the POST-AGGREGATION frame: O(calendar days) rows regardless
+    of corpus size, the acceptable single-partition class."""
+    (events,) = load_tables(spark, sf_dir, "events")
+
+    du = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    firsts = du.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    daily = (
+        du.join(firsts, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("active_users"),
+            F.sum(
+                (F.col("first_day") == F.col("day")).cast("long")
+            ).alias("new_users"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "active_users",
+        "new_users",
+        (F.col("active_users") - F.col("new_users")).alias("returning_users"),
+        F.sum("new_users").over(w).alias("cum_users"),
+    )

@@ -17,7 +17,7 @@ planner broadcasts, never driver-side collects.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .registry import load_tables, query
@@ -904,4 +904,93 @@ def join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return view.groupBy(F.col("c_nationkey")).agg(
         F.count("*").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Revenue concentration (Pareto) per market segment
+# --------------------------------------------------------------------------
+
+
+@query(
+    "pareto_revenue_by_segment",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_mktsegment AS segment, c.c_custkey,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT segment, rev_cents,
+             CAST(sum(rev_cents) OVER (
+               PARTITION BY segment
+               ORDER BY rev_cents DESC, c_custkey
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running,
+             CAST(sum(rev_cents) OVER (PARTITION BY segment) AS BIGINT)
+               AS total
+      FROM rev
+    )
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(max(total) AS BIGINT) AS total_revenue_cents,
+           CAST(coalesce(sum(
+             CASE WHEN (running - rev_cents) * 5 < total * 4 THEN 1 END
+           ), 0) AS BIGINT) AS n_top80,
+           round(coalesce(sum(
+             CASE WHEN (running - rev_cents) * 5 < total * 4 THEN 1 END
+           ), 0) * 1.0 / count(*), 6) AS share_top80
+    FROM cum
+    GROUP BY segment
+    """,
+)
+def pareto_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration per market segment: how many of the
+    segment's buying customers cover 80% of its revenue (the Pareto /
+    ABC-analysis cut every sales-analytics stack computes). A customer
+    is in the top-80 set when the running revenue BEFORE it (customers
+    ranked by revenue desc, custkey tiebreak) has not yet reached 80%
+    of the segment total — i.e. the minimal covering prefix. All money
+    is exact integer cents and the 80% test is cross-multiplied
+    ((running - rev)·5 < total·4), so no division or float enters the
+    cut decision and the count is bit-stable under any layout.
+
+    Plan: per-customer aggregation shuffles on the join/group key; the
+    ranking windows are PARTITIONED by segment over the post-agg
+    customer frame (never the orders fact table); the final agg is
+    segment-sized. At 100 TB the per-segment customer frames are the
+    window's partition unit — the documented skew/salting stance
+    applies if one segment dominates."""
+    customer, orders = load_tables(spark, sf_dir, "customer", "orders")
+
+    rev = (
+        customer.join(
+            orders, orders["o_custkey"] == customer["c_custkey"]
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"), F.col("c_custkey")
+        )
+        .agg(F.sum(_cents(F.col("o_totalprice"))).alias("rev_cents"))
+    )
+    wrun = (
+        Window.partitionBy("segment")
+        .orderBy(F.desc("rev_cents"), F.asc("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("segment")
+    cum = rev.select(
+        "segment",
+        "rev_cents",
+        F.sum("rev_cents").over(wrun).alias("running"),
+        F.sum("rev_cents").over(wtot).alias("total"),
+    )
+    in_top80 = (
+        (F.col("running") - F.col("rev_cents")) * 5 < F.col("total") * 4
+    ).cast("long")
+    return cum.groupBy("segment").agg(
+        F.count("*").alias("n_customers"),
+        F.max("total").alias("total_revenue_cents"),
+        F.sum(in_top80).alias("n_top80"),
+        F.round(F.sum(in_top80) / F.count("*"), 6).alias("share_top80"),
     )
