@@ -123,6 +123,7 @@ HEADLINE = [
     "table_profile_orders",
     "daily_new_returning_users",
     "pareto_revenue_by_segment",
+    "daily_ohlc_bars",
     "incremental_rollup_merge",
     "char_entropy_report",
     "winsorized_price_stats",

@@ -537,3 +537,61 @@ def daily_new_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("active_users") - F.col("new_users")).alias("returning_users"),
         F.sum("new_users").over(w).alias("cum_users"),
     )
+
+
+# --------------------------------------------------------------------------
+# Daily OHLC bars
+# --------------------------------------------------------------------------
+
+
+@query(
+    "daily_ohlc_bars",
+    oracle="""
+    SELECT user_id,
+           strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           (min({'t': ts, 'e': event_id, 'v': value}))['v'] AS open,
+           max(value) AS high,
+           min(value) AS low,
+           (max({'t': ts, 'e': event_id, 'v': value}))['v'] AS close,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY user_id, CAST(ts AS DATE)
+    """,
+)
+def daily_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily open/high/low/close bars per user over the event value
+    stream — the bar-building aggregation the reference's stock
+    pipeline consumes pre-made from its market-data API
+    (daily_dag.py:91-94's OHLC columns), here computed from raw ticks.
+
+    ONE hash aggregate, no window: open/close are min/max over a
+    (ts, event_id, value) struct — lexicographic struct ordering picks
+    the earliest/latest row with the event_id tiebreak making ties
+    deterministic, and the struct min combines MAP-SIDE like any other
+    min, where the row_number formulation would force a full sort
+    shuffle. All outputs are exact row picks or exact extrema of
+    stored doubles (never sums), so no rounding is needed anywhere."""
+    (events,) = load_tables(spark, sf_dir, "events")
+
+    pick = F.struct("ts", "event_id", "value")
+    return (
+        events.groupBy(
+            "user_id", F.to_date("ts").alias("_d")
+        )
+        .agg(
+            F.min(pick).alias("_first"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(pick).alias("_last"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.date_format("_d", "yyyy-MM-dd").alias("day"),
+            F.col("_first.value").alias("open"),
+            "high",
+            "low",
+            F.col("_last.value").alias("close"),
+            "n_events",
+        )
+    )
