@@ -26,6 +26,7 @@ from pyspark.sql import types as T
 __all__ = [
     "read_events_stream",
     "tumbling_window_agg",
+    "ohlc_window_agg",
     "sliding_window_agg",
     "session_window_agg",
     "stream_dedup",
@@ -107,6 +108,40 @@ def tumbling_window_agg(
         .select(
             F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "event_type", "n_events", "total_value",
+        )
+    )
+
+
+def ohlc_window_agg(
+    events: DataFrame, *, window: str = "1 day", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming twin of the batch ``daily_ohlc_bars`` query: daily
+    open/high/low/close bars per user, built incrementally as ticks
+    arrive. Open/close are min/max over a (ts, event_id, value) struct
+    — the same deterministic lexicographic pick as the batch plan, and
+    a plain orderable aggregate, so streaming state per open (window,
+    user) is two structs + two doubles + a count, merged associatively
+    across micro-batches and freed at the watermark. No
+    flatMapGroupsWithState needed: bar building is pure aggregation."""
+    pick = F.struct("ts", "event_id", "value")
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "user_id")
+        .agg(
+            F.min(pick).alias("_first"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(pick).alias("_last"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd").alias("day"),
+            "user_id",
+            F.col("_first.value").alias("open"),
+            "high",
+            "low",
+            F.col("_last.value").alias("close"),
+            "n_events",
         )
     )
 

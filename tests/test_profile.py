@@ -66,9 +66,21 @@ def test_profile_approx_distinct_mode(spark):
     assert got[("k", "n_distinct")] == "10"
 
 
-def test_profile_is_single_scan(spark):
-    # the whole profile must compile to ONE scan of the input — no
-    # union-of-scans plan shape
+def test_profile_scan_counts_and_no_sort_agg(spark):
     df = spark.range(100).selectExpr("id AS k", "CAST(id AS DOUBLE) AS x")
+    # exact mode: exactly TWO column-pruned subtrees (base metrics +
+    # the distinct pair path) and NO SortAggregate/Expand anywhere —
+    # the failure mode this layout exists to avoid
     plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Range (0, 100") == 1
+    assert plan.count("Range (0, 100") == 2
+    assert "SortAggregate" not in plan
+    assert "Expand" not in plan
+    # approx mode folds distincts into the base agg: ONE scan total
+    plan1 = (
+        profile_table(df, exact_distinct=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan1.count("Range (0, 100") == 1
+    assert "Expand" not in plan1

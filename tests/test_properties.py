@@ -273,3 +273,101 @@ def test_linear_interpolate_laws(spark, vals):
             a, b = float(vals[lo]), float(vals[hi])
             # law: interior fills stay within the bracketing anchors
             assert min(a, b) - 1e-9 <= out[i] <= max(a, b) + 1e-9
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)),
+        min_size=1, max_size=40,
+    )
+)
+@_slow
+def test_triangle_counts_matches_bruteforce(spark, edges):
+    from itertools import combinations
+
+    from sentiment_analysis_data_engineering_spark.operators.graph import triangle_counts
+
+    clean = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    if not clean:
+        return
+    adj: dict[int, set] = {}
+    for a, b in clean:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expect: dict[int, int] = {}
+    for x, y, z in combinations(sorted(adj), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for n in (x, y, z):
+                expect[n] = expect.get(n, 0) + 1
+    df = spark.createDataFrame(list(edges), "src long, dst long")
+    got = {r.node: (r.degree, r.triangles) for r in triangle_counts(df).collect()}
+    assert got == {n: (len(adj[n]), t) for n, t in expect.items()}
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)),
+        min_size=1, max_size=40,
+    ),
+    k=st.integers(1, 5),
+)
+@_slow
+def test_kcore_matches_python_peel(spark, edges, k):
+    from sentiment_analysis_data_engineering_spark.operators.graph import kcore_peel
+
+    clean = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    if not clean:
+        return
+    # synchronous peel to the fixed point in pure python
+    pairs = set(clean)
+    while True:
+        deg: dict[int, int] = {}
+        for a, b in pairs:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        alive = {n for n, d in deg.items() if d >= k}
+        nxt = {(a, b) for a, b in pairs if a in alive and b in alive}
+        if nxt == pairs:
+            break
+        pairs = nxt
+    deg = {}
+    for a, b in pairs:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    df = spark.createDataFrame(list(edges), "src long, dst long")
+    # 15 nodes -> <= 15 peel rounds always reaches the fixed point
+    got = {r.node: r.core_degree for r in kcore_peel(df, k=k, rounds=15).collect()}
+    assert got == deg
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=12),
+        min_size=1, max_size=12,
+    )
+)
+@_slow
+def test_bigram_pmi_matches_bruteforce(spark, texts):
+    import math
+
+    from sentiment_analysis_data_engineering_spark.operators.text import bigram_pmi
+
+    uni: dict[str, int] = {}
+    bi: dict[tuple, int] = {}
+    for t in texts:
+        toks = [w for w in t.lower().split() if w]
+        for w in toks:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    n = sum(uni.values())
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {
+        (r.w1, r.w2): (r.pair_count, r.pmi)
+        for r in bigram_pmi(df, "text", min_count=1).collect()
+    }
+    expect = {
+        (a, b): (c, round(math.log(c * n / (uni[a] * uni[b])), 6))
+        for (a, b), c in bi.items()
+    }
+    assert got == expect

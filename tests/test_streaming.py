@@ -574,3 +574,22 @@ def test_streaming_zscore_null_values_match_batch_semantics(spark, tmp_path):
     assert got.keys() == want.keys() and want  # anomaly found both ways
     for k in want:
         assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_ohlc_stream_matches_batch_query(spark, sf_dir, events_dir):
+    from sentiment_analysis_data_engineering_spark.plans.registry import QUERIES
+
+    stream = st.read_events_stream(spark, events_dir)
+    out = st.run_available_now(
+        st.ohlc_window_agg(stream), "t_ohlc", output_mode="complete"
+    )
+    got = {
+        (r.day, r.user_id): (r.open, r.high, r.low, r.close, r.n_events)
+        for r in out.collect()
+    }
+    batch = QUERIES["daily_ohlc_bars"](spark, sf_dir)
+    want = {
+        (r.day, r.user_id): (r.open, r.high, r.low, r.close, r.n_events)
+        for r in batch.collect()
+    }
+    assert got == want
