@@ -577,7 +577,9 @@ def test_streaming_zscore_null_values_match_batch_semantics(spark, tmp_path):
 
 
 def test_ohlc_stream_matches_batch_query(spark, sf_dir, events_dir):
-    from sentiment_analysis_data_engineering_spark.plans.registry import QUERIES
+    from sentiment_analysis_data_engineering_spark.plans.behavior_queries import (
+        daily_ohlc_bars,
+    )
 
     stream = st.read_events_stream(spark, events_dir)
     out = st.run_available_now(
@@ -587,7 +589,7 @@ def test_ohlc_stream_matches_batch_query(spark, sf_dir, events_dir):
         (r.day, r.user_id): (r.open, r.high, r.low, r.close, r.n_events)
         for r in out.collect()
     }
-    batch = QUERIES["daily_ohlc_bars"](spark, sf_dir)
+    batch = daily_ohlc_bars(spark, sf_dir)
     want = {
         (r.day, r.user_id): (r.open, r.high, r.low, r.close, r.n_events)
         for r in batch.collect()
