@@ -125,6 +125,7 @@ HEADLINE = [
     "pareto_revenue_by_segment",
     "daily_ohlc_bars",
     "monthly_revenue_mom_growth",
+    "custom_source_events_report",
     "incremental_rollup_merge",
     "char_entropy_report",
     "winsorized_price_stats",

@@ -963,3 +963,49 @@ def date_functions_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.weekday(d) + 1).cast("long").alias("iso_weekday"),
         F.quarter(d).cast("long").alias("qtr"),
     )
+
+
+# --------------------------------------------------------------------------
+# Custom Python DataSource (S3/S4 connector family, Spark 4 API)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "custom_source_events_report",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def custom_source_events_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The S3/S4 HTTP-JSON connector family on the Spark 4 Python
+    DataSource API (sources/pydatasource.py): the event table is
+    round-tripped through newline-delimited JSON payload files and
+    read back via ``format("json_payload")`` — one input partition per
+    payload file, explicit schema (a connector must not infer), typed
+    coercion and missing-key tolerance exercised on the way in — then
+    aggregated. The oracle reads the ORIGINAL table: equality proves
+    the connector is lossless for the declared column types (shortest-
+    repr JSON doubles parse back bit-identical)."""
+    import tempfile
+
+    from ..sources.pydatasource import JsonPayloadDataSource
+
+    spark.dataSource.register(JsonPayloadDataSource)
+    (events,) = load_tables(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="json_payload_") + "/payloads"
+    events.select("event_id", "event_type", "value").write.mode(
+        "overwrite"
+    ).json(root)
+    df = (
+        spark.read.format("json_payload")
+        .schema("event_id long, event_type string, value double")
+        .option("path", root)
+        .load()
+    )
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

@@ -1,0 +1,119 @@
+"""Custom Python DataSource (Spark 4 API): newline-delimited JSON
+payload directories as a first-class ``spark.read.format(...)`` source.
+
+This is the in-engine home for the reference's HTTP connector family
+(S3/S4: ``requests.get(...).json()`` inside task bodies,
+daily_dag.py:46-85, weekly_dag.py:366-432). The sandbox has no
+network, and SURVEY §2.1 documents live HTTP as out-of-engine — but
+the Spark-4 Python DataSource API is exactly where such a connector
+belongs when it IS built: each input partition is one endpoint
+payload, fetched and parsed inside the executor, so N endpoints fan
+out across the cluster instead of serializing through the driver the
+way the reference's single-task ``requests`` loop does. Here the
+"fetch" is a local file read (one partition per ``*.json``/``*.jsonl``
+file, deterministic sorted order); swapping it for an HTTP GET changes
+one function.
+
+Usage::
+
+    spark.dataSource.register(JsonPayloadDataSource)
+    df = (spark.read.format("json_payload")
+          .schema("event_id long, value double")
+          .option("path", "/data/payloads").load())
+
+Scale notes: a connector is IO-bound glue, not a compute kernel — rows
+are yielded from plain Python by design (the Arrow path matters for
+compute UDFs, not for a reader whose cost is the network/disk fetch).
+Column values are drawn from each JSON object by schema field name;
+missing keys become NULL, extra keys are ignored — the tolerant-reader
+contract every API client ends up needing. Values are coerced with
+int()/float()/str()/bool() per the declared type: JSON numbers arrive
+as Python int/float and the cast pins cross-payload type drift (an
+API that emits ``1`` then ``1.0`` for the same field) to the schema.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+__all__ = ["JsonPayloadDataSource"]
+
+_COERCE = {
+    "long": int,
+    "bigint": int,
+    "int": int,
+    "integer": int,
+    "double": float,
+    "float": float,
+    "string": str,
+    "boolean": bool,
+}
+
+
+class JsonPayloadDataSource(DataSource):
+    """``format("json_payload")`` — see module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "json_payload"
+
+    def schema(self) -> str:
+        # A connector must not guess: require an explicit reader schema
+        # (Spark calls this only when .schema(...) was not supplied).
+        raise ValueError(
+            "json_payload requires an explicit .schema(...) — a payload "
+            "connector must not infer types from whichever payload "
+            "arrives first"
+        )
+
+    def reader(self, schema) -> "JsonPayloadReader":
+        return JsonPayloadReader(schema, self.options)
+
+
+class JsonPayloadReader(DataSourceReader):
+    def __init__(self, schema, options) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("json_payload requires .option('path', <dir>)")
+        self._path = path
+        self._fields = [
+            (f.name, _COERCE.get(f.dataType.simpleString()))
+            for f in schema.fields
+        ]
+        for name, fn in self._fields:
+            if fn is None:
+                raise ValueError(
+                    f"json_payload supports long/double/string/boolean "
+                    f"columns; field {name!r} is not one of those"
+                )
+
+    def partitions(self) -> list[InputPartition]:
+        files = sorted(
+            glob.glob(os.path.join(self._path, "*.json"))
+            + glob.glob(os.path.join(self._path, "*.jsonl"))
+        )
+        # zero payload files -> zero partitions is an ERROR here: a
+        # connector silently reading nothing is how an ETL run "succeeds"
+        # with an empty table (the reference's probe-then-append bug
+        # class, SURVEY §2.11)
+        if not files:
+            raise FileNotFoundError(
+                f"json_payload: no *.json / *.jsonl files under {self._path}"
+            )
+        return [InputPartition(f) for f in files]
+
+    def read(self, partition: InputPartition):
+        with open(partition.value, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                obj = json.loads(line)
+                yield tuple(
+                    None if obj.get(name) is None else fn(obj[name])
+                    for name, fn in self._fields
+                )
