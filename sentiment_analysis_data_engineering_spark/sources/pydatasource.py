@@ -38,7 +38,12 @@ import glob
 import json
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 __all__ = ["JsonPayloadDataSource"]
 
@@ -73,29 +78,57 @@ class JsonPayloadDataSource(DataSource):
     def reader(self, schema) -> "JsonPayloadReader":
         return JsonPayloadReader(schema, self.options)
 
+    def simpleStreamReader(self, schema) -> "JsonPayloadStreamReader":
+        return JsonPayloadStreamReader(schema, self.options)
+
+
+def _parse_fields(schema) -> list[tuple[str, type]]:
+    fields = [
+        (f.name, _COERCE.get(f.dataType.simpleString())) for f in schema.fields
+    ]
+    for name, fn in fields:
+        if fn is None:
+            raise ValueError(
+                f"json_payload supports long/double/string/boolean "
+                f"columns; field {name!r} is not one of those"
+            )
+    return fields
+
+
+def _payload_path(options) -> str:
+    path = options.get("path")
+    if not path:
+        raise ValueError("json_payload requires .option('path', <dir>)")
+    return path
+
+
+def _list_payloads(path: str) -> list[str]:
+    return sorted(
+        glob.glob(os.path.join(path, "*.json"))
+        + glob.glob(os.path.join(path, "*.jsonl"))
+    )
+
+
+def _read_payload(path: str, fields: list[tuple[str, type]]):
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            obj = json.loads(line)
+            yield tuple(
+                None if obj.get(name) is None else fn(obj[name])
+                for name, fn in fields
+            )
+
 
 class JsonPayloadReader(DataSourceReader):
     def __init__(self, schema, options) -> None:
-        path = options.get("path")
-        if not path:
-            raise ValueError("json_payload requires .option('path', <dir>)")
-        self._path = path
-        self._fields = [
-            (f.name, _COERCE.get(f.dataType.simpleString()))
-            for f in schema.fields
-        ]
-        for name, fn in self._fields:
-            if fn is None:
-                raise ValueError(
-                    f"json_payload supports long/double/string/boolean "
-                    f"columns; field {name!r} is not one of those"
-                )
+        self._path = _payload_path(options)
+        self._fields = _parse_fields(schema)
 
     def partitions(self) -> list[InputPartition]:
-        files = sorted(
-            glob.glob(os.path.join(self._path, "*.json"))
-            + glob.glob(os.path.join(self._path, "*.jsonl"))
-        )
+        files = _list_payloads(self._path)
         # zero payload files -> zero partitions is an ERROR here: a
         # connector silently reading nothing is how an ETL run "succeeds"
         # with an empty table (the reference's probe-then-append bug
@@ -107,13 +140,46 @@ class JsonPayloadReader(DataSourceReader):
         return [InputPartition(f) for f in files]
 
     def read(self, partition: InputPartition):
-        with open(partition.value, encoding="utf-8") as fh:
-            for line in fh:
-                line = line.strip()
-                if not line:
-                    continue
-                obj = json.loads(line)
-                yield tuple(
-                    None if obj.get(name) is None else fn(obj[name])
-                    for name, fn in self._fields
-                )
+        yield from _read_payload(partition.value, self._fields)
+
+
+class JsonPayloadStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch twin of the batch reader: the payload directory is
+    an APPEND-ONLY drop zone (each scheduler tick / API poll lands one
+    new file — the reference's daily/weekly DAG cadence recast as a
+    stream), and the offset is simply how many files of the sorted
+    listing have been consumed. ``read`` picks up every file past the
+    last offset; ``readBetweenOffsets`` re-reads exactly the files of
+    a finished batch, which is what makes checkpointed replay
+    exactly-once. An empty directory is NOT an error here — unlike the
+    batch reader, a stream's whole premise is that payloads arrive
+    later. Files must not be mutated or removed once dropped; new
+    files must sort after consumed ones (timestamped names — the
+    convention every drop-zone ingest already follows)."""
+
+    def __init__(self, schema, options) -> None:
+        self._path = _payload_path(options)
+        self._fields = _parse_fields(schema)
+
+    def initialOffset(self) -> dict:
+        return {"files_seen": 0}
+
+    def read(self, start: dict):
+        files = _list_payloads(self._path)
+        n0 = start["files_seen"]
+        rows = [
+            row
+            for f in files[n0:]
+            for row in _read_payload(f, self._fields)
+        ]
+        return iter(rows), {"files_seen": len(files)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        files = _list_payloads(self._path)
+        return iter(
+            [
+                row
+                for f in files[start["files_seen"] : end["files_seen"]]
+                for row in _read_payload(f, self._fields)
+            ]
+        )

@@ -94,3 +94,44 @@ def test_unsupported_column_type_rejected(registered, tmp_path):
             .option("path", str(tmp_path))
             .load()
         ).collect()
+
+
+def test_streaming_picks_up_new_files(registered, tmp_path, spark):
+    # micro-batch 1 sees the initial payload; a file dropped between
+    # triggers arrives in a later batch — the append-only drop-zone
+    # contract
+    d = tmp_path / "drop"
+    d.mkdir()
+    _write(d / "0001.jsonl", [{"k": 1, "v": 1.0}, {"k": 2, "v": 2.0}])
+    stream = (
+        spark.readStream.format("json_payload")
+        .schema("k long, v double")
+        .option("path", str(d))
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_payload_stream")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.sql("SELECT count(*) n FROM t_payload_stream").first().n == 2:
+                break
+            time.sleep(0.5)
+        _write(d / "0002.jsonl", [{"k": 3, "v": 0.5}])
+        while time.time() < deadline:
+            if spark.sql("SELECT count(*) n FROM t_payload_stream").first().n == 3:
+                break
+            time.sleep(0.5)
+        got = sorted(
+            (r.k, r.v)
+            for r in spark.sql("SELECT * FROM t_payload_stream").collect()
+        )
+        assert got == [(1, 1.0), (2, 2.0), (3, 0.5)]
+    finally:
+        q.stop()
