@@ -68,10 +68,14 @@ def profile_table(
     hash aggregate, map-side partial distinct, shuffle ∝ Σ column
     cardinalities — because fusing multi-column count_distinct with
     string min/max buffers forces a SortAggregate over Expanded rows
-    (see module docstring; the value string here is Spark's injective
-    cast, an internal key that never surfaces). ``exact_distinct=
-    False`` folds ``approx_count_distinct`` (HLL ±5%) into the base
-    agg instead: ONE scan total, no second subtree — the 100 TB mode.
+    (see module docstring). The pair key is a string rendering used
+    only where it is equality-faithful: simple scalars, with -0.0
+    normalized to 0.0 so float distinctness matches count_distinct /
+    DuckDB. Complex-typed columns (array/map/struct/binary) get
+    ``approx_count_distinct`` even in exact mode — their casts are not
+    injective. ``exact_distinct=False`` folds ``approx_count_distinct``
+    (HLL ±5%) into the base agg for every column: ONE scan total, no
+    second subtree — the 100 TB mode.
     """
     dtypes = dict(df.dtypes)
     if columns is None:
@@ -82,6 +86,30 @@ def profile_table(
 
     n_rows = F.count(F.lit(1))
 
+    # The exact-distinct pair path keys on a STRING rendering of the
+    # value, so it is only used where that rendering is injective and
+    # equality-faithful: simple scalar types (floats after normalizing
+    # -0.0 to 0.0 — count_distinct and DuckDB both treat them as one
+    # value; NaN casts to the single 'NaN' token). Complex types
+    # (array/map/struct/binary) have non-injective casts, so their
+    # n_distinct always comes from approx_count_distinct in the base
+    # agg, exact_distinct or not — documented contract.
+    def _distinct_key(c: str, t: str) -> Column | None:
+        if t in ("float", "double"):
+            col = F.col(c)
+            return (
+                F.when(col == 0.0, F.lit(0.0)).otherwise(col).cast("string")
+            )
+        if t in _NUMERIC or t in (
+            "string",
+            "boolean",
+            "date",
+            "timestamp",
+            "timestamp_ntz",
+        ) or t.startswith("decimal"):
+            return F.col(c).cast("string")
+        return None
+
     # (col_name, metric, aggregate-expression) triples — all stringly
     specs: list[tuple[str, str, Column]] = [
         ("_table", "n_rows", n_rows.cast("string")),
@@ -89,7 +117,7 @@ def profile_table(
     for c in columns:
         t = dtypes[c]
         specs.append((c, "n_null", (n_rows - F.count(c)).cast("string")))
-        if not exact_distinct:
+        if not exact_distinct or _distinct_key(c, t) is None:
             specs.append(
                 (c, "n_distinct", F.approx_count_distinct(c).cast("string"))
             )
@@ -129,16 +157,22 @@ def profile_table(
     ).select("_r.col_name", "_r.metric", "_r.value")
     if not exact_distinct:
         return base
+    exact_cols = [
+        (c, _distinct_key(c, dtypes[c]))
+        for c in columns
+        if _distinct_key(c, dtypes[c]) is not None
+    ]
+    if not exact_cols:
+        return base
 
     pairs = df.select(
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(c).alias("col_name"),
-                        F.col(c).cast("string").alias("_v"),
+                        F.lit(c).alias("col_name"), key.alias("_v")
                     )
-                    for c in columns
+                    for c, key in exact_cols
                 ]
             )
         ).alias("_p")
@@ -150,7 +184,9 @@ def profile_table(
     )
     # all-null columns produce no pair rows — restore them with 0
     all_cols = df.sparkSession.range(1).select(
-        F.explode(F.array(*[F.lit(c) for c in columns])).alias("col_name")
+        F.explode(F.array(*[F.lit(c) for c, _ in exact_cols])).alias(
+            "col_name"
+        )
     )
     distinct_rows = all_cols.join(dcounts, "col_name", "left").select(
         "col_name",

@@ -1509,10 +1509,12 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/profile.py::profile_table): per-column null counts,
     exact distinct counts, min/max, means and string lengths as a
     long-format (col_name, metric, value) frame — the ANALYZE/
-    SUMMARIZE primitive behind schema-drift alarms and ingest QA. All
-    metrics are aggregate expressions in a single agg (one scan; the
-    N-distinct Expand is the documented exact-mode trade, with
-    approx_count_distinct as the 100 TB flag)."""
+    SUMMARIZE primitive behind schema-drift alarms and ingest QA. Two
+    column-pruned subtrees: base metrics in one plain global agg,
+    exact distinct counts via a (column, value) explode into hash
+    aggregates — deliberately NOT one fused agg, which would fall to
+    SortAggregate over an Expand (see operators/profile.py);
+    approx_count_distinct is the single-scan 100 TB flag."""
     (orders,) = load_tables(spark, sf_dir, "orders")
     return pf.profile_table(orders)
 

@@ -60,7 +60,7 @@ def _pagerank_oracle() -> str:
 def pagerank_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the part co-purchase graph: parts are linked when
     they appear in the same order (distinct undirected pairs, both
-    directions materialized), then {_PR_ITERS} fixed-point PageRank
+    directions materialized), then 3 (_PR_ITERS) fixed-point PageRank
     iterations (damping 17/20) rank parts by co-purchase centrality —
     the "representative item" signal a recommender or curation stage
     reads.
@@ -210,8 +210,8 @@ def _kcore_oracle() -> str:
 
 @query("kcore_parts", oracle=_kcore_oracle())
 def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """{_KCORE_K}-core of the part co-purchase graph via
-    operators/graph.py::kcore_peel with a {_KCORE_ROUNDS}-round budget
+    """70-core (_KCORE_K) of the part co-purchase graph via
+    operators/graph.py::kcore_peel with a 4-round (_KCORE_ROUNDS) budget
     — the dense backbone a recommender or sampler keeps when pruning
     peripheral items. At the driver scale factors the peel reaches its
     fixed point inside the budget (min surviving degree == k), so the

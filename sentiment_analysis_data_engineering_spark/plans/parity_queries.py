@@ -989,13 +989,21 @@ def custom_source_events_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated. The oracle reads the ORIGINAL table: equality proves
     the connector is lossless for the declared column types (shortest-
     repr JSON doubles parse back bit-identical)."""
+    import os
     import tempfile
 
     from ..sources.pydatasource import JsonPayloadDataSource
 
     spark.dataSource.register(JsonPayloadDataSource)
     (events,) = load_tables(spark, sf_dir, "events")
-    root = tempfile.mkdtemp(prefix="json_payload_") + "/payloads"
+    # stable keyed staging path, overwritten per run — a fresh mkdtemp
+    # per invocation would accumulate events-sized JSON dumps across
+    # gate/bench/sweep runs
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"sentiment_analysis_json_payload_{os.path.basename(sf_dir.rstrip('/'))}",
+        "payloads",
+    )
     events.select("event_id", "event_type", "value").write.mode(
         "overwrite"
     ).json(root)

@@ -123,6 +123,12 @@ def ohlc_window_agg(
     user) is two structs + two doubles + a count, merged associatively
     across micro-batches and freed at the watermark. No
     flatMapGroupsWithState needed: bar building is pure aggregation."""
+    # Batch-equivalence needs matching DAY semantics: F.window buckets
+    # are epoch(UTC)-aligned while date_format renders in session tz —
+    # pin UTC exactly like the batch path's load_tables does, so the
+    # bucket boundary and its label agree with daily_ohlc_bars in any
+    # caller session.
+    events.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
     pick = F.struct("ts", "event_id", "value")
     return (
         events.withWatermark("ts", watermark)

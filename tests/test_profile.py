@@ -84,3 +84,17 @@ def test_profile_scan_counts_and_no_sort_agg(spark):
     )
     assert plan1.count("Range (0, 100") == 1
     assert "Expand" not in plan1
+
+
+def test_profile_negative_zero_and_complex_types(spark):
+    # -0.0 and 0.0 are ONE distinct value (matching count_distinct and
+    # SQL engines); complex-typed columns fall back to approx distinct
+    # (exact string casts are non-injective there) and the two arrays
+    # below really are two values
+    df = spark.createDataFrame(
+        [(0.0, ["a, b"]), (-0.0, ["a", "b"]), (1.5, ["a", "b"])],
+        "x double, arr array<string>",
+    )
+    got = _as_dict(profile_table(df))
+    assert got[("x", "n_distinct")] == "2"
+    assert got[("arr", "n_distinct")] == "2"

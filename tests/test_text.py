@@ -206,7 +206,6 @@ def test_fuzzy_match_oversized_block_guard(spark):
 def test_bigram_pmi_hand_computed(spark):
     import math
 
-    # corpus: "a b" ×2 and "a c" — tokens: a=3, b=2... wait, build it:
     # doc1 "a b a b", doc2 "a c"
     # unigrams: a=3, b=2, c=1, N=6
     # bigrams: (a,b)=2, (b,a)=1, (a,c)=1
