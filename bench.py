@@ -117,6 +117,8 @@ HEADLINE = [
     "heavy_hitter_users",
     "bloom_pruned_order_revenue",
     "pagerank_copurchase_parts",
+    "pagerank_weighted_copurchase",
+    "personalized_pagerank_parts",
     "triangle_counts_parts",
     "kcore_parts",
     "bigram_pmi_collocations",

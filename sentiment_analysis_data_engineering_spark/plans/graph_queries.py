@@ -222,3 +222,165 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _copurchase_pairs(spark, sf_dir)
     out = kcore_peel(pairs, k=_KCORE_K, rounds=_KCORE_ROUNDS, src="u", dst="v")
     return out.select(F.col("node").alias("p_partkey"), "core_degree")
+
+
+# --------------------------------------------------------------------------
+# Weighted and personalized PageRank variants
+# --------------------------------------------------------------------------
+
+
+def _weighted_pagerank_oracle() -> str:
+    prev = "r0"
+    iters = []
+    for i in range(1, _PR_ITERS + 1):
+        iters.append(f"""
+    r{i} AS MATERIALIZED (
+      SELECT d.node,
+             (3 * {_SCALE}) // (20 * (SELECT n FROM nn))
+             + CAST((17 * coalesce(sum(c.contrib), 0)) // 20 AS BIGINT) AS r
+      FROM deg d LEFT JOIN (
+        SELECT e.t AS node, (p.r * e.w) // dg.sw AS contrib
+        FROM edges e
+        JOIN {prev} p ON p.node = e.s
+        JOIN deg dg ON dg.node = e.s
+      ) c ON c.node = d.node
+      GROUP BY d.node
+    )""")
+        prev = f"r{i}"
+    return f"""
+    WITH pairs AS MATERIALIZED (
+      SELECT a.l_partkey AS s, b.l_partkey AS t,
+             CAST(count(*) AS BIGINT) AS w
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    edges AS MATERIALIZED (
+      SELECT s, t, w FROM pairs UNION ALL SELECT t AS s, s AS t, w FROM pairs
+    ),
+    deg AS MATERIALIZED (
+      SELECT s AS node, CAST(sum(w) AS BIGINT) AS sw FROM edges GROUP BY s
+    ),
+    nn AS (SELECT count(*) AS n FROM deg),
+    r0 AS (
+      SELECT node, {_SCALE} // (SELECT n FROM nn) AS r FROM deg
+    ),{",".join(iters)}
+    SELECT node AS p_partkey, r AS pr_fixed FROM {prev}
+    """
+
+
+@query("pagerank_weighted_copurchase", oracle=_weighted_pagerank_oracle())
+def pagerank_weighted_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted fixed-point PageRank on the co-purchase graph: the edge
+    weight is HOW MANY orders the pair shared, so mass flows
+    proportionally to co-purchase strength ((rank·w) div Σw per edge)
+    instead of uniformly — the variant a recommender actually ships.
+    Same exact integer arithmetic as the unweighted query (weights are
+    integer counts by construction), so the oracle replays the weighted
+    recurrence with zero tolerance. Driver-gates the operator's
+    ``weight=`` path, previously pytest-only."""
+    from ..operators.graph import pagerank_fixed_point
+
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    li = lineitem.select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("t")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("t").alias("s"), F.col("s").alias("t"), "w")
+    )
+    ranks = pagerank_fixed_point(
+        edges, src="s", dst="t", weight="w",
+        damping=Fraction(17, 20), iterations=_PR_ITERS,
+        assume_symmetric=True,
+    )
+    return ranks.select(F.col("node").alias("p_partkey"), "pr_fixed")
+
+
+_PPR_SEEDS = 5
+
+
+def _personalized_pagerank_oracle() -> str:
+    prev = "r0"
+    iters = []
+    for i in range(1, _PR_ITERS + 1):
+        iters.append(f"""
+    r{i} AS MATERIALIZED (
+      SELECT m.node,
+             CAST(CASE WHEN m.is_seed
+                  THEN (3 * {_SCALE}) // (20 * (SELECT n FROM ns))
+                  ELSE 0 END
+             + (17 * coalesce(sum(c.contrib), 0)) // 20 AS BIGINT) AS r
+      FROM marked m LEFT JOIN (
+        SELECT e.t AS node, p.r // dg.dg AS contrib
+        FROM edges e
+        JOIN {prev} p ON p.node = e.s
+        JOIN deg dg ON dg.node = e.s
+      ) c ON c.node = m.node
+      GROUP BY m.node, m.is_seed
+    )""")
+        prev = f"r{i}"
+    return f"""
+    WITH pairs AS MATERIALIZED ({_PAIRS_SQL}),
+    edges AS MATERIALIZED (
+      SELECT u AS s, v AS t FROM pairs
+      UNION ALL SELECT v AS s, u AS t FROM pairs
+    ),
+    deg AS MATERIALIZED (
+      SELECT s AS node, count(*) AS dg FROM edges GROUP BY s
+    ),
+    seeds AS MATERIALIZED (
+      SELECT node FROM deg ORDER BY node LIMIT {_PPR_SEEDS}
+    ),
+    ns AS (SELECT count(*) AS n FROM seeds),
+    marked AS MATERIALIZED (
+      SELECT d.node, s.node IS NOT NULL AS is_seed
+      FROM deg d LEFT JOIN seeds s ON s.node = d.node
+    ),
+    r0 AS (
+      SELECT node,
+             CASE WHEN is_seed THEN {_SCALE} // (SELECT n FROM ns)
+                  ELSE 0 END AS r
+      FROM marked
+    ),{",".join(iters)}
+    SELECT node AS p_partkey, r AS pr_fixed FROM {prev}
+    """
+
+
+@query("personalized_pagerank_parts", oracle=_personalized_pagerank_oracle())
+def personalized_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized (seed-teleport) PageRank: the 5 (_PPR_SEEDS)
+    smallest part keys in the co-purchase graph play the "items the
+    user just bought" seed set, and ranks decay with graph distance
+    from them — the "similar to these items" walk. Teleport mass lands
+    ONLY on seeds; every step is the same exact integer arithmetic, so
+    the oracle replays the seeded recurrence with zero tolerance.
+    Driver-gates operators/graph.py::personalized_pagerank_fixed_point,
+    previously pytest-law-only."""
+    from ..operators.graph import personalized_pagerank_fixed_point
+
+    pairs = _copurchase_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("u").alias("s"), F.col("v").alias("t")
+    ).unionByName(pairs.select(F.col("v").alias("s"), F.col("u").alias("t")))
+    seeds = (
+        edges.select(F.col("s").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(_PPR_SEEDS)
+    )
+    ranks = personalized_pagerank_fixed_point(
+        edges, seeds, src="s", dst="t",
+        damping=Fraction(17, 20), iterations=_PR_ITERS,
+    )
+    return ranks.select(F.col("node").alias("p_partkey"), "pr_fixed")
