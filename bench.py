@@ -126,6 +126,7 @@ HEADLINE = [
     "daily_new_returning_users",
     "pareto_revenue_by_segment",
     "daily_ohlc_bars",
+    "user_value_trend",
     "monthly_revenue_mom_growth",
     "custom_source_events_report",
     "incremental_rollup_merge",

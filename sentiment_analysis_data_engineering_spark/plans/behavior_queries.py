@@ -595,3 +595,51 @@ def daily_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Per-user linear trend (regression aggregates)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "user_value_trend",
+    oracle="""
+    SELECT user_id,
+           CAST(regr_count(value, date_diff('day', DATE '2024-01-01',
+                                            CAST(ts AS DATE))) AS BIGINT)
+             AS n_obs,
+           round(regr_slope(value, date_diff('day', DATE '2024-01-01',
+                                             CAST(ts AS DATE))), 6)
+             AS slope,
+           round(regr_intercept(value, date_diff('day', DATE '2024-01-01',
+                                                 CAST(ts AS DATE))), 6)
+             AS intercept,
+           round(regr_r2(value, date_diff('day', DATE '2024-01-01',
+                                          CAST(ts AS DATE))), 6) AS r2
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user linear trend of event value over time via the SQL
+    regression aggregates (regr_slope/intercept/r2/count) — per-key
+    OLS as a closed-form single-pass aggregate, NO grouped-map UDF
+    (the applyInPandas formulation ships every row through Arrow; the
+    aggregate form combines map-side like any sum). The regressor is
+    days since 2024-01-01 — a SMALL x anchored near the data, because
+    regression moments over a large raw-epoch x cancel catastrophically
+    and the 6-dp cross-engine rounding stops absorbing the difference.
+    Degenerate keys (all events one day) yield NULL slope in both
+    engines."""
+    (events,) = load_tables(spark, sf_dir, "events")
+
+    x = F.datediff(F.to_date("ts"), F.to_date(F.lit("2024-01-01"))).cast(
+        "double"
+    )
+    return events.groupBy("user_id").agg(
+        F.regr_count("value", x).alias("n_obs"),
+        F.round(F.regr_slope("value", x), 6).alias("slope"),
+        F.round(F.regr_intercept("value", x), 6).alias("intercept"),
+        F.round(F.regr_r2("value", x), 6).alias("r2"),
+    )
