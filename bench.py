@@ -63,6 +63,7 @@ HEADLINE = [
     "dedup_clusters",
     "dedup_survivor_selection",
     "dedup_embedding_cosine",
+    "semantic_dedup_stats",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

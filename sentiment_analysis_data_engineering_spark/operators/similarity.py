@@ -34,6 +34,7 @@ __all__ = [
     "hyperplane_signature",
     "ivf_cosine_topk",
     "kmeans_clusters",
+    "semantic_dedup",
     "quantize_int8_stats",
 ]
 
@@ -592,3 +593,105 @@ def quantize_int8_stats(
             F.max("_rmse").alias("max_rmse"),
         )
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    threshold: float = 0.3,
+    seed: int = 7,
+    max_cluster_size: int = 100_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public method): k-means cluster the
+    embeddings, connect within-cluster pairs with cosine ≥ threshold,
+    keep ONE representative per connected near-dup component — returns
+    (id, cluster, keep boolean) covering every input vector.
+
+    The whole point of the method is that clustering makes the
+    quadratic LOCAL: pairs are a per-cluster self-equi-join keyed on
+    the cluster id (never a corpus cross join), and k is chosen so
+    n/k-sized clusters keep |c|² affordable — at 100 TB you raise k
+    with the corpus, exactly as the paper does. Degenerate clusters
+    larger than ``max_cluster_size`` are excluded from pairing (all
+    their members kept) rather than silently exploding — the same
+    oversized-block guard as the fuzzy-matching family. Component
+    resolution reuses the dedup family's min-label propagation; the
+    survivor is the component's smallest id (deterministic given the
+    assignment; cluster ids themselves are kmeans||-partition-dependent,
+    so downstream checks should assert cluster-invariant laws, as the
+    kmeans query contract documents).
+    """
+    from .dedup import connected_components
+
+    assign = kmeans_clusters(
+        df, vec_col=vec_col, id_col=id_col, k=k, seed=seed
+    )
+    base = (
+        df.select(F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v"))
+        .withColumn("_n", _norm(F.col("_v")))
+        .join(assign.select(F.col(id_col).alias("_id"), "cluster"), "_id")
+        .persist()
+    )
+    try:
+        csize = base.groupBy("cluster").agg(F.count("*").alias("_cs"))
+        pairable = base.join(
+            F.broadcast(
+                csize.filter(F.col("_cs") <= max_cluster_size).select(
+                    "cluster"
+                )
+            ),
+            "cluster",
+        )
+        a = pairable.select(
+            "cluster",
+            F.col("_id").alias("id_a"),
+            F.col("_v").alias("_va"),
+            F.col("_n").alias("_na"),
+        )
+        b = pairable.select(
+            "cluster",
+            F.col("_id").alias("id_b"),
+            F.col("_v").alias("_vb"),
+            F.col("_n").alias("_nb"),
+        )
+        cos = _safe_cosine(
+            F.aggregate(
+                F.zip_with(
+                    F.col("_va"), F.col("_vb"), lambda x, y: x * y
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            F.col("_na"),
+            F.col("_nb"),
+        )
+        pairs = (
+            a.join(b, "cluster")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("_cos", cos)
+            .filter(F.col("_cos") >= threshold)
+            .select("id_a", "id_b")
+        )
+        comps = connected_components(pairs)
+        out = (
+            base.join(
+                comps.withColumnRenamed("id", "_id"), "_id", "left"
+            )
+            .select(
+                F.col("_id").alias(id_col),
+                "cluster",
+                # un-paired vectors have no component row -> kept; paired
+                # ones survive iff they ARE their component's min label
+                (
+                    F.col("comp").isNull()
+                    | (F.col("comp") == F.col("_id"))
+                ).alias("keep"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        base.unpersist()
+    return out

@@ -884,6 +884,61 @@ def embedding_kmeans_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "semantic_dedup_stats",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_points,
+           TRUE AS conservation_ok,
+           TRUE AS k_bounded_ok,
+           TRUE AS cluster_keeps_ok
+    FROM embeddings
+    """,
+)
+def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/similarity.py::semantic_dedup - cluster with
+    k-means, connect within-cluster cosine>=0.3 pairs, keep one
+    representative per near-dup component) reported through its
+    partition-INDEPENDENT laws, the kmeans-contract pattern: every
+    vector appears exactly once with a keep verdict (conservation), at
+    most k clusters are used, and every cluster retains at least one
+    survivor (components never span clusters, so each component's
+    min-id survivor lives in its own cluster). Which vectors survive
+    is kmeans||-partition-dependent, hence laws, not rows; the
+    deterministic two-tight-clusters behavior is pytest-pinned."""
+    (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    out = sim.semantic_dedup(
+        embeddings, vec_col="embedding", id_col="vec_id",
+        k=8, threshold=0.3, seed=7,
+    )
+    per_cluster = out.groupBy("cluster").agg(
+        F.sum(F.col("keep").cast("long")).alias("_keeps")
+    )
+    return (
+        out.agg(
+            F.count("*").alias("n_points"),
+            (
+                (F.count("*") == F.count_distinct("vec_id"))
+                & (
+                    F.sum(F.col("keep").cast("long"))
+                    + F.sum((~F.col("keep")).cast("long"))
+                    == F.count("*")
+                )
+            ).alias("conservation_ok"),
+            (F.count_distinct("cluster") <= 8).alias("k_bounded_ok"),
+        )
+        .crossJoin(
+            F.broadcast(
+                per_cluster.agg(
+                    (F.min("_keeps") >= 1).alias("cluster_keeps_ok")
+                )
+            )
+        )
+        .select(
+            "n_points", "conservation_ok", "k_bounded_ok", "cluster_keeps_ok"
+        )
+    )
+
+
+@query(
     "sequence_packing_stats",
     oracle="""
     WITH t AS (

@@ -171,3 +171,43 @@ def test_quantize_int8_stats_exact_levels_lossless(spark):
         [(1, vec)], "vec_id long, embedding array<float>")
     got = quantize_int8_stats(df, vec_col="embedding", id_col="vec_id").first()
     assert got.grp == "all" and got.max_rmse == 0.0
+
+
+def test_semantic_dedup_two_tight_clusters(spark):
+    # cluster around e1: ids 1,2,3 pairwise cosine ~1 -> keep only 1;
+    # cluster around e2: ids 10,11 identical -> keep only 10;
+    # id 20 points elsewhere (cosine < threshold with everything) ->
+    # kept wherever kmeans puts it
+    def v(axis, eps=0.0):
+        out = [0.0] * 8
+        out[axis] = 1.0
+        out[(axis + 4) % 8] = eps
+        return out
+
+    rows = [
+        (1, v(0)), (2, v(0, 0.01)), (3, v(0, 0.02)),
+        (10, v(1)), (11, v(1)),
+        (20, v(2)),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: r.keep
+        for r in sim.semantic_dedup(
+            df, vec_col="embedding", id_col="vec_id",
+            k=2, threshold=0.9, seed=7,
+        ).collect()
+    }
+    assert out == {1: True, 2: False, 3: False, 10: True, 11: False, 20: True}
+
+
+def test_semantic_dedup_oversized_cluster_guard(spark):
+    # with max_cluster_size below the cluster population, members are
+    # excluded from pairing and ALL kept
+    rows = [(i, [1.0, 0.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sim.semantic_dedup(
+        df, vec_col="embedding", id_col="vec_id",
+        k=2, threshold=0.5, seed=7, max_cluster_size=3,
+    )
+    assert all(r.keep for r in out.collect())
+    assert out.count() == 6
