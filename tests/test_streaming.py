@@ -595,3 +595,34 @@ def test_ohlc_stream_matches_batch_query(spark, sf_dir, events_dir):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_transform_with_state_matches_groupstate_api(spark, sf_dir, events_dir):
+    # the Spark 4 StatefulProcessor surface must produce the SAME final
+    # running totals as the applyInPandasWithState twin and the batch agg
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState's state protocol rides protobuf, "
+        "absent in this container (present on standard cluster images)",
+    )
+    from sentiment_analysis_data_engineering_spark.streaming import stateful
+
+    stream = st.read_events_stream(spark, events_dir)
+    out = st.run_available_now(
+        stateful.running_user_stats_tws(stream),
+        "t_stateful_tws",
+        output_mode="update",
+    )
+    pdf = out.toPandas()
+    final = pdf.groupby("user_id").tail(1).set_index("user_id")
+    (events,) = load_tables(spark, sf_dir, "events")
+    batch = (
+        events.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("v"))
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert len(final) == len(batch)
+    for uid, row in batch.iterrows():
+        assert final.loc[uid, "n_events"] == row["n"]
+        assert abs(final.loc[uid, "total_value"] - row["v"]) < 1e-3
