@@ -604,6 +604,7 @@ def semantic_dedup(
     threshold: float = 0.3,
     seed: int = 7,
     max_cluster_size: int = 100_000,
+    cc_max_iter: int = 60,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, public method): k-means cluster the
     embeddings, connect within-cluster pairs with cosine ≥ threshold,
@@ -622,7 +623,10 @@ def semantic_dedup(
     survivor is the component's smallest id (deterministic given the
     assignment; cluster ids themselves are kmeans||-partition-dependent,
     so downstream checks should assert cluster-invariant laws, as the
-    kmeans query contract documents).
+    kmeans query contract documents). ``cc_max_iter`` passes through
+    to the component propagation — low thresholds build loose
+    similarity CHAINS, not near-cliques, so component diameter (=
+    required iterations) can far exceed the dup-graph default.
     """
     from .dedup import connected_components
 
@@ -658,15 +662,7 @@ def semantic_dedup(
             F.col("_n").alias("_nb"),
         )
         cos = _safe_cosine(
-            F.aggregate(
-                F.zip_with(
-                    F.col("_va"), F.col("_vb"), lambda x, y: x * y
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            F.col("_na"),
-            F.col("_nb"),
+            _dot(F.col("_va"), F.col("_vb")), F.col("_na"), F.col("_nb")
         )
         pairs = (
             a.join(b, "cluster")
@@ -675,7 +671,7 @@ def semantic_dedup(
             .filter(F.col("_cos") >= threshold)
             .select("id_a", "id_b")
         )
-        comps = connected_components(pairs)
+        comps = connected_components(pairs, max_iter=cc_max_iter)
         out = (
             base.join(
                 comps.withColumnRenamed("id", "_id"), "_id", "left"

@@ -883,6 +883,9 @@ def embedding_kmeans_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("n_points", "k_bounded_ok", "assignment_total_ok")
 
 
+_SEMDEDUP_K = 8
+
+
 @query(
     "semantic_dedup_stats",
     oracle="""
@@ -907,7 +910,7 @@ def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (embeddings,) = load_tables(spark, sf_dir, "embeddings")
     out = sim.semantic_dedup(
         embeddings, vec_col="embedding", id_col="vec_id",
-        k=8, threshold=0.3, seed=7,
+        k=_SEMDEDUP_K, threshold=0.3, seed=7,
     )
     per_cluster = out.groupBy("cluster").agg(
         F.sum(F.col("keep").cast("long")).alias("_keeps")
@@ -923,7 +926,9 @@ def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     == F.count("*")
                 )
             ).alias("conservation_ok"),
-            (F.count_distinct("cluster") <= 8).alias("k_bounded_ok"),
+            (F.count_distinct("cluster") <= _SEMDEDUP_K).alias(
+                "k_bounded_ok"
+            ),
         )
         .crossJoin(
             F.broadcast(
