@@ -124,6 +124,7 @@ HEADLINE = [
     "kcore_parts",
     "bigram_pmi_collocations",
     "table_profile_orders",
+    "correlation_matrix_lineitem",
     "daily_new_returning_users",
     "pareto_revenue_by_segment",
     "daily_ohlc_bars",

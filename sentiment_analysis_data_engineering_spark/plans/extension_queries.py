@@ -883,6 +883,56 @@ def embedding_kmeans_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("n_points", "k_bounded_ok", "assignment_total_ok")
 
 
+@query(
+    "correlation_matrix_lineitem",
+    oracle="""
+    SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, round(corr(l_quantity, l_extendedprice), 6) AS pearson_r FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity' AS col_a, 'l_discount' AS col_b, round(corr(l_quantity, l_discount), 6) AS pearson_r FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity' AS col_a, 'l_tax' AS col_b, round(corr(l_quantity, l_tax), 6) AS pearson_r FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice' AS col_a, 'l_discount' AS col_b, round(corr(l_extendedprice, l_discount), 6) AS pearson_r FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice' AS col_a, 'l_tax' AS col_b, round(corr(l_extendedprice, l_tax), 6) AS pearson_r FROM lineitem
+    UNION ALL
+    SELECT 'l_discount' AS col_a, 'l_tax' AS col_b, round(corr(l_discount, l_tax), 6) AS pearson_r FROM lineitem
+    """,
+)
+def correlation_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of the lineitem value columns in
+    ONE scan — the feature-screening companion to the table profiler:
+    every corr(a,b) is an aggregate expression in a single agg (6
+    co-moment sums per pair, all map-side combining), the 1-row result
+    exploded into the long (col_a, col_b, pearson_r) form driver-free.
+    The naive formulation runs one scan per pair; this one is
+    scan-count-invariant in the number of pairs, which is what makes a
+    p-column correlation matrix (p² pairs) affordable at 100 TB.
+    Rounded to 6 dp (summation-order convention)."""
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+
+    one = lineitem.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("_c0"),
+        F.round(F.corr("l_quantity", "l_discount"), 6).alias("_c1"),
+        F.round(F.corr("l_quantity", "l_tax"), 6).alias("_c2"),
+        F.round(F.corr("l_extendedprice", "l_discount"), 6).alias("_c3"),
+        F.round(F.corr("l_extendedprice", "l_tax"), 6).alias("_c4"),
+        F.round(F.corr("l_discount", "l_tax"), 6).alias("_c5"),
+    )
+    return one.select(
+        F.explode(
+            F.array(
+                    F.struct(F.lit("l_quantity").alias("col_a"), F.lit("l_extendedprice").alias("col_b"), F.col("_c0").alias("pearson_r")),
+                    F.struct(F.lit("l_quantity").alias("col_a"), F.lit("l_discount").alias("col_b"), F.col("_c1").alias("pearson_r")),
+                    F.struct(F.lit("l_quantity").alias("col_a"), F.lit("l_tax").alias("col_b"), F.col("_c2").alias("pearson_r")),
+                    F.struct(F.lit("l_extendedprice").alias("col_a"), F.lit("l_discount").alias("col_b"), F.col("_c3").alias("pearson_r")),
+                    F.struct(F.lit("l_extendedprice").alias("col_a"), F.lit("l_tax").alias("col_b"), F.col("_c4").alias("pearson_r")),
+                    F.struct(F.lit("l_discount").alias("col_a"), F.lit("l_tax").alias("col_b"), F.col("_c5").alias("pearson_r")),
+            )
+        ).alias("_r")
+    ).select("_r.col_a", "_r.col_b", "_r.pearson_r")
+
+
 _SEMDEDUP_K = 8
 
 
