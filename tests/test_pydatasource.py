@@ -135,3 +135,41 @@ def test_streaming_picks_up_new_files(registered, tmp_path, spark):
         assert got == [(1, 1.0), (2, 2.0), (3, 0.5)]
     finally:
         q.stop()
+
+
+def test_streaming_checkpoint_restart_consumes_only_new_files(
+    registered, tmp_path, spark
+):
+    # run 1 consumes the initial payload under a checkpoint; run 2 with
+    # the SAME checkpoint must resume from the stored offset and emit
+    # only the file dropped in between — no re-emission of run 1's rows
+    d = tmp_path / "drop"
+    d.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    _write(d / "0001.jsonl", [{"k": 1, "v": 1.0}, {"k": 2, "v": 2.0}])
+
+    def run_once(table):
+        # memory sink can't recover from a checkpoint; foreachBatch can
+        rows = []
+        stream = (
+            spark.readStream.format("json_payload")
+            .schema("k long, v double")
+            .option("path", str(d))
+            .load()
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda batch_df, batch_id: rows.extend(batch_df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        return rows
+
+    first = run_once("t_payload_run1")
+    assert sorted((r.k, r.v) for r in first) == [(1, 1.0), (2, 2.0)]
+    _write(d / "0002.jsonl", [{"k": 3, "v": 0.5}])
+    second = run_once("t_payload_run2")
+    assert sorted((r.k, r.v) for r in second) == [(3, 0.5)]
