@@ -102,6 +102,7 @@ HEADLINE = [
     "idle_rich_customers",
     # round 4: curation extensions
     "span_dedup_stats",
+    "span_dedup_rewrite",
     "source_capped_docs",
     "token_length_buckets",
     # round 4: CDC / dimension history

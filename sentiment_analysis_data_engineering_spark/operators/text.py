@@ -36,6 +36,7 @@ __all__ = [
     "chunk_token_windows",
     "unigram_logprob_score",
     "bigram_pmi",
+    "remove_duplicate_spans",
 ]
 
 
@@ -457,4 +458,81 @@ def bigram_pmi(
                 6,
             ).alias("pmi"),
         )
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    span_tokens: int = 8,
+) -> DataFrame:
+    """The REWRITE half of C4-style span dedup (the stats half is the
+    span_dedup_stats query): cut every document into disjoint
+    ``span_tokens``-token spans, keep only the corpus-wide FIRST
+    occurrence of each distinct span text (first = smallest
+    (doc, position) — so even in-document repeats collapse to one),
+    and reassemble each document from its surviving spans in order.
+    Returns (id, text, n_spans, n_removed) — a doc whose spans all
+    survive round-trips to its whitespace-normalized self.
+
+    Plan shape (shingle family, SCALE.md): one narrow explode, one
+    map-side-combining min-struct agg on span text (the only
+    corpus-keyed shuffle), one span-keyed join back, then a doc-keyed
+    reassembly agg — collect_list into array_sort, a commutative
+    aggregate plus a deterministic in-row sort, so NO window and no
+    global sort anywhere. Cost ∝ total spans, never pairs.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_t"),
+    )
+    n_spans = F.ceil(F.size("_t") / F.lit(float(span_tokens))).cast("long")
+    spans = toks.select(
+        "_id",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), n_spans - 1)
+        ).alias("_pos"),
+        "_t",
+    ).select(
+        "_id",
+        "_pos",
+        F.array_join(
+            F.slice(
+                F.col("_t"),
+                (F.col("_pos") * span_tokens + 1).cast("int"),
+                span_tokens,
+            ),
+            " ",
+        ).alias("_span"),
+    )
+    winners = spans.groupBy("_span").agg(
+        F.min(F.struct("_id", "_pos")).alias("_w")
+    )
+    marked = spans.join(winners, "_span").withColumn(
+        "_keep",
+        (F.col("_w._id") == F.col("_id")) & (F.col("_w._pos") == F.col("_pos")),
+    )
+    return (
+        marked.groupBy("_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum((~F.col("_keep")).cast("long")).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_keep"),
+                                F.struct("_pos", "_span"),
+                            )
+                        )
+                    ),
+                    lambda s: s["_span"],
+                ),
+                " ",
+            ).alias("text"),
+        )
+        .select(F.col("_id").alias(id_col), "text", "n_spans", "n_removed")
     )

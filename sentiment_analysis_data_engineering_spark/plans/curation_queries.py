@@ -114,6 +114,57 @@ def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "span_dedup_rewrite",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(t[(i*8+1):(i*8+8)], ' ') AS span
+      FROM toks,
+           unnest(generate_series(
+             0, CAST(ceil(len(t)/8.0) AS BIGINT) - 1)) AS g(i)
+    ),
+    winners AS (
+      SELECT span, min({'d': doc_id, 'p': pos}) AS w
+      FROM spans GROUP BY span
+    ),
+    marked AS (
+      SELECT s.doc_id, s.pos, s.span,
+             (w.w = {'d': s.doc_id, 'p': s.pos}) AS keep
+      FROM spans s JOIN winners w ON w.span = s.span
+    )
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN keep THEN span END,
+                               ' ' ORDER BY pos), '') AS text,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(coalesce(sum(CASE WHEN NOT keep THEN 1 END), 0) AS BIGINT)
+             AS n_removed
+    FROM marked GROUP BY doc_id
+    """,
+)
+def span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REWRITE half of span dedup (operators/text.py::
+    remove_duplicate_spans): every repeated 8-token span keeps only its
+    corpus-wide first occurrence (smallest (doc, position)) and each
+    document is reassembled from its surviving spans — the Lee et al.
+    "deduplicating training data" transform, where span_dedup_stats
+    above only counts. Full rewritten TEXTS are hash-checked against
+    the DuckDB replay, byte for byte. Same shingle-family plan: one
+    span-keyed min-struct agg, one join back, one doc-keyed reassembly
+    via collect_list + array_sort (commutative agg + in-row sort — no
+    window, no global sort)."""
+    from ..operators import text as tx
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return tx.remove_duplicate_spans(
+        documents, "text", "doc_id", span_tokens=_SPAN_TOKENS
+    )
+
+
 # --------------------------------------------------------------------------
 # Per-source document cap (C4/RefinedWeb "domain cap")
 # --------------------------------------------------------------------------

@@ -258,3 +258,56 @@ def test_bigram_pmi_rejects_bad_min_count(spark):
     df = spark.createDataFrame([("a b",)], "text string")
     with pytest.raises(ValueError, match="min_count"):
         tx.bigram_pmi(df, "text", min_count=0)
+
+
+def test_remove_duplicate_spans_first_occurrence_wins(spark):
+    # span width 2: doc1 = "a b c d", doc2 = "a b x y" — doc2's "a b"
+    # span is a corpus duplicate and is removed; everything else stays
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b x y")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.text, r.n_spans, r.n_removed)
+        for r in tx.remove_duplicate_spans(
+            df, "text", "doc_id", span_tokens=2
+        ).collect()
+    }
+    assert got[1] == ("a b c d", 2, 0)
+    assert got[2] == ("x y", 2, 1)
+
+
+def test_remove_duplicate_spans_in_document_repeats_collapse(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a b")], "doc_id long, text string"
+    )
+    got = tx.remove_duplicate_spans(
+        df, "text", "doc_id", span_tokens=2
+    ).first()
+    assert (got.text, got.n_spans, got.n_removed) == ("a b", 3, 2)
+
+
+def test_remove_duplicate_spans_clean_doc_roundtrips(spark):
+    # no duplicates anywhere: the rewrite is whitespace normalization
+    df = spark.createDataFrame(
+        [(1, "  u v  w   x "), (2, "p q r")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.text, r.n_removed)
+        for r in tx.remove_duplicate_spans(
+            df, "text", "doc_id", span_tokens=2
+        ).collect()
+    }
+    assert got == {1: ("u v w x", 0), 2: ("p q r", 0)}
+
+
+def test_remove_duplicate_spans_fully_duplicated_doc_empties(spark):
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.text, r.n_removed)
+        for r in tx.remove_duplicate_spans(
+            df, "text", "doc_id", span_tokens=2
+        ).collect()
+    }
+    assert got == {1: ("a b", 0), 2: ("", 1)}
