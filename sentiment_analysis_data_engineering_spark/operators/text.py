@@ -37,6 +37,7 @@ __all__ = [
     "unigram_logprob_score",
     "bigram_pmi",
     "remove_duplicate_spans",
+    "doc_spans",
 ]
 
 
@@ -461,6 +462,45 @@ def bigram_pmi(
     )
 
 
+def doc_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    span_tokens: int,
+) -> DataFrame:
+    """Disjoint ``span_tokens``-token span frame — (id, pos, span) —
+    the ONE span definition shared by the stats and rewrite halves of
+    span dedup (a drifting copy would make the stats describe a
+    different dedup than the rewrite applies). Tokenization is the
+    module's canonical :func:`tokens`; the final span of a doc may be
+    shorter than the width. Narrow projection + explode, no shuffle."""
+    if span_tokens < 1:
+        raise ValueError(f"span_tokens must be >= 1, got {span_tokens}")
+    toks = df.select(
+        F.col(id_col).alias("_id"), tokens(text_col).alias("_t")
+    )
+    n_spans = F.ceil(F.size("_t") / F.lit(float(span_tokens))).cast("long")
+    return toks.select(
+        "_id",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), n_spans - 1)
+        ).alias("pos"),
+        "_t",
+    ).select(
+        F.col("_id").alias(id_col),
+        "pos",
+        F.array_join(
+            F.slice(
+                F.col("_t"),
+                (F.col("pos") * span_tokens + 1).cast("int"),
+                span_tokens,
+            ),
+            " ",
+        ).alias("span"),
+    )
+
+
 def remove_duplicate_spans(
     df: DataFrame,
     text_col: str,
@@ -484,28 +524,10 @@ def remove_duplicate_spans(
     aggregate plus a deterministic in-row sort, so NO window and no
     global sort anywhere. Cost ∝ total spans, never pairs.
     """
-    toks = df.select(
+    spans = doc_spans(df, text_col, id_col, span_tokens=span_tokens).select(
         F.col(id_col).alias("_id"),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("_t"),
-    )
-    n_spans = F.ceil(F.size("_t") / F.lit(float(span_tokens))).cast("long")
-    spans = toks.select(
-        "_id",
-        F.explode(
-            F.sequence(F.lit(0).cast("long"), n_spans - 1)
-        ).alias("_pos"),
-        "_t",
-    ).select(
-        "_id",
-        "_pos",
-        F.array_join(
-            F.slice(
-                F.col("_t"),
-                (F.col("_pos") * span_tokens + 1).cast("int"),
-                span_tokens,
-            ),
-            " ",
-        ).alias("_span"),
+        F.col("pos").alias("_pos"),
+        F.col("span").alias("_span"),
     )
     winners = spans.groupBy("_span").agg(
         F.min(F.struct("_id", "_pos")).alias("_w")

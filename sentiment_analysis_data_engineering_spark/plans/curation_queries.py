@@ -75,29 +75,10 @@ def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     attribution is min(doc_id) — a commutative aggregate, not a
     window — so no global sort exists anywhere. At 100 TB this is the
     shingle-family shape of SCALE.md: cost ∝ total spans, never pairs."""
+    from ..operators.text import doc_spans
+
     (documents,) = load_tables(spark, sf_dir, "documents")
-    toks = documents.select(
-        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
-    )
-    n_spans_col = F.ceil(F.size("t") / F.lit(float(_SPAN_TOKENS))).cast("long")
-    spans = toks.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0).cast("long"), n_spans_col - 1)).alias(
-            "pos"
-        ),
-        "t",
-    ).select(
-        "doc_id",
-        "pos",
-        F.array_join(
-            F.slice(
-                F.col("t"),
-                (F.col("pos") * _SPAN_TOKENS + 1).cast("int"),
-                _SPAN_TOKENS,
-            ),
-            " ",
-        ).alias("span"),
-    )
+    spans = doc_spans(documents, "text", "doc_id", span_tokens=_SPAN_TOKENS)
     winners = spans.groupBy("span").agg(F.min("doc_id").alias("w_doc"))
     kept = winners.groupBy(F.col("w_doc").alias("doc_id")).agg(
         F.count("*").alias("n_kept")
@@ -116,25 +97,25 @@ def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "span_dedup_rewrite",
-    oracle="""
+    oracle=f"""
     WITH toks AS (
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
       FROM documents
     ),
     spans AS (
       SELECT doc_id, i AS pos,
-             array_to_string(t[(i*8+1):(i*8+8)], ' ') AS span
+             array_to_string(t[(i*{_SPAN_TOKENS}+1):(i*{_SPAN_TOKENS}+{_SPAN_TOKENS})], ' ') AS span
       FROM toks,
            unnest(generate_series(
-             0, CAST(ceil(len(t)/8.0) AS BIGINT) - 1)) AS g(i)
+             0, CAST(ceil(len(t)/{_SPAN_TOKENS}.0) AS BIGINT) - 1)) AS g(i)
     ),
     winners AS (
-      SELECT span, min({'d': doc_id, 'p': pos}) AS w
+      SELECT span, min({{'d': doc_id, 'p': pos}}) AS w
       FROM spans GROUP BY span
     ),
     marked AS (
       SELECT s.doc_id, s.pos, s.span,
-             (w.w = {'d': s.doc_id, 'p': s.pos}) AS keep
+             (w.w = {{'d': s.doc_id, 'p': s.pos}}) AS keep
       FROM spans s JOIN winners w ON w.span = s.span
     )
     SELECT doc_id,

@@ -148,7 +148,7 @@ def test_streaming_checkpoint_restart_consumes_only_new_files(
     ckpt = str(tmp_path / "ckpt")
     _write(d / "0001.jsonl", [{"k": 1, "v": 1.0}, {"k": 2, "v": 2.0}])
 
-    def run_once(table):
+    def run_once():
         # memory sink can't recover from a checkpoint; foreachBatch can
         rows = []
         stream = (
@@ -168,8 +168,8 @@ def test_streaming_checkpoint_restart_consumes_only_new_files(
         q.awaitTermination(60)
         return rows
 
-    first = run_once("t_payload_run1")
+    first = run_once()
     assert sorted((r.k, r.v) for r in first) == [(1, 1.0), (2, 2.0)]
     _write(d / "0002.jsonl", [{"k": 3, "v": 0.5}])
-    second = run_once("t_payload_run2")
+    second = run_once()
     assert sorted((r.k, r.v) for r in second) == [(3, 0.5)]
