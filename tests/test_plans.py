@@ -211,3 +211,38 @@ def test_scd2_closed_history_bypasses_join(spark, sf_dir):
     # the history union has a branch with no Join below it (closed
     # slice passes through); count joins well under branches x joins
     assert opt.count("Join") <= 3
+
+
+def test_graph_family_never_nested_loops(spark, sf_dir):
+    # triangle counting / k-core / span rewrite: every join must be an
+    # equi-join — a CartesianProduct or nested loop anywhere in the
+    # graph family is a planning regression, not a tuning matter.
+    # (PageRank's returned frame is a localCheckpoint, so its plan is
+    # opaque here; its shape is pinned by the operator docstring and
+    # the per-iteration structure instead.)
+    for name in ("triangle_counts_parts", "kcore_parts", "span_dedup_rewrite"):
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "NestedLoop" not in plan, name
+
+
+def test_profiler_has_no_expand_or_keyed_sort_aggregate(spark, sf_dir):
+    # the trap the profiler's two-subtree layout avoids is a KEYED
+    # SortAggregate over an Expand (rows replicated per distinct group,
+    # then sorted on all columns — measured 6x). A keyless global
+    # SortAggregate is fine: string min/max buffers disqualify
+    # HashAggregate but with key=[] there is nothing to sort.
+    plan = plan_of(QUERIES["table_profile_orders"](spark, sf_dir))
+    assert "Expand" not in plan
+    import re
+
+    keyed_sorts = [
+        m for m in re.findall(r"SortAggregate\(key=\[([^\]]*)\]", plan)
+        if m.strip()
+    ]
+    assert keyed_sorts == []
+
+
+def test_correlation_matrix_single_scan(spark, sf_dir):
+    plan = plan_of(QUERIES["correlation_matrix_lineitem"](spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
