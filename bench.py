@@ -129,6 +129,7 @@ HEADLINE = [
     "daily_new_returning_users",
     "pareto_revenue_by_segment",
     "daily_ohlc_bars",
+    "daily_returns_volatility",
     "user_value_trend",
     "monthly_revenue_mom_growth",
     "custom_source_events_report",

@@ -643,3 +643,81 @@ def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept("value", x), 6).alias("intercept"),
         F.round(F.regr_r2("value", x), 6).alias("r2"),
     )
+
+
+# --------------------------------------------------------------------------
+# Daily log returns + rolling volatility
+# --------------------------------------------------------------------------
+
+
+@query(
+    "daily_returns_volatility",
+    oracle="""
+    WITH closes AS (
+      SELECT user_id,
+             CAST(ts AS DATE) AS d,
+             (max({'t': ts, 'e': event_id, 'v': value}))['v'] AS close
+      FROM events
+      GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    rets AS (
+      SELECT user_id, d, close,
+             round(ln(close / lag(close) OVER w), 6) AS log_ret
+      FROM closes
+      WINDOW w AS (PARTITION BY user_id ORDER BY d)
+    )
+    SELECT user_id,
+           strftime(d, '%Y-%m-%d') AS day,
+           round(close, 6) AS close,
+           log_ret,
+           CASE WHEN count(log_ret) OVER v >= 2 THEN
+             round(sqrt(
+               (sum(log_ret * log_ret) OVER v
+                - sum(log_ret) OVER v * sum(log_ret) OVER v
+                  / count(log_ret) OVER v)
+               / (count(log_ret) OVER v - 1)), 6)
+           END AS vol_7d
+    FROM rets
+    WINDOW v AS (PARTITION BY user_id ORDER BY d
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def daily_returns_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily log returns per user plus trailing-7-observation
+    volatility — the returns/volatility pair every market pipeline
+    derives from its OHLC closes (the reference stores raw closes,
+    daily_dag.py:98-103, and defers this math to its BigQuery users).
+    The close is the same deterministic (ts, event_id, value)
+    struct-max pick as daily_ohlc_bars; volatility is computed from
+    explicit frame sums ((Σx² − (Σx)²/n)/(n−1)) so BOTH engines
+    evaluate the identical expression in identical frame order —
+    library stddev implementations differ algorithmically (Welford vs
+    co-moment) in their last bits, which a hash comparison cannot
+    forgive. Returns are rounded BEFORE the volatility frame so the
+    downstream sums start from hash-identical inputs. One user-keyed
+    shuffle; both windows share it (the events-family partitioning)."""
+    (events,) = load_tables(spark, sf_dir, "events")
+
+    pick = F.struct("ts", "event_id", "value")
+    closes = (
+        events.groupBy("user_id", F.to_date("ts").alias("_d"))
+        .agg(F.max(pick).alias("_last"))
+        .select("user_id", "_d", F.col("_last.value").alias("close"))
+    )
+    wo = Window.partitionBy("user_id").orderBy("_d")
+    rets = closes.withColumn(
+        "log_ret", F.round(F.log(F.col("close") / F.lag("close").over(wo)), 6)
+    )
+    wv = wo.rowsBetween(-6, 0)
+    n = F.count("log_ret").over(wv)
+    sx = F.sum("log_ret").over(wv)
+    sxx = F.sum(F.col("log_ret") * F.col("log_ret")).over(wv)
+    return rets.select(
+        "user_id",
+        F.date_format("_d", "yyyy-MM-dd").alias("day"),
+        F.round("close", 6).alias("close"),
+        "log_ret",
+        F.when(
+            n >= 2, F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 6)
+        ).alias("vol_7d"),
+    )
