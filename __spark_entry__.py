@@ -124,7 +124,7 @@ _GATE_FIRST = [
     # output, CEP pytest + local sweep coverage) is the one query the
     # 50-slot cap pushes out this round.
     # user_value_trend / semantic_dedup_stats / correlation_matrix_lineitem /
-    # span_dedup_rewrite / daily_returns_volatility /
+    # span_dedup_rewrite / daily_returns_volatility / max_drawdown_per_user /
     # pagerank_weighted_copurchase / personalized_pagerank_parts (added
     # after the 50 slots filled) queue for the next round's prefix;
     # the local sweep covers them this round.

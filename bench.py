@@ -130,6 +130,7 @@ HEADLINE = [
     "pareto_revenue_by_segment",
     "daily_ohlc_bars",
     "daily_returns_volatility",
+    "max_drawdown_per_user",
     "user_value_trend",
     "monthly_revenue_mom_growth",
     "custom_source_events_report",

@@ -721,3 +721,72 @@ def daily_returns_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
             n >= 2, F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 6)
         ).alias("vol_7d"),
     )
+
+
+# --------------------------------------------------------------------------
+# Maximum drawdown
+# --------------------------------------------------------------------------
+
+
+@query(
+    "max_drawdown_per_user",
+    oracle="""
+    WITH closes AS (
+      SELECT user_id,
+             CAST(ts AS DATE) AS d,
+             (max({'t': ts, 'e': event_id, 'v': value}))['v'] AS close
+      FROM events
+      GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    dd AS (
+      SELECT user_id, d,
+             close / max(close) OVER (PARTITION BY user_id ORDER BY d
+                                      ROWS UNBOUNDED PRECEDING) - 1
+               AS drawdown
+      FROM closes
+    )
+    SELECT user_id,
+           round((min({'dd': drawdown, 'day': d}))['dd'], 6)
+             AS max_drawdown,
+           strftime((min({'dd': drawdown, 'day': d}))['day'], '%Y-%m-%d')
+             AS trough_day
+    FROM dd
+    GROUP BY user_id
+    """,
+)
+def max_drawdown_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user — the worst peak-to-trough decline of
+    the daily close series, with the trough date (finance's standard
+    risk companion to volatility). Drawdown = close / running-max − 1
+    involves NO summation: identical doubles divide identically in
+    both engines, so the struct-min argmin (smallest drawdown, then
+    earliest day as the deterministic tiebreak) needs no tolerance and
+    only the reported ratio is rounded. One user-keyed window shuffle
+    (running max is streaming state in-partition) + one map-side
+    combining argmin agg."""
+    (events,) = load_tables(spark, sf_dir, "events")
+
+    pick = F.struct("ts", "event_id", "value")
+    closes = (
+        events.groupBy("user_id", F.to_date("ts").alias("_d"))
+        .agg(F.max(pick).alias("_last"))
+        .select("user_id", "_d", F.col("_last.value").alias("close"))
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("_d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dd = closes.select(
+        "user_id",
+        "_d",
+        (F.col("close") / F.max("close").over(wrun) - 1).alias("_dd"),
+    )
+    best = dd.groupBy("user_id").agg(
+        F.min(F.struct(F.col("_dd"), F.col("_d"))).alias("_m")
+    )
+    return best.select(
+        "user_id",
+        F.round(F.col("_m._dd"), 6).alias("max_drawdown"),
+        F.date_format(F.col("_m._d"), "yyyy-MM-dd").alias("trough_day"),
+    )
