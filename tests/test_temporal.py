@@ -239,3 +239,29 @@ def test_as_of_join_tiebreak_picks_smallest_both_directions(spark):
             direction=direction, tiebreak="rid",
         ).collect()
         assert out[0]["matched"]["rid"] == 11, direction
+
+
+def test_max_drawdown_hand_computed(spark):
+    # closes 10 -> 8 -> 12 -> 6: worst peak-to-trough is 6/12 - 1 = -0.5
+    # on the last day; the 8 after the 10-peak is only -0.2
+    from sentiment_analysis_data_engineering_spark.plans.behavior_queries import (
+        max_drawdown_per_user,
+    )
+    import datetime as dt
+    import os
+    import tempfile
+
+    rows = [
+        (i, dt.datetime(2024, 1, d, 12, 0, 0), 1, "view", float(c), "{}")
+        for i, (d, c) in enumerate([(1, 10), (2, 8), (3, 12), (4, 6)], 1)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    root = tempfile.mkdtemp(prefix="dd_fixture_")
+    df.write.mode("overwrite").parquet(os.path.join(root, "events.parquet"))
+    got = max_drawdown_per_user(spark, root).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.user_id, r.max_drawdown, r.trough_day) == (1, -0.5, "2024-01-04")
