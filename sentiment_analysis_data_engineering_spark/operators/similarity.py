@@ -518,8 +518,9 @@ def kmeans_clusters(
 
     The trained-quantizer upgrade of ``ivf_cosine_topk``'s sampled
     centroids: ``KMeans.fit`` runs distributed Lloyd iterations
-    (kmeans|| init), then ``transform`` assigns cells in one narrow
-    pass. Feature vectors go through ``array_to_vector`` — a JVM
+    (``init_mode``: kmeans|| default, or "random" when only locality
+    matters and the extra init rounds are overhead), then ``transform``
+    assigns cells in one narrow pass. Feature vectors go through ``array_to_vector`` — a JVM
     conversion, no Python. Cluster IDS are only stable for a fixed
     seed+partitioning, so downstream queries should aggregate
     cluster-invariant facts (sizes, purity) rather than raw ids.
@@ -624,9 +625,13 @@ def semantic_dedup(
     oversized-block guard as the fuzzy-matching family. Component
     resolution reuses the dedup family's min-label propagation; the
     survivor is the component's smallest id (deterministic given the
-    assignment; cluster ids themselves are kmeans||-partition-dependent,
-    so downstream checks should assert cluster-invariant laws, as the
-    kmeans query contract documents). ``cc_max_iter`` passes through
+    assignment; cluster ids themselves are partition-dependent under
+    either init mode, so downstream checks should assert
+    cluster-invariant laws, as the kmeans query contract documents).
+    Random init gives no balance guarantee — callers should watch the
+    oversized-cluster signal (the stats query's
+    ``no_oversized_clusters_ok`` law) and raise k if it trips, since
+    excluded clusters keep all their duplicates. ``cc_max_iter`` passes through
     to the component propagation — low thresholds build loose
     similarity CHAINS, not near-cliques, so component diameter (=
     required iterations) can far exceed the dup-graph default.

@@ -645,6 +645,30 @@ def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+_CLOSES_SQL = """
+    closes AS (
+      SELECT user_id,
+             CAST(ts AS DATE) AS d,
+             (max({'t': ts, 'e': event_id, 'v': value}))['v'] AS close
+      FROM events
+      GROUP BY user_id, CAST(ts AS DATE)
+    )
+"""
+
+
+def _daily_closes(events: DataFrame) -> DataFrame:
+    """(user_id, _d, close): the deterministic struct-max daily close
+    pick shared by the returns and drawdown queries (daily_ohlc_bars
+    derives the full OHLC tuple and keeps its own agg)."""
+    pick = F.struct("ts", "event_id", "value")
+    return (
+        events.groupBy("user_id", F.to_date("ts").alias("_d"))
+        .agg(F.max(pick).alias("_last"))
+        .select("user_id", "_d", F.col("_last.value").alias("close"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Daily log returns + rolling volatility
 # --------------------------------------------------------------------------
@@ -652,17 +676,13 @@ def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "daily_returns_volatility",
-    oracle="""
-    WITH closes AS (
-      SELECT user_id,
-             CAST(ts AS DATE) AS d,
-             (max({'t': ts, 'e': event_id, 'v': value}))['v'] AS close
-      FROM events
-      GROUP BY user_id, CAST(ts AS DATE)
-    ),
+    oracle=f"""
+    WITH {_CLOSES_SQL},
     rets AS (
       SELECT user_id, d, close,
-             round(ln(close / lag(close) OVER w), 6) AS log_ret
+             CASE WHEN close > 0 AND lag(close) OVER w > 0 THEN
+               round(ln(close / lag(close) OVER w), 6)
+             END AS log_ret
       FROM closes
       WINDOW w AS (PARTITION BY user_id ORDER BY d)
     )
@@ -671,11 +691,11 @@ def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(close, 6) AS close,
            log_ret,
            CASE WHEN count(log_ret) OVER v >= 2 THEN
-             round(sqrt(
+             round(sqrt(greatest(
                (sum(log_ret * log_ret) OVER v
                 - sum(log_ret) OVER v * sum(log_ret) OVER v
                   / count(log_ret) OVER v)
-               / (count(log_ret) OVER v - 1)), 6)
+               / (count(log_ret) OVER v - 1), 0)), 6)
            END AS vol_7d
     FROM rets
     WINDOW v AS (PARTITION BY user_id ORDER BY d
@@ -698,28 +718,34 @@ def daily_returns_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; both windows share it (the events-family partitioning)."""
     (events,) = load_tables(spark, sf_dir, "events")
 
-    pick = F.struct("ts", "event_id", "value")
-    closes = (
-        events.groupBy("user_id", F.to_date("ts").alias("_d"))
-        .agg(F.max(pick).alias("_last"))
-        .select("user_id", "_d", F.col("_last.value").alias("close"))
-    )
+    closes = _daily_closes(events)
     wo = Window.partitionBy("user_id").orderBy("_d")
+    prev = F.lag("close").over(wo)
+    # zero/negative closes happen in real tick data (and in the sf0.1
+    # fixture): guard BOTH the ANSI division and ln — the conditional
+    # keeps the branch unevaluated, so no DIVIDE_BY_ZERO under Spark
+    # 4's ANSI default, and the oracle's CASE mirrors it exactly
     rets = closes.withColumn(
-        "log_ret", F.round(F.log(F.col("close") / F.lag("close").over(wo)), 6)
+        "log_ret",
+        F.when(
+            (F.col("close") > 0) & (prev > 0),
+            F.round(F.log(F.col("close") / prev), 6),
+        ),
     )
     wv = wo.rowsBetween(-6, 0)
     n = F.count("log_ret").over(wv)
     sx = F.sum("log_ret").over(wv)
     sxx = F.sum(F.col("log_ret") * F.col("log_ret")).over(wv)
+    # greatest(.., 0): the textbook variance form can cancel to a tiny
+    # negative double on near-constant frames — Spark sqrt(neg) is NaN
+    # while DuckDB ERRORS, so both sides clamp
+    var = F.greatest((sxx - sx * sx / n) / (n - 1), F.lit(0.0))
     return rets.select(
         "user_id",
         F.date_format("_d", "yyyy-MM-dd").alias("day"),
         F.round("close", 6).alias("close"),
         "log_ret",
-        F.when(
-            n >= 2, F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 6)
-        ).alias("vol_7d"),
+        F.when(n >= 2, F.round(F.sqrt(var), 6)).alias("vol_7d"),
     )
 
 
@@ -730,27 +756,24 @@ def daily_returns_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "max_drawdown_per_user",
-    oracle="""
-    WITH closes AS (
-      SELECT user_id,
-             CAST(ts AS DATE) AS d,
-             (max({'t': ts, 'e': event_id, 'v': value}))['v'] AS close
-      FROM events
-      GROUP BY user_id, CAST(ts AS DATE)
-    ),
+    oracle=f"""
+    WITH {_CLOSES_SQL},
     dd AS (
       SELECT user_id, d,
-             close / max(close) OVER (PARTITION BY user_id ORDER BY d
-                                      ROWS UNBOUNDED PRECEDING) - 1
-               AS drawdown
+             CASE WHEN max(close) OVER w > 0 THEN
+               close / max(close) OVER w - 1
+             END AS drawdown
       FROM closes
+      WINDOW w AS (PARTITION BY user_id ORDER BY d
+                   ROWS UNBOUNDED PRECEDING)
     )
     SELECT user_id,
-           round((min({'dd': drawdown, 'day': d}))['dd'], 6)
+           round((min({{'dd': drawdown, 'day': d}}))['dd'], 6)
              AS max_drawdown,
-           strftime((min({'dd': drawdown, 'day': d}))['day'], '%Y-%m-%d')
+           strftime((min({{'dd': drawdown, 'day': d}}))['day'], '%Y-%m-%d')
              AS trough_day
     FROM dd
+    WHERE drawdown IS NOT NULL
     GROUP BY user_id
     """,
 )
@@ -766,22 +789,23 @@ def max_drawdown_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     combining argmin agg."""
     (events,) = load_tables(spark, sf_dir, "events")
 
-    pick = F.struct("ts", "event_id", "value")
-    closes = (
-        events.groupBy("user_id", F.to_date("ts").alias("_d"))
-        .agg(F.max(pick).alias("_last"))
-        .select("user_id", "_d", F.col("_last.value").alias("close"))
-    )
+    closes = _daily_closes(events)
     wrun = (
         Window.partitionBy("user_id")
         .orderBy("_d")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    runmax = F.max("close").over(wrun)
+    # a non-positive running max (all closes so far <= 0) has no
+    # meaningful drawdown: guard the ANSI division and DROP those rows
+    # before the argmin — NULL-in-struct ordering DIVERGES between
+    # engines (Spark sorts null-dd structs first, DuckDB last), so
+    # nulls must never reach the min
     dd = closes.select(
         "user_id",
         "_d",
-        (F.col("close") / F.max("close").over(wrun) - 1).alias("_dd"),
-    )
+        F.when(runmax > 0, F.col("close") / runmax - 1).alias("_dd"),
+    ).filter(F.col("_dd").isNotNull())
     best = dd.groupBy("user_id").agg(
         F.min(F.struct(F.col("_dd"), F.col("_d"))).alias("_m")
     )

@@ -942,7 +942,8 @@ _SEMDEDUP_K = 8
     SELECT CAST(count(*) AS BIGINT) AS n_points,
            TRUE AS conservation_ok,
            TRUE AS k_bounded_ok,
-           TRUE AS cluster_keeps_ok
+           TRUE AS cluster_keeps_ok,
+           TRUE AS no_oversized_clusters_ok
     FROM embeddings
     """,
 )
@@ -952,9 +953,12 @@ def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     representative per near-dup component) reported through its
     partition-INDEPENDENT laws, the kmeans-contract pattern: every
     vector appears exactly once with a keep verdict (conservation), at
-    most k clusters are used, and every cluster retains at least one
+    most k clusters are used, every cluster retains at least one
     survivor (components never span clusters, so each component's
-    min-id survivor lives in its own cluster). Which vectors survive
+    min-id survivor lives in its own cluster), and no cluster exceeded
+    the pairing guard — an oversized cluster keeps ALL its duplicates
+    silently, the recall failure random init makes more likely, so it
+    must be a checked law, not a log line. Which vectors survive
     is kmeans||-partition-dependent, hence laws, not rows; the
     deterministic two-tight-clusters behavior is pytest-pinned."""
     (embeddings,) = load_tables(spark, sf_dir, "embeddings")
@@ -963,7 +967,8 @@ def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_SEMDEDUP_K, threshold=0.3, seed=7,
     )
     per_cluster = out.groupBy("cluster").agg(
-        F.sum(F.col("keep").cast("long")).alias("_keeps")
+        F.sum(F.col("keep").cast("long")).alias("_keeps"),
+        F.count("*").alias("_size"),
     )
     return (
         out.agg(
@@ -983,12 +988,19 @@ def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(
             F.broadcast(
                 per_cluster.agg(
-                    (F.min("_keeps") >= 1).alias("cluster_keeps_ok")
+                    (F.min("_keeps") >= 1).alias("cluster_keeps_ok"),
+                    (F.max("_size") <= 100_000).alias(
+                        "no_oversized_clusters_ok"
+                    ),
                 )
             )
         )
         .select(
-            "n_points", "conservation_ok", "k_bounded_ok", "cluster_keeps_ok"
+            "n_points",
+            "conservation_ok",
+            "k_bounded_ok",
+            "cluster_keeps_ok",
+            "no_oversized_clusters_ok",
         )
     )
 

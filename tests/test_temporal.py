@@ -241,7 +241,7 @@ def test_as_of_join_tiebreak_picks_smallest_both_directions(spark):
         assert out[0]["matched"]["rid"] == 11, direction
 
 
-def test_max_drawdown_hand_computed(spark):
+def test_max_drawdown_hand_computed(spark, tmp_path):
     # closes 10 -> 8 -> 12 -> 6: worst peak-to-trough is 6/12 - 1 = -0.5
     # on the last day; the 8 after the 10-peak is only -0.2
     from sentiment_analysis_data_engineering_spark.plans.behavior_queries import (
@@ -249,7 +249,6 @@ def test_max_drawdown_hand_computed(spark):
     )
     import datetime as dt
     import os
-    import tempfile
 
     rows = [
         (i, dt.datetime(2024, 1, d, 12, 0, 0), 1, "view", float(c), "{}")
@@ -259,7 +258,7 @@ def test_max_drawdown_hand_computed(spark):
         rows, "event_id long, ts timestamp, user_id long, "
         "event_type string, value double, props string"
     )
-    root = tempfile.mkdtemp(prefix="dd_fixture_")
+    root = str(tmp_path)
     df.write.mode("overwrite").parquet(os.path.join(root, "events.parquet"))
     got = max_drawdown_per_user(spark, root).collect()
     assert len(got) == 1
