@@ -51,6 +51,11 @@ try:
 except ImportError:
     pass
 
+try:
+    from sentiment_analysis_data_engineering_spark.plans import stats_queries  # noqa: F401
+except ImportError:
+    pass
+
 SF0001 = "/root/testdata/sf0.001"
 
 # The driver's correctness gate checks the FIRST 50 entries of queries()
@@ -65,77 +70,77 @@ SF0001 = "/root/testdata/sf0.001"
 # re-verified each round by a FULL tools/check_oracle.py run over the
 # whole registry, recorded in PROGRESS.jsonl for audit.
 _GATE_FIRST = [
-    # -- red or never-checked at end of round 2 (VERDICT r2 items 1-3)
-    "multimodal_decode_features",
-    "embedding_kmeans_sizes",
-    "late_ship_priority_counts",
-    "array_functions_report",
-    # -- NEW in round 3: never driver-checked
-    "template_doc_flags",
-    "embedding_quantize_error",
-    "ewma_user_value",
-    "unigram_logprob_score",
-    "data_quality_report",
-    "full_outer_daily_activity",
-    "dedup_incremental_probe",
-    # -- NEW in round 4: never driver-checked
-    "order_priority_exists_counts",
-    "forecast_revenue_change",
-    "nation_market_share",
-    "product_profit_by_nation_year",
-    "returned_items_by_customer",
-    "important_parts_value_share",
-    "parts_supplier_diversity",
-    "small_quantity_revenue",
-    "excess_volume_suppliers",
-    "idle_rich_customers",
-    "span_dedup_stats",
-    "source_capped_docs",
-    "token_length_buckets",
-    "snapshot_diff_orders",
-    "scd2_customer_history",
-    "fuzzy_part_name_pairs",
-    "daily_user_value_locf",
-    # -- NEW in round 6: never driver-checked
-    "triangle_counts_parts",
-    "kcore_parts",
-    "bigram_pmi_collocations",
-    "table_profile_orders",
-    "daily_new_returning_users",
-    "pareto_revenue_by_segment",
-    "daily_ohlc_bars",
-    "monthly_revenue_mom_growth",
-    "custom_source_events_report",
-    # -- NEW in round 5: never driver-checked
-    "funnel_view_click_purchase",
-    "weekly_retention_cohorts",
-    "rolling_zscore_anomalies",
-    "daily_user_value_interp",
+    # -- round-3 additions that have NEVER had a driver row (VERDICT r3
+    #    item 1 prescribes exactly these nine at positions 1-9)
+    "semantic_dedup_stats",
+    "correlation_matrix_lineitem",
+    "span_dedup_rewrite",
+    "event_sequence_patterns",
+    "user_value_trend",
+    "daily_returns_volatility",
+    "max_drawdown_per_user",
+    "pagerank_weighted_copurchase",
+    "personalized_pagerank_parts",
+    # -- implementation changed THIS round: heavy_hitter_users threshold
+    #    lowered (k=119) so the sf0.01 driver row is NON-empty (r3's
+    #    0-vs-0 pass was vacuous — VERDICT r3 item 2);
+    #    custom_source_events_report staging path now session-scoped
     "heavy_hitter_users",
-    "bloom_pruned_order_revenue",
-    "pagerank_copurchase_parts",
-    "incremental_rollup_merge",
-    "char_entropy_report",
-    "winsorized_price_stats",
-    "cms_user_counts",
-    "bpe_merge_stats",
-    "join_view_maintenance",
-    # event_sequence_patterns (never driver-checked, exact-integer
-    # output, CEP pytest + local sweep coverage) is the one query the
-    # 50-slot cap pushes out this round.
-    # user_value_trend / semantic_dedup_stats / correlation_matrix_lineitem /
-    # span_dedup_rewrite / daily_returns_volatility / max_drawdown_per_user /
-    # pagerank_weighted_copurchase / personalized_pagerank_parts (added
-    # after the 50 slots filled) queue for the next round's prefix;
-    # the local sweep covers them this round.
-    # Implementation-changed-since-last-driver-entry queries
-    # (customer_balance_deciles, ann_cosine_topk, ann_lsh_topk,
-    # ann_ivf_topk, dedup_embedding_cosine, dedup_minhash_lsh,
-    # dedup_simhash, dedup_ngram_jaccard) fell out of the 50-name
-    # window this round: all eight have r1/r2-green driver rows
-    # (exact/recall/contract oracles), and the full local
-    # check_oracle sweep (logged to PROGRESS.jsonl) covers their
-    # current implementations each round.
+    "custom_source_events_report",
+    # -- NEW in round 4 (plans/stats_queries.py): never driver-checked
+    "regr_price_quantity",
+    "mad_outlier_prices",
+    "dow_seasonality_index",
+    "markov_event_transitions",
+    "market_basket_part_pairs",
+    "zipf_token_rank_slope",
+    "chi_square_segment_priority",
+    "rfm_customer_segments",
+    "top_session_paths",
+    "customer_order_gap_stats",
+    # -- regression canaries: implementation changed since their last
+    #    driver row (r1/r2-green, rotated back in per VERDICT r3 item 4)
+    "customer_balance_deciles",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "dedup_embedding_cosine",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    # -- age canaries: last driver row is round 1 (oldest attested rows
+    #    in the registry); re-gate as many as the remaining slots allow
+    "predicate_scan",
+    "star_join_revenue",
+    "casts_and_coalesce",
+    "groupby_agg_pricing_summary",
+    "window_moving_avg",
+    "window_tumbling_daily",
+    "sessionize_events",
+    "topk_per_group",
+    "unnest_tokens",
+    "dedup_exact",
+    "dedup_clusters",
+    "corpus_curation",
+    "tfidf_top_terms",
+    "skew_salted_join_agg",
+    "text_quality_score",
+    "text_lang_id",
+    "doc_fingerprint",
+    "anti_join_new_keys",
+    "nway_inner_join",
+    "global_sort",
+    "stratified_sample_langs",
+    # Remaining r1-aged rows (projection_rename_literal, range_filter,
+    # date_decomposition, unit_suffix_parse, json_path_scalar,
+    # today_parts, nway_same_key_join, semi_join_existing_keys,
+    # union_all_branches, count_existence_probe, multiset_equality,
+    # exact_distinct_parts, props_map_report, except_all_part_multiset,
+    # null_safe_join_props, date_functions_report, text_token_count,
+    # skew_salted_agg) and every r2/r3-green row stay outside the
+    # 50-slot window this round; all are re-verified on current
+    # implementations by the full tools/check_oracle.py sweep logged to
+    # PROGRESS.jsonl at HEAD.
 ]
 assert len(_GATE_FIRST) <= 50, "driver gate checks only the first 50 queries"
 

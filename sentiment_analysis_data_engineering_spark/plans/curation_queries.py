@@ -406,7 +406,7 @@ def bpe_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     not SQL-expressible, its invariants are.
 
     Scale: one corpus pass builds the (word, freq) vocabulary; all
-    all 8 (_BPE_MERGES) training iterations run over vocabulary-bounded
+    8 (_BPE_MERGES) training iterations run over vocabulary-bounded
     frames (pair counts shuffle ≤ |alphabet|² rows after map-side
     combine), each collecting exactly ONE argmax row — the bounded
     model-build action class."""

@@ -996,12 +996,16 @@ def custom_source_events_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.dataSource.register(JsonPayloadDataSource)
     (events,) = load_tables(spark, sf_dir, "events")
-    # stable keyed staging path, overwritten per run — a fresh mkdtemp
-    # per invocation would accumulate events-sized JSON dumps across
-    # gate/bench/sweep runs
+    # staging path keyed by (sf_dir, Spark application id): stable
+    # WITHIN a session so repeated gate/bench/sweep runs overwrite
+    # instead of accumulating events-sized JSON dumps, but disjoint
+    # ACROSS concurrent sessions at the same scale factor (two drivers
+    # racing one path = one overwrites the payloads the other is
+    # mid-read on)
     root = os.path.join(
         tempfile.gettempdir(),
-        f"sentiment_analysis_json_payload_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"sentiment_analysis_json_payload_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
         "payloads",
     )
     events.select("event_id", "event_type", "value").write.mode(

@@ -17,7 +17,12 @@ from .registry import load_tables, query
 # Heavy hitters (operators/sketches.py::heavy_hitters_exact)
 # --------------------------------------------------------------------------
 
-_HH_K = 99  # threshold fraction 1/(k+1) = 1/100 of the stream
+# Threshold fraction 1/(k+1) of the stream. k=119 (0.833%) sits just
+# under the sf0.01 maximum user share (~0.86%), so the driver-gate run
+# at sf0.01 returns a small NON-EMPTY heavy-hitter set — round 3's
+# k=99 produced 0 rows vs 0 rows, a vacuous pass that proved nothing
+# about the Misra-Gries → exact-recount path (VERDICT r3 item 1).
+_HH_K = 119
 
 
 @query(

@@ -26,10 +26,14 @@ are yielded from plain Python by design (the Arrow path matters for
 compute UDFs, not for a reader whose cost is the network/disk fetch).
 Column values are drawn from each JSON object by schema field name;
 missing keys become NULL, extra keys are ignored — the tolerant-reader
-contract every API client ends up needing. Values are coerced with
-int()/float()/str()/bool() per the declared type: JSON numbers arrive
-as Python int/float and the cast pins cross-payload type drift (an
-API that emits ``1`` then ``1.0`` for the same field) to the schema.
+contract every API client ends up needing. Values are coerced per the
+declared type, strictly: long columns take JSON ints and integral
+floats (the ``1`` vs ``1.0`` drift) but REJECT fractional values
+rather than truncate them; boolean columns take only JSON true/false
+(``bool("false")`` is truthy, so string payloads must not slip
+through); doubles/strings use the plain casts. A type violation is a
+hard error — a connector that silently mangles values "succeeds" with
+wrong data, the worst ETL failure mode.
 """
 
 from __future__ import annotations
@@ -47,15 +51,37 @@ from pyspark.sql.datasource import (
 
 __all__ = ["JsonPayloadDataSource"]
 
+def _to_long(v):
+    # Strict integer coercion: JSON ints pass through; a float is
+    # accepted only when integral (an API emitting 1.0 for 1), because
+    # silently truncating 1.9 into a declared long column is data loss
+    # dressed up as tolerance. Strings are rejected for the same reason.
+    if isinstance(v, bool):  # bool is an int subclass — reject explicitly
+        raise ValueError(f"boolean {v!r} in a long-typed column")
+    if isinstance(v, int):
+        return v
+    if isinstance(v, float) and v.is_integer():
+        return int(v)
+    raise ValueError(f"non-integral value {v!r} in a long-typed column")
+
+
+def _to_bool(v):
+    # Only JSON true/false count: bool("false") is truthy, so string
+    # payloads must not slip through the generic bool() cast.
+    if isinstance(v, bool):
+        return v
+    raise ValueError(f"non-boolean value {v!r} in a boolean-typed column")
+
+
 _COERCE = {
-    "long": int,
-    "bigint": int,
-    "int": int,
-    "integer": int,
+    "long": _to_long,
+    "bigint": _to_long,
+    "int": _to_long,
+    "integer": _to_long,
     "double": float,
     "float": float,
     "string": str,
-    "boolean": bool,
+    "boolean": _to_bool,
 }
 
 
