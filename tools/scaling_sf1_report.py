@@ -1,0 +1,171 @@
+"""Measure the ITERATIVE query families one decade further up
+(sf0.1 -> synthetic sf1.0) and maintain a delimited section in
+SCALING.md.
+
+The main scaling_report.py measures every headline query at
+sf0.01 -> sf0.1, where fixed overhead dominates and most ratios land
+well under 10 — that decade cannot distinguish "scales linearly" from
+"never left the constant term" for the expensive iterative operators.
+This tool runs exactly those families against the 10x corpus built by
+tools/gen_scaling_sf1.py (run it first) and rewrites the
+"## sf0.1 -> sf1.0" section of SCALING.md in place, leaving the main
+report untouched.
+
+Flag rule matches the main report: ratio > 12 with the large-SF time
+over 1.0s is marked superlinear and must be explained (triangle
+counting is O(m^1.5) worst-case, so its budgeted bound is documented
+inline rather than flagged).
+
+    python tools/gen_scaling_sf1.py      # once, builds .scaling_sf1/
+    python tools/scaling_sf1_report.py   # updates SCALING.md section
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SF1_DIR = "/root/repo/.scaling_sf1"
+SFS = [("0.1", "/root/testdata/sf0.1"), ("1.0", SF1_DIR)]
+N_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "2")))
+RATIO_FLAG = 12.0
+MIN_SECS_FLAG = 1.0
+
+#: the iterative families (graph fixed-point, SemDeDup, BPE training,
+#: LSH/banded dedup + connected components) — the queries whose
+#: sf0.01->sf0.1 ratios are fixed-overhead dominated
+ITERATIVE = [
+    "pagerank_copurchase_parts",
+    "pagerank_weighted_copurchase",
+    "personalized_pagerank_parts",
+    "triangle_counts_parts",
+    "kcore_parts",
+    "semantic_dedup_stats",
+    "bpe_merge_stats",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+]
+
+SECTION_START = "<!-- sf1-section-start -->"
+SECTION_END = "<!-- sf1-section-end -->"
+
+
+def measure() -> dict[str, dict[str, float]]:
+    from sentiment_analysis_data_engineering_spark.operators.dedup import release_pinned
+    from sentiment_analysis_data_engineering_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("scaling-sf1")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    times: dict[str, dict[str, float]] = {}
+    for name in ITERATIVE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        for sf, sf_dir in SFS:
+            best = None
+            try:
+                for run in range(N_RUNS + 1):
+                    t0 = time.time()
+                    fn(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    dt = time.time() - t0
+                    if run == 0:
+                        continue  # warm-up, discarded
+                    best = dt if best is None else min(best, dt)
+            except Exception as ex:  # pragma: no cover
+                print(f"FAIL {name}@{sf}: {ex}", file=sys.stderr)
+                continue
+            finally:
+                release_pinned()
+            times.setdefault(name, {})[sf] = round(best, 3)
+            spark.catalog.clearCache()
+            print(f"{name}@{sf}: {best:.3f}s", flush=True)
+    return times
+
+
+def render(times: dict[str, dict[str, float]]) -> str:
+    lines = [
+        SECTION_START,
+        "",
+        "## sf0.1 → sf1.0 (iterative families, synthetic 10× corpus)",
+        "",
+        "One decade further for the iterative operators, where the "
+        "sf0.01→sf0.1 decade is fixed-overhead dominated. The sf1.0 "
+        "corpus is built by `tools/gen_scaling_sf1.py`: 10 disjoint "
+        "co-purchase subgraphs (lineitem key offsets — nodes AND edges "
+        "×10, degree structure preserved), marker-spliced documents "
+        "(shingle Jaccard vs source ≈0.29, so LSH bucket density stays "
+        "corpus-realistic instead of 90%-duplicate), and "
+        "rotation+sign-flip embeddings (cosine to source ≈0, norms "
+        "preserved). Same protocol as above: min of "
+        f"{N_RUNS} timed runs after a discarded warm-up, per-query "
+        "interleaving, noop sink; flag rule ratio > 12 at > 1.0 s.",
+        "",
+        "| query | sf0.1 s | sf1.0 s | ratio | note |",
+        "|---|---|---|---|---|",
+    ]
+    for name in ITERATIVE:
+        t = times.get(name, {})
+        a, b = t.get("0.1"), t.get("1.0")
+        if a is None or b is None:
+            lines.append(f"| {name} | {a or '—'} | {b or '—'} | — | FAILED |")
+            continue
+        ratio = b / a if a > 0 else float("inf")
+        flag = "⚠ superlinear" if ratio > RATIO_FLAG and b > MIN_SECS_FLAG else ""
+        lines.append(f"| {name} | {a} | {b} | {ratio:.1f}× | {flag} |")
+    lines += [
+        "",
+        "Cost-model context for the ratios: pagerank is Θ(iterations × "
+        "edges) with a fixed 3-iteration budget, so ≈10 is the linear "
+        "ceiling; triangle counting's compact-forward bound is "
+        "O(m^1.5), so up to ≈31.6 at 10× edges would still be "
+        "within-model (the flag threshold stays 12 because the forward "
+        "orientation keeps real-world graphs near-linear); k-core's "
+        "peel rounds grow with the deeper degeneracy of the larger "
+        "graph (work ∝ rounds × surviving edges); SemDeDup is "
+        "dominated by the MLlib k-means fit, Θ(epochs × n × k) — "
+        "linear in n at fixed k, and the paper's own scaling story is "
+        "to RAISE k with corpus size, which also shrinks the "
+        "per-cluster quadratic pairing. Ratios at or under these "
+        "models with zero flags = the second decade passes.",
+        "",
+        SECTION_END,
+    ]
+    return "\n".join(lines)
+
+
+def main() -> None:
+    if not os.path.isdir(SF1_DIR):
+        raise SystemExit("run tools/gen_scaling_sf1.py first")
+    times = measure()
+    section = render(times)
+    path = "/root/repo/SCALING.md"
+    with open(path, encoding="utf-8") as fh:
+        doc = fh.read()
+    if SECTION_START in doc:
+        doc = re.sub(
+            re.escape(SECTION_START) + ".*?" + re.escape(SECTION_END),
+            section,
+            doc,
+            flags=re.S,
+        )
+    else:
+        doc = doc.rstrip() + "\n\n" + section + "\n"
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write(doc)
+    print(f"SCALING.md sf1 section updated ({len(times)} queries)")
+
+
+if __name__ == "__main__":
+    main()
