@@ -130,8 +130,10 @@ _GATE_FIRST = [
     "anti_join_new_keys",
     "nway_inner_join",
     "global_sort",
-    "stratified_sample_langs",
-    # Remaining r1-aged rows (projection_rename_literal, range_filter,
+    # -- NEW in round 4 (added after the stats batch): never checked
+    "ann_pq_topk",
+    # Remaining r1-aged rows (stratified_sample_langs — displaced by
+    # ann_pq_topk — plus projection_rename_literal, range_filter,
     # date_decomposition, unit_suffix_parse, json_path_scalar,
     # today_parts, nway_same_key_join, semi_join_existing_keys,
     # union_all_branches, count_existence_probe, multiset_equality,

@@ -67,6 +67,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_pq_topk",
     "skew_salted_join_agg",
     "text_quality_score",
     "doc_fingerprint",

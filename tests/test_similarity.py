@@ -211,3 +211,61 @@ def test_semantic_dedup_oversized_cluster_guard(spark):
     )
     assert all(r.keep for r in out.collect())
     assert out.count() == 6
+
+
+def test_pq_recall_on_fixture_embeddings(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.cosine_topk(queries, emb, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.pq_cosine_topk(
+            queries, emb, k=3, m=8, n_codes=64, n_rerank=96
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"PQ recall too low: {recall}"
+
+
+def test_pq_full_rerank_equals_exact(spark, sf_dir):
+    """With n_rerank >= corpus size the exact re-rank sees every
+    candidate, so PQ must return the exact top-k ID-for-ID — pins the
+    ADC table indexing (a wrong codeword offset silently degrades
+    recall but cannot survive this equality)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    n = emb.count()
+    exact = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in sim.cosine_topk(queries, emb, k=3).collect()
+    )
+    approx = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in sim.pq_cosine_topk(
+            queries, emb, k=3, m=8, n_codes=16, n_rerank=n
+        ).collect()
+    )
+    assert exact == approx
+
+
+def test_pq_deterministic(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    a = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in sim.pq_cosine_topk(queries, emb, k=3).collect()
+    )
+    b = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in sim.pq_cosine_topk(queries, emb, k=3).collect()
+    )
+    assert a == b and a
+
+
+def test_pq_rejects_indivisible_subspaces(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with pytest.raises(ValueError, match="not divisible"):
+        sim.pq_cosine_topk(emb.limit(5), emb, m=7).collect()
