@@ -82,6 +82,7 @@ HEADLINE = [
     "document_chunks",
     "sequence_packing_stats",
     "multimodal_decode_features",
+    "audio_decode_features",
     # round 3 additions
     "template_doc_flags",
     "embedding_quantize_error",

@@ -38,12 +38,15 @@ from pyspark.sql import types as T
 __all__ = [
     "MEDIA_SCHEMA",
     "attach_media_metadata",
+    "decode_audio",
     "decode_image",
     "encode_bmp",
+    "encode_wav",
     "extract_features",
     "resize_image",
     "sample_frames",
     "synthesize_bmp_media",
+    "synthesize_wav_media",
 ]
 
 #: The engine's media-table contract: payload + typed metadata.
@@ -172,10 +175,11 @@ def _decode_any(payload: bytes, strict: bool) -> np.ndarray:
     return _fake_decode(payload)[..., np.newaxis]
 
 
-#: BMP decodes for real (see _decode_bmp); other formats remain stubbed
-#: behind strict/_fake_decode until codec libraries are available.
+#: BMP and WAV/PCM decode for real (see _decode_bmp/_decode_wav); the
+#: compressed formats remain stubbed behind strict/_fake_decode until
+#: codec libraries are available.
 DECODE_IS_STUBBED = False
-STUBBED_FORMATS = ("jpeg", "png", "audio", "video")
+STUBBED_FORMATS = ("jpeg", "png", "compressed-audio", "video")
 
 
 def decode_image(df: DataFrame, *, strict: bool = False) -> DataFrame:
@@ -240,6 +244,160 @@ def synthesize_bmp_media(df: DataFrame, id_col: str = "media_id") -> DataFrame:
                 pix = ((mid * 31 + np.arange(n)) % 256).astype(np.uint8)
                 ids.append(mid)
                 blobs.append(encode_bmp(w, h, pix.tobytes()))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
+        batches, out_schema
+    )
+
+
+def encode_wav(sample_rate: int, samples: bytes) -> bytes:
+    """Assemble a real RIFF/WAVE file: PCM (format 1), mono, 16-bit.
+
+    ``samples`` is little-endian int16 PCM, length even. The writer
+    emits the canonical 44-byte header (RIFF size, fmt chunk with
+    byte-rate/block-align, data chunk) that `_decode_wav` inverts."""
+    if len(samples) % 2:
+        raise ValueError("samples must be little-endian int16 (even length)")
+    byte_rate = sample_rate * 2  # mono, 16-bit
+    fmt = (
+        b"fmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")  # PCM
+        + (1).to_bytes(2, "little")  # mono
+        + sample_rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (2).to_bytes(2, "little")  # block align
+        + (16).to_bytes(2, "little")  # bits/sample
+    )
+    data = b"data" + len(samples).to_bytes(4, "little") + samples
+    body = b"WAVE" + fmt + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def _decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """Parse a PCM mono 16-bit RIFF/WAVE payload into (sample_rate,
+    int16 sample array) by walking the chunk list (a conforming reader
+    must tolerate extra chunks like LIST/INFO between fmt and data).
+    Raises ValueError on anything but PCM/mono/16-bit."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE" or len(payload) < 44:
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if fmt_tag != 1 or channels != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV variant (fmt={fmt_tag}, "
+                    f"channels={channels}, bits={bits})"
+                )
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("WAV payload missing fmt or data chunk")
+    return rate, samples
+
+
+def decode_audio(df: DataFrame, *, strict: bool = False) -> DataFrame:
+    """Decode binary audio payloads into per-item signal features:
+    (media_id, sample_rate, n_samples, duration_ms, rms, zero_crossings).
+
+    WAV/PCM payloads (mono 16-bit) decode FOR REAL — chunk walk, fmt
+    validation — inside the Arrow batch loop; ``rms`` is the root mean
+    square of the raw int16 samples (computed in float64, the exact
+    IEEE ops a SQL oracle replays) and ``zero_crossings`` counts
+    sign(s_i) != sign(s_{i-1}) transitions with sign = (sample < 0).
+    Compressed audio: ``strict=True`` raises NotImplementedError from
+    the executor (no codec in-container), ``strict=False`` runs a
+    deterministic sha-derived fake so the plumbing stays exercised."""
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("zero_crossings", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["content"]):
+                payload = bytes(payload)
+                if payload[:4] == b"RIFF":
+                    rate, s = _decode_wav(payload)
+                elif strict:
+                    raise NotImplementedError(
+                        "only PCM mono 16-bit WAV decodes in-container; "
+                        "compressed audio needs librosa/libav (not installed)"
+                    )
+                else:
+                    digest = hashlib.sha256(payload).digest()
+                    rate = 8000
+                    s = np.frombuffer(digest * 4, dtype="<i2")
+                sf = s.astype(np.float64)
+                neg = s < 0
+                rows.append(
+                    (
+                        int(mid),
+                        int(rate),
+                        len(s),
+                        len(s) * 1000 // rate,
+                        float(np.sqrt((sf * sf).mean())) if len(s) else 0.0,
+                        int((neg[1:] != neg[:-1]).sum()) if len(s) > 1 else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "sample_rate",
+                    "n_samples",
+                    "duration_ms",
+                    "rms",
+                    "zero_crossings",
+                ],
+            )
+
+    return df.select("media_id", "content").mapInPandas(batches, out_schema)
+
+
+def synthesize_wav_media(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """FIXTURE GENERATOR: one real PCM mono 16-bit WAV payload per id —
+    (media_id, content binary), the audio twin of synthesize_bmp_media.
+
+    Closed-form so an external oracle predicts the decode without
+    parsing RIFF: sample_rate = 8000, n = 800 + (id % 5) * 160 samples
+    (always a multiple of 8, so duration_ms = n/8 is exact), and sample
+    i = ((id*37 + i*17) % 4001) - 2000 — a full-swing int16-safe
+    sawtooth with sign structure an oracle can re-derive."""
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, blobs = [], []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                n = 800 + (mid % 5) * 160
+                s = ((mid * 37 + np.arange(n) * 17) % 4001 - 2000).astype("<i2")
+                ids.append(mid)
+                blobs.append(encode_wav(8000, s.tobytes()))
             yield pd.DataFrame({"media_id": ids, "content": blobs})
 
     return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(

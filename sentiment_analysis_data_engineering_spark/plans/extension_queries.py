@@ -733,6 +733,62 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "audio_decode_features",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, 800 + (doc_id % 5) * 160 AS n
+      FROM documents
+    ),
+    v AS (
+      SELECT media_id, n, i,
+             (media_id*37 + i*17) % 4001 - 2000 AS smp
+      FROM (SELECT media_id, n, unnest(range(n)) AS i FROM m)
+    ),
+    l AS (
+      SELECT media_id, n, smp,
+             lag(smp) OVER (PARTITION BY media_id ORDER BY i) AS prev
+      FROM v
+    )
+    SELECT media_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(any_value(n) AS BIGINT) AS n_samples,
+           CAST(any_value(n) // 8 AS BIGINT) AS duration_ms,
+           round(sqrt(avg(CAST(smp AS DOUBLE) * smp)), 6) AS rms,
+           CAST(sum(CASE WHEN prev IS NOT NULL
+                          AND ((smp < 0) != (prev < 0))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+    FROM l GROUP BY media_id
+    """,
+)
+def audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary AUDIO pipeline with a REAL decode — the WAV twin of
+    multimodal_decode_features: a deterministic PCM mono 16-bit WAV
+    payload is synthesized per document id (genuine RIFF bytes), then
+    decode_audio walks the chunk list, validates the fmt contract and
+    computes signal features (RMS energy, zero-crossing rate inputs,
+    duration) in the Arrow batch loop — strict mode, no fake fallback.
+    The oracle predicts every feature from the generative sawtooth
+    formula, so the gate hash-verifies decode(encode(x)) == x over 500
+    clips; the squared-sample sums stay below 2^53, making the RMS
+    bit-identical cross-engine before its 6dp rounding."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    media = mm.attach_media_metadata(
+        mm.synthesize_wav_media(documents.select(F.col("doc_id").alias("media_id"))),
+        kind="audio",
+        mime="audio/wav",
+    )
+    decoded = mm.decode_audio(media, strict=True)
+    return decoded.select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        "duration_ms",
+        F.round("rms", 6).alias("rms"),
+        "zero_crossings",
+    )
+
+
 # --------------------------------------------------------------------------
 # Deterministic sampling
 # --------------------------------------------------------------------------

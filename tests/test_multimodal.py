@@ -152,3 +152,63 @@ def test_resize_real_bmp_grayscale_subsample(spark):
     xs = np.linspace(0, w - 1, 2).round().astype(int)
     expect = full[np.ix_(ys, xs)].ravel()
     assert np.allclose(row.pixels, expect, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# WAV / PCM audio path
+# ---------------------------------------------------------------------------
+
+
+def test_wav_roundtrip_exact():
+    """decode(encode(x)) == x for the raw sample stream, including a
+    stray LIST chunk between fmt and data (chunk-walk tolerance)."""
+    import numpy as np
+
+    s = ((np.arange(100) * 1234) % 7001 - 3500).astype("<i2")
+    payload = mm.encode_wav(16000, s.tobytes())
+    rate, out = mm._decode_wav(payload)
+    assert rate == 16000
+    assert (out == s).all()
+    # splice an ignorable chunk after fmt (12 header + 8+16 fmt bytes)
+    cut = 12 + 24
+    spliced = payload[:cut] + b"LIST" + (4).to_bytes(4, "little") + b"INFO" + payload[cut:]
+    rate2, out2 = mm._decode_wav(spliced)
+    assert rate2 == 16000 and (out2 == s).all()
+
+
+def test_wav_rejects_non_pcm():
+    import numpy as np
+
+    s = np.zeros(10, dtype="<i2")
+    payload = bytearray(mm.encode_wav(8000, s.tobytes()))
+    payload[20:22] = (3).to_bytes(2, "little")  # IEEE-float fmt tag
+    with pytest.raises(ValueError, match="unsupported WAV variant"):
+        mm._decode_wav(bytes(payload))
+
+
+def test_decode_audio_features(spark):
+    import numpy as np
+
+    ids = spark.range(5).select(F.col("id").alias("media_id"))
+    media = mm.attach_media_metadata(
+        mm.synthesize_wav_media(ids), kind="audio", mime="audio/wav"
+    )
+    rows = {r.media_id: r for r in mm.decode_audio(media, strict=True).collect()}
+    assert set(rows) == set(range(5))
+    for mid, r in rows.items():
+        n = 800 + (mid % 5) * 160
+        s = (mid * 37 + np.arange(n) * 17) % 4001 - 2000
+        assert r.sample_rate == 8000
+        assert r.n_samples == n
+        assert r.duration_ms == n // 8
+        assert abs(r.rms - float(np.sqrt((s.astype(float) ** 2).mean()))) < 1e-9
+        neg = s < 0
+        assert r.zero_crossings == int((neg[1:] != neg[:-1]).sum())
+
+
+def test_decode_audio_strict_raises_on_non_wav(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"ID3\x03not-a-wav"))], "media_id long, content binary"
+    )
+    with pytest.raises(Exception, match="NotImplementedError|only PCM"):
+        mm.decode_audio(df, strict=True).collect()
