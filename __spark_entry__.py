@@ -128,13 +128,13 @@ _GATE_FIRST = [
     "doc_fingerprint",
     "anti_join_new_keys",
     "nway_inner_join",
-    "global_sort",
     # -- NEW in round 4 (added after the stats batch): never checked
     "ann_pq_topk",
     "audio_decode_features",
-    # Remaining r1-aged rows (stratified_sample_langs / text_lang_id —
-    # displaced by ann_pq_topk + audio_decode_features — plus
-    # projection_rename_literal, range_filter,
+    "video_frame_features",
+    # Remaining r1-aged rows (stratified_sample_langs / text_lang_id /
+    # global_sort — displaced by the three later round-4 additions —
+    # plus projection_rename_literal, range_filter,
     # date_decomposition, unit_suffix_parse, json_path_scalar,
     # today_parts, nway_same_key_join, semi_join_existing_keys,
     # union_all_branches, count_existence_probe, multiset_equality,

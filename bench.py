@@ -83,6 +83,7 @@ HEADLINE = [
     "sequence_packing_stats",
     "multimodal_decode_features",
     "audio_decode_features",
+    "video_frame_features",
     # round 3 additions
     "template_doc_flags",
     "embedding_quantize_error",

@@ -8,10 +8,18 @@ Extension layer (no reference counterpart). Decode support:
   ``mapInPandas`` batch fn (`_decode_bmp`), plus an `encode_bmp`
   counterpart so fixtures carry genuine encoded bytes and tests can
   assert decode(encode(x)) == x.
-- Compressed formats (JPEG/PNG/audio/video) still stub: the container
-  ships no codecs, so those payloads take the deterministic-fake or
-  NotImplementedError path. Swapping in Pillow/librosa/pyav is a
-  one-function change inside the same batch iterator.
+- **WAV (PCM mono 16-bit) decodes for real** — RIFF chunk walk +
+  signal features (`_decode_wav`/`decode_audio`), with `encode_wav`
+  as the round-trip counterpart.
+- **AVI (uncompressed DIB frames) decodes for real** — nested
+  RIFF/LIST walk + per-frame DIB pixel path with every-Nth frame
+  sampling (`_decode_avi`/`decode_video_frames`), `encode_avi` as the
+  counterpart.
+- Compressed formats (JPEG/PNG/MP3/H.264/...) still stub: the
+  container ships no codecs, so those payloads take the
+  deterministic-fake or NotImplementedError path. Swapping in
+  Pillow/librosa/pyav is a one-function change inside the same batch
+  iterator.
 
 Design for 100 TB of media:
 - binary payloads never pass through Python row-at-a-time — only
@@ -40,11 +48,14 @@ __all__ = [
     "attach_media_metadata",
     "decode_audio",
     "decode_image",
+    "decode_video_frames",
+    "encode_avi",
     "encode_bmp",
     "encode_wav",
     "extract_features",
     "resize_image",
     "sample_frames",
+    "synthesize_avi_media",
     "synthesize_bmp_media",
     "synthesize_wav_media",
 ]
@@ -175,11 +186,12 @@ def _decode_any(payload: bytes, strict: bool) -> np.ndarray:
     return _fake_decode(payload)[..., np.newaxis]
 
 
-#: BMP and WAV/PCM decode for real (see _decode_bmp/_decode_wav); the
-#: compressed formats remain stubbed behind strict/_fake_decode until
-#: codec libraries are available.
+#: BMP, WAV/PCM and uncompressed-DIB AVI decode for real (see
+#: _decode_bmp/_decode_wav/_decode_avi); the compressed formats remain
+#: stubbed behind strict/_fake_decode until codec libraries are
+#: available.
 DECODE_IS_STUBBED = False
-STUBBED_FORMATS = ("jpeg", "png", "compressed-audio", "video")
+STUBBED_FORMATS = ("jpeg", "png", "compressed-audio", "compressed-video")
 
 
 def decode_image(df: DataFrame, *, strict: bool = False) -> DataFrame:
@@ -398,6 +410,230 @@ def synthesize_wav_media(df: DataFrame, id_col: str = "media_id") -> DataFrame:
                 s = ((mid * 37 + np.arange(n) * 17) % 4001 - 2000).astype("<i2")
                 ids.append(mid)
                 blobs.append(encode_wav(8000, s.tobytes()))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
+        batches, out_schema
+    )
+
+
+def _chunk(cid: bytes, body: bytes) -> bytes:
+    """RIFF chunk: id + size + body, word-aligned."""
+    return cid + len(body).to_bytes(4, "little") + body + (b"\x00" * (len(body) & 1))
+
+
+def _list_chunk(ltype: bytes, body: bytes) -> bytes:
+    return _chunk(b"LIST", ltype + body)
+
+
+def encode_avi(
+    width: int, height: int, frames: list[bytes], *, fps: int = 10
+) -> bytes:
+    """Assemble a real uncompressed-DIB AVI (RIFF 'AVI ') file.
+
+    Each entry of ``frames`` is row-major TOP-DOWN RGB bytes of length
+    width*height*3 (the same contract as ``encode_bmp``); storage is the
+    AVI-native bottom-up BGR padded-row DIB inside '00db' chunks, with a
+    spec-shaped hdrl (avih main header + one 'vids'/'DIB ' stream with
+    its BITMAPINFOHEADER). `_decode_avi` inverts it."""
+    row_size = (width * 3 + 3) & ~3
+    pad = row_size - width * 3
+    dib_frames = []
+    for fb in frames:
+        if len(fb) != width * height * 3:
+            raise ValueError("each frame must be width*height*3 bytes")
+        px = np.frombuffer(fb, dtype=np.uint8).reshape(height, width, 3)
+        bgr = px[::-1, :, ::-1]
+        dib_frames.append(
+            b"".join(bgr[r].tobytes() + b"\x00" * pad for r in range(height))
+        )
+    frame_bytes = row_size * height
+    bmih = (
+        (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little", signed=True)
+        + height.to_bytes(4, "little", signed=True)  # bottom-up
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")  # BI_RGB
+        + frame_bytes.to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    strh = (
+        b"vids"
+        + b"DIB "
+        + (0).to_bytes(4, "little")  # flags
+        + (0).to_bytes(4, "little")  # priority + language
+        + (0).to_bytes(4, "little")  # initial frames
+        + (1).to_bytes(4, "little")  # scale
+        + fps.to_bytes(4, "little")  # rate (rate/scale = fps)
+        + (0).to_bytes(4, "little")  # start
+        + len(frames).to_bytes(4, "little")  # length in frames
+        + frame_bytes.to_bytes(4, "little")  # suggested buffer
+        + (0xFFFFFFFF).to_bytes(4, "little")  # quality (default)
+        + (0).to_bytes(4, "little")  # sample size
+        + (0).to_bytes(2, "little") * 2  # rcFrame left/top
+        + width.to_bytes(2, "little")
+        + height.to_bytes(2, "little")
+    )
+    strl = _list_chunk(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", bmih))
+    avih = (
+        (1_000_000 // fps).to_bytes(4, "little")  # µs per frame
+        + (frame_bytes * fps).to_bytes(4, "little")  # max bytes/sec
+        + (0).to_bytes(4, "little")  # padding granularity
+        + (0x10).to_bytes(4, "little")  # AVIF_HASINDEX off: no idx1
+        + len(frames).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")  # initial frames
+        + (1).to_bytes(4, "little")  # streams
+        + frame_bytes.to_bytes(4, "little")  # suggested buffer
+        + width.to_bytes(4, "little")
+        + height.to_bytes(4, "little")
+        + (0).to_bytes(4, "little") * 4  # reserved
+    )
+    hdrl = _list_chunk(b"hdrl", _chunk(b"avih", avih) + strl)
+    movi = _list_chunk(
+        b"movi", b"".join(_chunk(b"00db", f) for f in dib_frames)
+    )
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def _decode_avi(payload: bytes) -> tuple[int, int, int, list[np.ndarray]]:
+    """Parse an uncompressed-DIB AVI into (width, height, fps, frames)
+    with frames as (height, width, 3) float64 RGB in [0, 1] — a chunk
+    walk over RIFF/LIST nesting that reads dims from the stream's
+    BITMAPINFOHEADER ('strf'), fps from 'strh' rate/scale, and pixels
+    from the 'movi' '00db' chunks. Raises ValueError on anything but
+    BI_RGB 24bpp single-stream video."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    width = height = None
+    fps = 0
+    raw_frames: list[bytes] = []
+
+    def walk(data: bytes) -> None:
+        nonlocal width, height, fps
+        pos = 0
+        while pos + 8 <= len(data):
+            cid = data[pos : pos + 4]
+            size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+            body = data[pos + 8 : pos + 8 + size]
+            if cid == b"LIST":
+                walk(body[4:])  # skip the list type, recurse into chunks
+            elif cid == b"strf":
+                bpp = int.from_bytes(body[14:16], "little")
+                comp = int.from_bytes(body[16:20], "little")
+                if bpp != 24 or comp != 0:
+                    raise ValueError(
+                        f"unsupported AVI stream (bpp={bpp}, comp={comp})"
+                    )
+                width = int.from_bytes(body[4:8], "little", signed=True)
+                height = int.from_bytes(body[8:12], "little", signed=True)
+            elif cid == b"strh" and body[:4] == b"vids":
+                scale = int.from_bytes(body[20:24], "little") or 1
+                fps = int.from_bytes(body[24:28], "little") // scale
+            elif cid == b"00db":
+                raw_frames.append(body)
+            pos += 8 + size + (size & 1)
+
+    walk(payload[12:])
+    if width is None or height is None:
+        raise ValueError("AVI payload missing stream format header")
+    bottom_up = height > 0
+    height = abs(height)
+    row_size = (width * 3 + 3) & ~3
+    frames = []
+    for raw in raw_frames:
+        data = np.frombuffer(raw, dtype=np.uint8, count=row_size * height).reshape(
+            height, row_size
+        )
+        bgr = data[:, : width * 3].reshape(height, width, 3)
+        if bottom_up:
+            bgr = bgr[::-1]
+        frames.append(bgr[:, :, ::-1].astype(np.float64) / 255.0)
+    return width, height, fps, frames
+
+
+def decode_video_frames(
+    df: DataFrame, *, every_n: int = 2, strict: bool = False
+) -> DataFrame:
+    """Sample every ``every_n``-th frame of binary video payloads and
+    decode each sampled frame — (media_id, frame_idx, height, width,
+    mean_px). The REAL frame grab for uncompressed-DIB AVI (chunk walk
+    + the BMP pixel path per frame, Arrow-batched); compressed video:
+    ``strict=True`` raises NotImplementedError from the executor,
+    ``strict=False`` emits one deterministic fake frame. Sampling
+    happens BEFORE pixel math — skipped frames cost a chunk-size skip,
+    not a decode, which is the point of frame sampling at 100 TB."""
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("mean_px", T.DoubleType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["content"]):
+                payload = bytes(payload)
+                if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+                    w, h, _fps, frames = _decode_avi(payload)
+                    for idx in range(0, len(frames), every_n):
+                        rows.append(
+                            (int(mid), idx, h, w, float(frames[idx].mean()))
+                        )
+                elif strict:
+                    raise NotImplementedError(
+                        "only uncompressed-DIB AVI decodes in-container; "
+                        "compressed video needs pyav/libav (not installed)"
+                    )
+                else:
+                    px = _fake_decode(payload)
+                    rows.append((int(mid), 0, px.shape[0], px.shape[1],
+                                 float(px.mean())))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "height", "width", "mean_px"],
+            )
+
+    return df.select("media_id", "content").mapInPandas(batches, out_schema)
+
+
+def synthesize_avi_media(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """FIXTURE GENERATOR: one real uncompressed-DIB AVI per id —
+    (media_id, content binary), the video twin of synthesize_bmp_media.
+
+    Closed-form for oracle replay: width = 8 + id % 5, height =
+    8 + id % 3, n_frames = 4 + id % 5, fps = 10, and pixel byte i of
+    frame f's row-major top-down RGB stream is (id*31 + f*7 + i) % 256."""
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, blobs = [], []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = 8 + mid % 5, 8 + mid % 3
+                n = w * h * 3
+                frames = [
+                    ((mid * 31 + f * 7 + np.arange(n)) % 256)
+                    .astype(np.uint8)
+                    .tobytes()
+                    for f in range(4 + mid % 5)
+                ]
+                ids.append(mid)
+                blobs.append(encode_avi(w, h, frames, fps=10))
             yield pd.DataFrame({"media_id": ids, "content": blobs})
 
     return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(

@@ -212,3 +212,64 @@ def test_decode_audio_strict_raises_on_non_wav(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|only PCM"):
         mm.decode_audio(df, strict=True).collect()
+
+
+# ---------------------------------------------------------------------------
+# AVI / uncompressed-DIB video path
+# ---------------------------------------------------------------------------
+
+
+def test_avi_roundtrip_exact():
+    import numpy as np
+
+    w, h = 6, 4
+    frames = [
+        (np.arange(w * h * 3, dtype=np.int64) * (f + 3) % 256)
+        .astype(np.uint8)
+        .tobytes()
+        for f in range(5)
+    ]
+    payload = mm.encode_avi(w, h, frames, fps=25)
+    rw, rh, fps, decoded = mm._decode_avi(payload)
+    assert (rw, rh, fps, len(decoded)) == (w, h, 25, 5)
+    for f, fb in enumerate(frames):
+        expect = np.frombuffer(fb, dtype=np.uint8).reshape(h, w, 3) / 255.0
+        assert np.allclose(decoded[f], expect)
+
+
+def test_decode_video_frames_samples_every_nth(spark):
+    ids = spark.range(4).select(F.col("id").alias("media_id"))
+    media = mm.attach_media_metadata(
+        mm.synthesize_avi_media(ids), kind="video", mime="video/x-msvideo"
+    )
+    rows = mm.decode_video_frames(media, every_n=2, strict=True).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r.frame_idx)
+    for mid, idxs in by_id.items():
+        n_frames = 4 + mid % 5
+        assert sorted(idxs) == list(range(0, n_frames, 2))
+        w, h = 8 + mid % 5, 8 + mid % 3
+        assert all(r.width == w and r.height == h for r in rows if r.media_id == mid)
+
+
+def test_decode_video_strict_raises_on_compressed(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x00\x00\x00\x18ftypmp42-not-avi"))],
+        "media_id long, content binary",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|uncompressed-DIB"):
+        mm.decode_video_frames(df, strict=True).collect()
+
+
+def test_avi_rejects_compressed_stream():
+    import numpy as np
+
+    payload = bytearray(
+        mm.encode_avi(4, 4, [np.zeros(48, dtype=np.uint8).tobytes()])
+    )
+    # flip the BITMAPINFOHEADER compression field (strf body offset 16)
+    strf_at = payload.find(b"strf")
+    payload[strf_at + 8 + 16 : strf_at + 8 + 20] = b"MJPG"
+    with pytest.raises(ValueError, match="unsupported AVI stream"):
+        mm._decode_avi(bytes(payload))
