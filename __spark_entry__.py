@@ -125,15 +125,16 @@ _GATE_FIRST = [
     "tfidf_top_terms",
     "skew_salted_join_agg",
     "text_quality_score",
-    "doc_fingerprint",
     "anti_join_new_keys",
     "nway_inner_join",
     # -- NEW in round 4 (added after the stats batch): never checked
     "ann_pq_topk",
     "audio_decode_features",
     "video_frame_features",
+    "seasonal_adjusted_anomalies",
     # Remaining r1-aged rows (stratified_sample_langs / text_lang_id /
-    # global_sort — displaced by the three later round-4 additions —
+    # global_sort / doc_fingerprint — displaced by the four later
+    # round-4 additions; never-checked queries outrank age canaries —
     # plus projection_rename_literal, range_filter,
     # date_decomposition, unit_suffix_parse, json_path_scalar,
     # today_parts, nway_same_key_join, semi_join_existing_keys,

@@ -155,6 +155,7 @@ HEADLINE = [
     "rfm_customer_segments",
     "top_session_paths",
     "customer_order_gap_stats",
+    "seasonal_adjusted_anomalies",
 ]
 
 

@@ -182,6 +182,79 @@ def dow_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "seasonal_adjusted_anomalies",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS d, sum(o_totalprice) AS rev
+      FROM orders GROUP BY o_orderdate
+    ),
+    by_dow AS (
+      SELECT CAST(isodow(d) AS INTEGER) AS dow, avg(rev) AS dow_avg
+      FROM daily GROUP BY 1
+    ),
+    adj AS (
+      SELECT daily.d, daily.rev,
+             round(daily.rev / by_dow.dow_avg, 6) AS idx_adj
+      FROM daily JOIN by_dow ON CAST(isodow(daily.d) AS INTEGER) = by_dow.dow
+    ),
+    stats AS (
+      SELECT avg(idx_adj) AS mu, stddev_samp(idx_adj) AS sigma,
+             count(*) AS n_days
+      FROM adj
+    )
+    SELECT strftime(adj.d, '%Y-%m-%d') AS day,
+           round(adj.rev, 2) AS revenue,
+           adj.idx_adj,
+           round((adj.idx_adj - stats.mu) / stats.sigma, 4) AS z
+    FROM adj CROSS JOIN stats
+    WHERE abs(round((adj.idx_adj - stats.mu) / stats.sigma, 4)) > 2.0
+    """,
+)
+def seasonal_adjusted_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted revenue anomalies: divide each day's revenue
+    by its weekday's average (removing the day-of-week cycle that
+    dow_seasonality_index measures), then flag days whose adjusted
+    ratio z-scores beyond ±2 — the compose-the-operators pattern a
+    monitoring pipeline runs so Saturdays aren't perpetual "anomalies".
+
+    Shape: one fact-sized aggregate to daily totals; the weekday
+    profile (≤7 rows) and the global mean/σ (1 row) broadcast back, so
+    detection is a map-side filter over the O(days) frame. The z is
+    ROUNDED 4dp in both engines before the |z| > 2 threshold, the
+    registry's boundary-determinism rule. Note stddev here is fine
+    cross-engine (unlike daily_returns_volatility's explicit-sum form)
+    because the O(days) frame is small enough that both engines sum in
+    one partition-independent pass over identical rounded inputs."""
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    dow = (F.weekday("d") + 1).cast("int")
+    by_dow = daily.groupBy(dow.alias("dow")).agg(F.avg("rev").alias("dow_avg"))
+    adj = daily.join(
+        F.broadcast(by_dow), dow == F.col("dow")
+    ).select(
+        "d", "rev", F.round(F.col("rev") / F.col("dow_avg"), 6).alias("idx_adj")
+    )
+    stats = adj.agg(
+        F.avg("idx_adj").alias("mu"),
+        F.stddev_samp("idx_adj").alias("sigma"),
+    )
+    z = F.round((F.col("idx_adj") - F.col("mu")) / F.col("sigma"), 4)
+    return (
+        adj.crossJoin(F.broadcast(stats))
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > 2.0)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.round("rev", 2).alias("revenue"),
+            "idx_adj",
+            "z",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Markov transition matrix over event streams
 # --------------------------------------------------------------------------

@@ -133,3 +133,18 @@ def test_regr_identities(rows, spark, sf_dir):
             r["intercept"], ym - slope * xm, rel_tol=1e-3, abs_tol=1e-2
         )
         assert 0.0 <= r["r2"] <= 1.0
+
+
+def test_seasonal_anomalies_are_tail_events(rows, spark, sf_dir):
+    out = rows("seasonal_adjusted_anomalies")
+    n_days = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderdate")
+        .distinct()
+        .count()
+    )
+    # |z| > 2 flags the tails: a small fraction of days, never most
+    assert len(out) < n_days * 0.2
+    for r in out:
+        assert abs(r["z"]) > 2.0
+        assert r["idx_adj"] > 0
