@@ -50,10 +50,17 @@ _EVENTS_LONG_TS = T.StructType([
 ])
 
 
-def read_events_stream(spark: SparkSession, events_path: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession,
+    events_path: str,
+    *,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Streaming read of the events fixture (one file = one micro-batch
     under AvailableNow; a real deployment points this at a Kafka topic
-    or a landing directory).
+    or a landing directory). ``max_files_per_trigger`` caps files per
+    micro-batch — tests use 1 over a time-split directory to force
+    multi-batch runs that exercise cross-batch state boundaries.
 
     The streaming file source requires a *directory*; the fixture is a
     single parquet file, so it's staged into a symlink directory under
@@ -80,9 +87,16 @@ def read_events_stream(spark: SparkSession, events_path: str) -> DataFrame:
     # Probe the fixture's encoding with a footer-only batch read: the
     # nanos fixture surfaces ts as bigint, the micros one as timestamp.
     batch_schema = spark.read.parquet(events_path).schema
+
+    def reader(schema):
+        r = spark.readStream.schema(schema)
+        if max_files_per_trigger is not None:
+            r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+        return r
+
     if isinstance(batch_schema["ts"].dataType, T.LongType):
         return (
-            spark.readStream.schema(_EVENTS_LONG_TS)
+            reader(_EVENTS_LONG_TS)
             .parquet(events_path)
             .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         )
@@ -90,7 +104,7 @@ def read_events_stream(spark: SparkSession, events_path: str) -> DataFrame:
     # the NTZ encoding is cast — value-preserving, and keeps watermarks
     # and interval-join arithmetic identical across fixture encodings
     return (
-        spark.readStream.schema(batch_schema)
+        reader(batch_schema)
         .parquet(events_path)
         .withColumn("ts", F.col("ts").cast("timestamp"))
     )

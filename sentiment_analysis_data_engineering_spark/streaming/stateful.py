@@ -21,7 +21,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
-__all__ = ["running_user_stats", "running_user_stats_tws", "streaming_ewma", "streaming_zscore"]
+__all__ = [
+    "running_user_stats",
+    "running_user_stats_tws",
+    "streaming_ewma",
+    "streaming_transitions",
+    "streaming_zscore",
+]
 
 #: (n_events, total_value) carried per user across micro-batches.
 _STATE = T.StructType([
@@ -122,6 +128,66 @@ def streaming_ewma(events: DataFrame, *, alpha: float = 0.3) -> DataFrame:
         outputStructType=_EWMA_OUTPUT,
         stateStructType=_EWMA_STATE,
         outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+#: last seen event_type carried per user across micro-batches.
+_TRANS_STATE = T.StructType([
+    T.StructField("last_type", T.StringType()),
+])
+
+_TRANS_OUTPUT = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("prev_type", T.StringType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("n", T.LongType()),
+])
+
+
+def streaming_transitions(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``markov_event_transitions`` counts:
+    per-user (previous, next) event-type transition increments
+    maintained with ONE string of state per user — the carried last
+    event type bridges the micro-batch boundary, so a view→click pair
+    split across batches still counts.
+
+    Each micro-batch's rows for a key are sorted by (ts, event_id)
+    (the batch query's window order), shifted against themselves plus
+    the carried boundary type, and aggregated to per-(prev, next)
+    increments BEFORE emission — output is O(types²) rows per (key,
+    batch), not O(events), and summing all emitted increments
+    reproduces the batch window+aggregate exactly. Same cross-batch
+    ordering contract as streaming_ewma: keys' rows must arrive in
+    event order across batches (file/Kafka-partition append order);
+    within a batch any order is fine. Append output mode — increments
+    are facts, never revised."""
+
+    def _update(key, pdfs, state: GroupState):
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        types = rows["event_type"].tolist()
+        if not types:
+            return
+        (last,) = state.get if state.exists else (None,)
+        prevs = ([last] if last is not None else [None]) + types[:-1]
+        pairs = pd.DataFrame({"prev_type": prevs, "event_type": types})
+        pairs = pairs[pairs["prev_type"].notna()]
+        state.update((types[-1],))
+        if pairs.empty:
+            return
+        counts = (
+            pairs.groupby(["prev_type", "event_type"], sort=True)
+            .size()
+            .reset_index(name="n")
+        )
+        counts.insert(0, "user_id", key[0])
+        yield counts
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=_TRANS_OUTPUT,
+        stateStructType=_TRANS_STATE,
+        outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
 

@@ -626,3 +626,58 @@ def test_transform_with_state_matches_groupstate_api(spark, sf_dir, events_dir):
     for uid, row in batch.iterrows():
         assert final.loc[uid, "n_events"] == row["n"]
         assert abs(final.loc[uid, "total_value"] - row["v"]) < 1e-3
+
+
+def test_streaming_transitions_match_batch(spark, sf_dir, events_dir, tmp_path):
+    """Per-user transition increments with the last event type carried
+    across micro-batch boundaries: events split into 3 time-ordered
+    files, streamed one file per micro-batch, summed increments must
+    equal the batch lag-window transition counts — including the pairs
+    that STRADDLE a batch boundary (the whole point of the state)."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import Window as W
+    from sentiment_analysis_data_engineering_spark.streaming import stateful
+
+    t = pq.read_table(events_dir)
+    idx = pc.sort_indices(
+        t, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+    )
+    t = t.take(idx)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    n = t.num_rows
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        path = f"{src}/{i}.parquet"
+        pq.write_table(t.slice(cuts[i], cuts[i + 1] - cuts[i]), path)
+        os.utime(path, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    stream = st.read_events_stream(spark, src, max_files_per_trigger=1)
+    out = st.run_available_now(
+        stateful.streaming_transitions(stream), "t_trans", output_mode="append"
+    )
+    pdf = out.toPandas()
+    got = (
+        pdf.groupby(["prev_type", "event_type"])["n"].sum().to_dict()
+    )
+
+    (events,) = load_tables(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    want = {
+        (r.prev_type, r.event_type): r.n
+        for r in seq.groupBy("prev_type", "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+    # the split genuinely exercised the boundary: some user emitted
+    # increments in more than one micro-batch run
+    per_user_rows = pdf.groupby("user_id").size()
+    assert (per_user_rows > 1).any()
