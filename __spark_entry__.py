@@ -120,7 +120,6 @@ _GATE_FIRST = [
     "topk_per_group",
     "unnest_tokens",
     "dedup_exact",
-    "dedup_clusters",
     "corpus_curation",
     "tfidf_top_terms",
     "skew_salted_join_agg",
@@ -132,10 +131,11 @@ _GATE_FIRST = [
     "audio_decode_features",
     "video_frame_features",
     "seasonal_adjusted_anomalies",
+    "local_supplier_volume",
     # Remaining r1-aged rows (stratified_sample_langs / text_lang_id /
-    # global_sort / doc_fingerprint — displaced by the four later
-    # round-4 additions; never-checked queries outrank age canaries —
-    # plus projection_rename_literal, range_filter,
+    # global_sort / doc_fingerprint / dedup_clusters — displaced by the
+    # five later round-4 additions; never-checked queries outrank age
+    # canaries — plus projection_rename_literal, range_filter,
     # date_decomposition, unit_suffix_parse, json_path_scalar,
     # today_parts, nway_same_key_join, semi_join_existing_keys,
     # union_all_branches, count_existence_probe, multiset_equality,

@@ -103,6 +103,7 @@ HEADLINE = [
     "small_quantity_revenue",
     "excess_volume_suppliers",
     "idle_rich_customers",
+    "local_supplier_volume",
     # round 4: curation extensions
     "span_dedup_stats",
     "span_dedup_rewrite",

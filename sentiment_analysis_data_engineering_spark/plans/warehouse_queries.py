@@ -1041,3 +1041,84 @@ def monthly_revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("prev_cents"),
         F.round((F.col("revenue_cents") - prev) / prev, 6).alias("mom_growth"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q5 — local supplier volume (same-nation customer+supplier, region-bound)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "local_supplier_volume",
+    oracle="""
+    SELECT n.n_name,
+           CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 100)
+                AS BIGINT) AS revenue_cents
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE c.c_nationkey = s.s_nationkey
+      AND r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — the last classic star shape missing from the
+    registry: 1996 revenue per ASIA nation counting only LOCAL commerce
+    (customer and supplier share a nation — the c_nationkey =
+    s_nationkey join predicate that makes Q5 famous as the one TPC-H
+    query with a non-key equality across two dimensions).
+
+    Shape (the scale-honest Q5 plan): the date filter prunes orders at
+    scan (PushedFilters); orders⋈customer is a KEYED custkey shuffle —
+    customer is order-of-fact-sized in TPC-H, so it must never
+    broadcast — producing a slim (orderkey, cust_nation) frame; the one
+    lineitem-sized shuffle joins that frame on orderkey; supplier and
+    the region-pruned nation list are the genuinely small sides and
+    broadcast. The same-nation predicate then compares two attached
+    columns — never a shuffle key. Revenue summed to exact cents AFTER
+    a single rounding in both engines (the registry's money
+    convention)."""
+    lineitem, orders, customer, supplier, nation, region = load_tables(
+        spark, sf_dir,
+        "lineitem", "orders", "customer", "supplier", "nation", "region",
+    )
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    # keyed shuffle join: both sides big at scale, both keyed on custkey
+    o2 = o.join(
+        customer.select("c_custkey", "c_nationkey"),
+        o["o_custkey"] == F.col("c_custkey"),
+    ).select("o_orderkey", "c_nationkey")
+    asia_nations = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            nation["n_regionkey"] == region["r_regionkey"],
+        ).select("n_nationkey", "n_name")
+    )
+    s = supplier.join(
+        F.broadcast(asia_nations),
+        supplier["s_nationkey"] == asia_nations["n_nationkey"],
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    joined = (
+        lineitem.select(
+            "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+        )
+        .join(o2, lineitem["l_orderkey"] == o2["o_orderkey"])
+        .join(F.broadcast(s), lineitem["l_suppkey"] == s["s_suppkey"])
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100
+        )
+        .cast("long")
+        .alias("revenue_cents")
+    )
