@@ -378,7 +378,18 @@ def market_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_bs") <= _MB_MAX_BASKET)
         .select("l_orderkey")
     )
-    b = b0.join(sized, "l_orderkey")
+    # Pin ONE materialization of the capped basket frame: five
+    # consumers read it (item counts, the two pair-join sides, the
+    # order total, the frequent-item semi join), and without the pin
+    # each recomputes the distinct from a fresh lineitem scan — the
+    # executed plan showed 14 fact scans and zero exchange reuse. Same
+    # localCheckpoint pattern as customer_balance_deciles. At bench
+    # scale the eager materialization costs ~2 s of FIXED overhead and
+    # the 14 re-scans of a 176 MB file would actually be cheaper;
+    # at 100 TB that inverts brutally (14 fact scans vs one
+    # basket-sized write), and the pinned plan is the only one that
+    # survives the scale-up, so the pin stays.
+    b = b0.join(sized, "l_orderkey").localCheckpoint()
     ic = b.groupBy("l_partkey").agg(F.count("*").cast("long").alias("c"))
     fi = ic.filter(F.col("c") >= _MB_MIN_ITEM)
     # keep only frequent items in the basket stream (semi join — the
