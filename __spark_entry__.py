@@ -117,7 +117,6 @@ _GATE_FIRST = [
     "window_moving_avg",
     "window_tumbling_daily",
     "sessionize_events",
-    "topk_per_group",
     "unnest_tokens",
     "dedup_exact",
     "corpus_curation",
@@ -132,10 +131,12 @@ _GATE_FIRST = [
     "video_frame_features",
     "seasonal_adjusted_anomalies",
     "local_supplier_volume",
+    "ann_ivfpq_topk",
     # Remaining r1-aged rows (stratified_sample_langs / text_lang_id /
-    # global_sort / doc_fingerprint / dedup_clusters — displaced by the
-    # five later round-4 additions; never-checked queries outrank age
-    # canaries — plus projection_rename_literal, range_filter,
+    # global_sort / doc_fingerprint / dedup_clusters / topk_per_group —
+    # displaced by the six later round-4 additions; never-checked
+    # queries outrank age canaries — plus projection_rename_literal,
+    # range_filter,
     # date_decomposition, unit_suffix_parse, json_path_scalar,
     # today_parts, nway_same_key_join, semi_join_existing_keys,
     # union_all_branches, count_existence_probe, multiset_equality,

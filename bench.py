@@ -68,6 +68,7 @@ HEADLINE = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
     "skew_salted_join_agg",
     "text_quality_score",
     "doc_fingerprint",

@@ -33,6 +33,7 @@ __all__ = [
     "lsh_cosine_topk",
     "hyperplane_signature",
     "ivf_cosine_topk",
+    "ivfpq_cosine_topk",
     "pq_cosine_topk",
     "kmeans_clusters",
     "semantic_dedup",
@@ -505,6 +506,56 @@ def lsh_cosine_topk(
     )
 
 
+def _lloyd(X, k: int, iters: int):
+    """Deterministic Lloyd k-means (driver-side numpy): init = first
+    ``k`` rows, empty clusters re-seed from the worst-quantized points
+    (farthest-point heuristic), ties to the lowest index — no RNG, so
+    the trained model is bit-replayable. Returns a (k, dim) ndarray."""
+    import numpy as np
+
+    C = X[: min(k, len(X))].copy()
+    if len(C) < k:  # tiny corpus: pad by repeating
+        C = np.resize(C, (k, X.shape[1]))
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        errs = d[np.arange(len(X)), assign]
+        order = np.argsort(-errs, kind="stable")  # worst-fit first
+        spill = 0
+        for c in range(k):
+            mask = assign == c
+            if mask.any():
+                C[c] = X[mask].mean(axis=0)
+            else:
+                C[c] = X[order[spill % len(order)]]
+                spill += 1
+    return C
+
+
+def _sample_normalized(
+    corpus: DataFrame, vec_col: str, id_col: str, train_rows: int
+):
+    """Bounded deterministic training sample: the ``train_rows``
+    smallest-id vectors, L2-normalized — the model-build collect every
+    quantizer here trains from."""
+    import numpy as np
+
+    sample = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.col(id_col))
+        .limit(train_rows)
+        .collect()
+    )
+    if not sample:
+        raise ValueError("empty corpus")
+    V = np.array(
+        [[float(x) for x in r[vec_col]] for r in sample], dtype=np.float64
+    )
+    norms = np.sqrt((V * V).sum(axis=1, keepdims=True))
+    norms[norms == 0] = 1.0
+    return V / norms
+
+
 def _pq_codebooks(
     corpus: DataFrame,
     vec_col: str,
@@ -532,45 +583,15 @@ def _pq_codebooks(
     to the lowest index, so the model is bit-replayable. At 100 TB this
     stays a ~256-row collect; MLlib KMeans per subspace is the drop-in
     when the training sample itself must be distributed."""
-    import numpy as np
-
-    sample = (
-        corpus.select(id_col, vec_col)
-        .orderBy(F.col(id_col))
-        .limit(train_rows)
-        .collect()
-    )
-    if not sample:
-        raise ValueError("pq_cosine_topk: empty corpus")
-    dim = len(sample[0][vec_col])
+    V = _sample_normalized(corpus, vec_col, id_col, train_rows)
+    dim = V.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     sub = dim // m
-    V = np.array([[float(x) for x in r[vec_col]] for r in sample], dtype=np.float64)
-    norms = np.sqrt((V * V).sum(axis=1, keepdims=True))
-    norms[norms == 0] = 1.0
-    V = V / norms
-    books: list[list[list[float]]] = []
-    for s in range(m):
-        X = V[:, s * sub : (s + 1) * sub]
-        C = X[: min(n_codes, len(X))].copy()
-        if len(C) < n_codes:  # tiny corpus: pad by repeating
-            C = np.resize(C, (n_codes, sub))
-        for _ in range(iters):
-            d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            assign = d.argmin(axis=1)
-            errs = d[np.arange(len(X)), assign]
-            order = np.argsort(-errs, kind="stable")  # worst-fit first
-            spill = 0
-            for c in range(n_codes):
-                mask = assign == c
-                if mask.any():
-                    C[c] = X[mask].mean(axis=0)
-                else:
-                    C[c] = X[order[spill % len(order)]]
-                    spill += 1
-        books.append([list(map(float, row)) for row in C])
-    return books
+    return [
+        [list(map(float, row)) for row in _lloyd(V[:, s * sub : (s + 1) * sub], n_codes, iters)]
+        for s in range(m)
+    ]
 
 
 def _pq_encode_arrow(
@@ -704,6 +725,19 @@ def pq_cosine_topk(
     adc = enc.crossJoin(F.broadcast(qtab.select("query_id", "_tab"))).filter(
         F.col("query_id") != F.col("neighbor_id")
     )
+    cand = _adc_candidates(adc, m=m, n_codes=n_codes, n_rerank=n_rerank)
+    return _exact_rerank(
+        cand, qtab.select("query_id", "_qv"), corpus, vec_col, id_col, k=k
+    )
+
+
+def _adc_candidates(
+    adc: DataFrame, *, m: int, n_codes: int, n_rerank: int
+) -> DataFrame:
+    """Shared ADC scoring tail: given (query_id, neighbor_id, codes,
+    _tab) rows, sum the ``m`` table lookups and keep the ``n_rerank``
+    best (lowest distance) neighbors per query — one window, k rows
+    out per query."""
     dist = F.aggregate(
         F.zip_with(
             F.col("codes"),
@@ -715,19 +749,32 @@ def pq_cosine_topk(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    wa = W.partitionBy("query_id").orderBy(F.col("_adc").asc(), F.col("neighbor_id"))
-    cand = (
+    wa = W.partitionBy("query_id").orderBy(
+        F.col("_adc").asc(), F.col("neighbor_id")
+    )
+    return (
         adc.withColumn("_adc", dist)
         .withColumn("_arank", F.row_number().over(wa))
         .filter(F.col("_arank") <= n_rerank)
         .select("query_id", "neighbor_id")
     )
 
-    # exact re-rank: true vectors join in once per candidate
+
+def _exact_rerank(
+    cand: DataFrame,
+    qv: DataFrame,
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    k: int,
+) -> DataFrame:
+    """Shared exact re-rank tail: true vectors join in once per
+    candidate (query side broadcast with its unit-norm ``_qv``), exact
+    cosine, per-query top-k window."""
     cv = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("_cv")
     ).withColumn("_cn", _norm(F.col("_cv")))
-    qv = qtab.select("query_id", "_qv")
     scored = (
         cand.join(F.broadcast(qv), "query_id")
         .join(cv, "neighbor_id")
@@ -739,12 +786,150 @@ def pq_cosine_topk(
             ),
         )
     )
-    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def ivfpq_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 64,
+    n_rerank: int = 96,
+    train_rows: int = 256,
+    iters: int = 10,
+) -> DataFrame:
+    """IVF-PQ approximate top-k (Jégou et al., TPAMI 2011 — the FAISS
+    ``IVFx,PQy`` architecture): a Lloyd-trained coarse quantizer of
+    ``n_cells`` partitions the corpus, vectors are PQ-encoded on their
+    RESIDUAL to the cell centroid (residuals concentrate near zero, so
+    the same code budget quantizes them far more finely than raw
+    vectors), and queries probe only their ``n_probe`` nearest cells
+    with a per-(query, cell) ADC table before the exact re-rank.
+
+    Why this is THE 100 TB ANN composition: IVF gives partition
+    pruning (a cell equi-join — the corpus shuffles once on cell id,
+    and a query touches n_probe/n_cells of it) while PQ gives the
+    bandwidth win inside each probed cell (~m bytes per vector). The
+    plan is: one Arrow encode pass over the corpus (cell + residual
+    codes), one Arrow pass over the queries (probed cells + their ADC
+    tables), a broadcast equi-join on cell, the ADC window, the exact
+    re-rank. All training is the deterministic bounded-sample Lloyd
+    (`_lloyd`) — no RNG, bit-replayable; MLlib KMeans is the drop-in
+    when the training sample must be distributed."""
+    import numpy as np
+    import pandas as pd
+
+    V = _sample_normalized(corpus, vec_col, id_col, train_rows)
+    dim = V.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    C = _lloyd(V, n_cells, iters)  # coarse centroids (n_cells, dim)
+    # residual codebooks: shared across cells (the standard IVFPQ
+    # choice — per-cell books multiply model size by n_cells)
+    d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    R = V - C[d2.argmin(axis=1)]
+    books = [
+        _lloyd(R[:, s * sub : (s + 1) * sub], n_codes, iters)
+        for s in range(m)
+    ]
+
+    id_t = corpus.schema[id_col].dataType.simpleString()
+
+    def enc_gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            norms = np.sqrt((X * X).sum(axis=1, keepdims=True))
+            norms[norms == 0] = 1.0
+            X = X / norms
+            cells = (
+                ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+            )
+            Rx = X - C[cells]
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for s in range(m):
+                Rs = Rx[:, s * sub : (s + 1) * sub]
+                B = books[s]
+                d = (B * B).sum(axis=1)[None, :] - 2.0 * (Rs @ B.T)
+                codes[:, s] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["_id"].to_numpy(),
+                    "cell": cells.astype(np.int64),
+                    "codes": list(codes),
+                }
+            )
+
+    enc = _spread(corpus, id_col).select(
+        F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v")
+    ).mapInPandas(enc_gen, f"neighbor_id {id_t}, cell long, codes array<int>")
+
+    def qtab_gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            norms = np.sqrt((X * X).sum(axis=1, keepdims=True))
+            norms[norms == 0] = 1.0
+            X = X / norms
+            dcell = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            probes = np.argsort(dcell, axis=1, kind="stable")[:, :n_probe]
+            out_id, out_cell, out_qv, out_tab = [], [], [], []
+            for i in range(len(pdf)):
+                for cell in probes[i]:
+                    r = X[i] - C[cell]  # query residual IN this cell
+                    tab = np.concatenate(
+                        [
+                            (
+                                (r[s * sub : (s + 1) * sub][None, :] - books[s])
+                                ** 2
+                            ).sum(axis=1)
+                            for s in range(m)
+                        ]
+                    )
+                    out_id.append(pdf["_id"].iloc[i])
+                    out_cell.append(int(cell))
+                    out_qv.append(X[i])
+                    out_tab.append(tab)
+            yield pd.DataFrame(
+                {
+                    "query_id": out_id,
+                    "cell": out_cell,
+                    "_qv": out_qv,
+                    "_tab": out_tab,
+                }
+            )
+
+    qtab = queries.select(
+        F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v")
+    ).mapInPandas(
+        qtab_gen,
+        f"query_id {id_t}, cell long, _qv array<double>, _tab array<double>",
+    )
+
+    # partition-pruning equi-join: a query meets only its probed cells'
+    # vectors — n_probe/n_cells of the corpus instead of all of it
+    adc = enc.join(
+        F.broadcast(qtab.select("query_id", "cell", "_tab")), "cell"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    cand = _adc_candidates(adc, m=m, n_codes=n_codes, n_rerank=n_rerank)
+    qv = qtab.select("query_id", "_qv").dropDuplicates(["query_id"])
+    return _exact_rerank(cand, qv, corpus, vec_col, id_col, k=k)
 
 
 def kmeans_clusters(

@@ -269,3 +269,52 @@ def test_pq_rejects_indivisible_subspaces(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     with pytest.raises(ValueError, match="not divisible"):
         sim.pq_cosine_topk(emb.limit(5), emb, m=7).collect()
+
+
+def test_ivfpq_recall_on_fixture_embeddings(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.cosine_topk(queries, emb, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.ivfpq_cosine_topk(queries, emb, k=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF-PQ recall too low: {recall}"
+
+
+def test_ivfpq_all_cells_full_rerank_equals_exact(spark, sf_dir):
+    """Probing EVERY cell with n_rerank >= corpus removes both
+    approximations, so IVF-PQ must return the exact top-k — pins the
+    residual table indexing and the cell-join plumbing at once."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    n = emb.count()
+    exact = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in sim.cosine_topk(queries, emb, k=3).collect()
+    )
+    approx = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in sim.ivfpq_cosine_topk(
+            queries, emb, k=3, n_cells=8, n_probe=8, n_rerank=n
+        ).collect()
+    )
+    assert exact == approx
+
+
+def test_ivfpq_deterministic(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    a = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in sim.ivfpq_cosine_topk(queries, emb, k=3).collect()
+    )
+    b = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in sim.ivfpq_cosine_topk(queries, emb, k=3).collect()
+    )
+    assert a == b and a
