@@ -371,3 +371,48 @@ def test_bigram_pmi_matches_bruteforce(spark, texts):
         for (a, b), c in bi.items()
     }
     assert got == expect
+
+
+@given(
+    samples=st.lists(st.integers(-32768, 32767), min_size=1, max_size=400),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+@_slow
+def test_wav_codec_roundtrip_law(samples, rate):
+    """decode(encode(x)) == x for ANY int16 sample stream / rate —
+    pure codec law, no Spark needed."""
+    import numpy as np
+
+    from sentiment_analysis_data_engineering_spark.operators import multimodal as mm
+
+    s = np.array(samples, dtype="<i2")
+    rate2, out = mm._decode_wav(mm.encode_wav(rate, s.tobytes()))
+    assert rate2 == rate
+    assert (out == s).all()
+
+
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 9),
+    n_frames=st.integers(1, 6),
+    seed=st.integers(0, 2**31 - 1),
+    fps=st.sampled_from([1, 10, 30]),
+)
+@_slow
+def test_avi_codec_roundtrip_law(w, h, n_frames, seed, fps):
+    """decode(encode(frames)) == frames for ANY frame geometry —
+    covers the row-padding/bottom-up/BGR transform at every width mod 4."""
+    import numpy as np
+
+    from sentiment_analysis_data_engineering_spark.operators import multimodal as mm
+
+    rng = (seed + np.arange(n_frames * w * h * 3)) % 256
+    frames = [
+        rng[f * w * h * 3 : (f + 1) * w * h * 3].astype(np.uint8).tobytes()
+        for f in range(n_frames)
+    ]
+    rw, rh, rfps, decoded = mm._decode_avi(mm.encode_avi(w, h, frames, fps=fps))
+    assert (rw, rh, rfps, len(decoded)) == (w, h, fps, n_frames)
+    for f, fb in enumerate(frames):
+        expect = np.frombuffer(fb, dtype=np.uint8).reshape(h, w, 3) / 255.0
+        assert np.allclose(decoded[f], expect)
