@@ -115,12 +115,10 @@ _GATE_FIRST = [
     "casts_and_coalesce",
     "groupby_agg_pricing_summary",
     "window_moving_avg",
-    "window_tumbling_daily",
     "sessionize_events",
     "unnest_tokens",
     "dedup_exact",
     "corpus_curation",
-    "tfidf_top_terms",
     "skew_salted_join_agg",
     "text_quality_score",
     "anti_join_new_keys",
@@ -132,11 +130,13 @@ _GATE_FIRST = [
     "seasonal_adjusted_anomalies",
     "local_supplier_volume",
     "ann_ivfpq_topk",
+    "bigram_logprob_score",
+    "readability_report",
     # Remaining r1-aged rows (stratified_sample_langs / text_lang_id /
-    # global_sort / doc_fingerprint / dedup_clusters / topk_per_group —
-    # displaced by the six later round-4 additions; never-checked
-    # queries outrank age canaries — plus projection_rename_literal,
-    # range_filter,
+    # global_sort / doc_fingerprint / dedup_clusters / topk_per_group /
+    # window_tumbling_daily / tfidf_top_terms — displaced by the eight
+    # later round-4 additions; never-checked queries outrank age
+    # canaries — plus projection_rename_literal, range_filter,
     # date_decomposition, unit_suffix_parse, json_path_scalar,
     # today_parts, nway_same_key_join, semi_join_existing_keys,
     # union_all_branches, count_existence_probe, multiset_equality,

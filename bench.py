@@ -158,6 +158,8 @@ HEADLINE = [
     "top_session_paths",
     "customer_order_gap_stats",
     "seasonal_adjusted_anomalies",
+    "bigram_logprob_score",
+    "readability_report",
 ]
 
 

@@ -35,6 +35,7 @@ __all__ = [
     "repetition_signals",
     "chunk_token_windows",
     "unigram_logprob_score",
+    "bigram_logprob_score",
     "bigram_pmi",
     "remove_duplicate_spans",
     "doc_spans",
@@ -459,6 +460,86 @@ def bigram_pmi(
                 6,
             ).alias("pmi"),
         )
+    )
+
+
+def bigram_logprob_score(
+    df: DataFrame, text_col: str, id_col: str, *, k: float = 0.5
+) -> DataFrame:
+    """Per-document mean bigram log-probability and perplexity under
+    the corpus's own add-k-smoothed bigram model — the conditional-
+    probability upgrade of ``unigram_logprob_score``: a document full
+    of common tokens in IMPLAUSIBLE order (shuffled text, keyword
+    stuffing, template soup) scores high on the unigram signal but low
+    here, because P(w₂|w₁) = (c(w₁w₂)+k) / (c(w₁)+k·V) punishes unseen
+    transitions. Denominator uses full unigram counts (the standard
+    corpus-LM approximation; a position-restricted context count would
+    differ only at document-final tokens).
+
+    Plan shape (the bigram_pmi family): bigrams via index-zip over each
+    doc's token array — never a positional self-join; per-(doc, bigram)
+    tf aggregate first so the model join runs over distinct pairs, not
+    the raw bigram stream; corpus bigram/unigram tables derive from
+    those frames (one corpus scan total); V and k enter as broadcast
+    scalars. Smoothed probability computed in DOUBLE (corpus-scale
+    count products overflow longs), ln rounded 6 dp and perplexity
+    exp(-mean) rounded 4 dp — both from the UNROUNDED mean, the
+    cross-engine convention. Docs with < 2 tokens have no bigrams and
+    drop from the output (documented contract).
+
+    Returns (id, n_bigrams, avg_logprob, perplexity).
+    """
+    t = F.filter(tokens(normalize_text(text_col)), lambda x: x != "")
+    base = df.select(F.col(id_col).alias("_id"), t.alias("_t"))
+    uni = (
+        base.select(F.explode("_t").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("_c"))
+    )
+    vocab = uni.select(F.count("*").cast("double").alias("_v"))
+    idx = F.when(
+        F.size("_t") >= 2, F.sequence(F.lit(1), F.size("_t") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    doc_bi = (
+        base.select(
+            "_id",
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        F.element_at("_t", i).alias("w1"),
+                        F.element_at("_t", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("_b"),
+        )
+        .select("_id", "_b.w1", "_b.w2")
+        .groupBy("_id", "w1", "w2")
+        .agg(F.count("*").alias("_tf"))
+    )
+    bc = doc_bi.groupBy("w1", "w2").agg(F.sum("_tf").alias("_c12"))
+    c1 = uni.select(F.col("term").alias("w1"), F.col("_c").alias("_c1"))
+    logp = (
+        bc.join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.log(
+                (F.col("_c12").cast("double") + F.lit(float(k)))
+                / (F.col("_c1").cast("double") + F.lit(float(k)) * F.col("_v"))
+            ).alias("_lp"),
+        )
+    )
+    scored = doc_bi.join(logp, ["w1", "w2"]).groupBy("_id").agg(
+        F.sum("_tf").alias("n_bigrams"),
+        (F.sum(F.col("_tf") * F.col("_lp")) / F.sum("_tf")).alias("_avg"),
+    )
+    return scored.select(
+        F.col("_id").alias(id_col),
+        "n_bigrams",
+        F.round("_avg", 6).alias("avg_logprob"),
+        F.round(F.exp(-F.col("_avg")), 4).alias("perplexity"),
     )
 
 

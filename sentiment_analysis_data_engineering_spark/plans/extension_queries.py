@@ -1734,6 +1734,125 @@ def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bigram_pmi(documents, "text", min_count=10)
 
 
+@query(
+    "bigram_logprob_score",
+    oracle=r"""
+    WITH norm AS (
+      SELECT doc_id,
+             list_filter(
+               string_split_regex(
+                 trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+               x -> x <> '') AS t
+      FROM documents
+    ),
+    uni AS (SELECT unnest(t) AS term FROM norm),
+    uc AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY term),
+    voc AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uc),
+    bi AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM norm, unnest(generate_series(1, len(t) - 1)) AS g(i)
+      WHERE len(t) >= 2
+    ),
+    doc_bi AS (
+      SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tf
+      FROM bi GROUP BY 1, 2, 3
+    ),
+    bc AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c12
+           FROM doc_bi GROUP BY 1, 2),
+    logp AS (
+      SELECT bc.w1, bc.w2,
+             ln((bc.c12::DOUBLE + 0.5) / (uc.c::DOUBLE + 0.5 * voc.v)) AS lp
+      FROM bc JOIN uc ON uc.term = bc.w1, voc
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(sum(tf) AS BIGINT) AS n_bigrams,
+             sum(tf * lp) / sum(tf) AS avg0
+      FROM doc_bi JOIN logp USING (w1, w2)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           round(avg0, 6) AS avg_logprob,
+           round(exp(-avg0), 4) AS perplexity
+    FROM scored
+    """,
+)
+def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean bigram log-probability + perplexity under the
+    corpus's own add-0.5-smoothed bigram model
+    (operators/text.py::bigram_logprob_score) — the conditional-
+    probability quality signal that catches plausible-tokens-in-
+    implausible-order text the unigram score misses. Index-zip
+    bigrams, distinct-pair model join, one corpus scan."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return tx.bigram_logprob_score(documents, "text", "doc_id", k=0.5)
+
+
+@query(
+    "readability_report",
+    oracle=r"""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(len(list_filter(
+               string_split_regex(
+                 trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+               x -> x <> '')) AS BIGINT) AS n_words,
+             CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+                  AS BIGINT) AS n_sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                  AS BIGINT) AS vg
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences,
+           CAST(greatest(n_words, vg) AS BIGINT) AS syllables_est,
+           CASE WHEN n_words > 0 THEN
+             round(206.835
+                   - 1.015 * (n_words::DOUBLE / n_sentences)
+                   - 84.6 * (greatest(n_words, vg)::DOUBLE / n_words), 4)
+           END AS flesch
+    FROM f
+    """,
+)
+def readability_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document from dependency-free
+    heuristics: words = the engine's whitespace tokenization, sentences
+    = terminator-run count ([.!?]+, floor 1), syllables ≈ vowel-group
+    count floored at one per word (the standard regex approximation —
+    hyphenation dictionaries are a library concern, the ENGINE contract
+    is a deterministic formula both engines replay bit-for-bit). Pure
+    per-row Column expressions — zero shuffles, the
+    gopher_repetition_signals plan class; at 100 TB this runs at scan
+    bandwidth and composes with quality_percentile_prune as another
+    prune axis."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    n_words = F.size(
+        F.filter(
+            tx.tokens(tx.normalize_text("text")), lambda x: x != ""
+        )
+    ).cast("long")
+    n_sent = F.greatest(
+        F.lit(1).cast("long"), F.regexp_count("text", F.lit(r"[.!?]+")).cast("long")
+    )
+    vg = F.regexp_count(F.lower("text"), F.lit(r"[aeiouy]+")).cast("long")
+    syl = F.greatest(n_words, vg)
+    flesch = F.when(
+        n_words > 0,
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * (n_words.cast("double") / n_sent)
+            - F.lit(84.6) * (syl.cast("double") / n_words),
+            4,
+        ),
+    )
+    return documents.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        syl.alias("syllables_est"),
+        flesch.alias("flesch"),
+    )
+
+
 def _profile_orders_oracle() -> str:
     # mirrors operators/profile.py::profile_table metric-for-metric on
     # the orders table; every value uses the same cross-engine string

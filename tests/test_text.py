@@ -311,3 +311,34 @@ def test_remove_duplicate_spans_fully_duplicated_doc_empties(spark):
         ).collect()
     }
     assert got == {1: ("a b", 0), 2: ("", 1)}
+
+
+def test_bigram_logprob_laws(spark, sf_dir):
+    from sentiment_analysis_data_engineering_spark.operators.text import bigram_logprob_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = bigram_logprob_score(docs, "text", "doc_id").collect()
+    assert out
+    for r in out:
+        assert r.n_bigrams >= 1
+        assert r.avg_logprob < 0  # probabilities < 1
+        assert r.perplexity > 1  # exp of positive mean surprise
+
+
+def test_bigram_logprob_prefers_natural_order(spark):
+    """The same tokens in corpus-frequent order must outscore a
+    shuffled arrangement — the property the unigram signal cannot
+    express (both orders have identical unigram scores)."""
+    from sentiment_analysis_data_engineering_spark.operators.text import bigram_logprob_score
+
+    base = [("the quick brown fox jumps over the lazy dog",)] * 20
+    natural = "the quick brown fox"
+    shuffled = "fox the brown quick"
+    rows = [(i, t[0]) for i, t in enumerate(base)] + [
+        (100, natural),
+        (101, shuffled),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.avg_logprob for r in
+           bigram_logprob_score(df, "text", "doc_id").collect()}
+    assert out[100] > out[101]
