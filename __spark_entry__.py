@@ -115,7 +115,6 @@ _GATE_FIRST = [
     "casts_and_coalesce",
     "groupby_agg_pricing_summary",
     "window_moving_avg",
-    "sessionize_events",
     "unnest_tokens",
     "dedup_exact",
     "corpus_curation",
@@ -132,11 +131,14 @@ _GATE_FIRST = [
     "ann_ivfpq_topk",
     "bigram_logprob_score",
     "readability_report",
+    "cohort_ltv_curves",
     # Remaining r1-aged rows (stratified_sample_langs / text_lang_id /
     # global_sort / doc_fingerprint / dedup_clusters / topk_per_group /
-    # window_tumbling_daily / tfidf_top_terms — displaced by the eight
-    # later round-4 additions; never-checked queries outrank age
-    # canaries — plus projection_rename_literal, range_filter,
+    # window_tumbling_daily / tfidf_top_terms / sessionize_events
+    # (whose sessionization logic the in-prefix top_session_paths
+    # exercises verbatim) — displaced by the nine later round-4
+    # additions; never-checked queries outrank age canaries — plus
+    # projection_rename_literal, range_filter,
     # date_decomposition, unit_suffix_parse, json_path_scalar,
     # today_parts, nway_same_key_join, semi_join_existing_keys,
     # union_all_branches, count_existence_probe, multiset_equality,

@@ -119,6 +119,7 @@ HEADLINE = [
     # round 5: behavioral analytics, sketches, graph
     "funnel_view_click_purchase",
     "weekly_retention_cohorts",
+    "cohort_ltv_curves",
     "rolling_zscore_anomalies",
     "daily_user_value_interp",
     "heavy_hitter_users",

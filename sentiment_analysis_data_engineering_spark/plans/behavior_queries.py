@@ -814,3 +814,94 @@ def max_drawdown_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("_m._dd"), 6).alias("max_drawdown"),
         F.date_format(F.col("_m._d"), "yyyy-MM-dd").alias("trough_day"),
     )
+
+
+@query(
+    "cohort_ltv_curves",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    sizes AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_users
+              FROM firsts GROUP BY cohort),
+    wk_rev AS (
+      SELECT f.cohort,
+             CAST(date_diff('day', f.cohort,
+                  CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS BIGINT)
+               AS week_offset,
+             CAST(round(sum(e.value) * 100) AS BIGINT) AS rev_cents
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT cohort, week_offset, rev_cents,
+             CAST(sum(rev_cents) OVER (PARTITION BY cohort
+                                       ORDER BY week_offset) AS BIGINT)
+               AS cum_rev_cents
+      FROM wk_rev
+    )
+    SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_week,
+           c.week_offset,
+           s.cohort_users,
+           c.rev_cents,
+           c.cum_rev_cents,
+           round(c.cum_rev_cents / CAST(100 * s.cohort_users AS DOUBLE), 4)
+             AS ltv_per_user
+    FROM cum c JOIN sizes s ON c.cohort = s.cohort
+    """,
+)
+def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves — the revenue companion to
+    weekly_retention_cohorts: users cohorted by first-event week, each
+    (cohort, week_offset) cell holds that week's event value and the
+    running cumulative value, normalized to LTV-per-cohort-member.
+    Retention says WHO comes back; this says what their return is
+    WORTH — the pair every growth model joins.
+
+    Plan: the same two user-keyed aggregates as retention (first-event
+    + activity), one join on user_id, then everything runs on the
+    calendar-bounded (cohort, offset) grid — the cumulative window
+    partitions by cohort over O(weeks) rows, never event rows. Money
+    is exact integer cents before the cumulative sum, so the running
+    totals are bit-identical cross-engine and only the final
+    per-user ratio rounds."""
+    (events,) = load_tables(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort")
+    )
+    sizes = firsts.groupBy("cohort").agg(
+        F.count("*").alias("cohort_users")
+    )
+    wk_rev = (
+        events.join(firsts, "user_id")
+        .groupBy(
+            "cohort",
+            (
+                F.datediff(
+                    F.to_date(F.date_trunc("week", F.col("ts"))), F.col("cohort")
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.round(F.sum("value") * 100).cast("long").alias("rev_cents"))
+    )
+    w = Window.partitionBy("cohort").orderBy("week_offset")
+    cum = wk_rev.withColumn(
+        "cum_rev_cents",
+        F.sum("rev_cents").over(w).cast("long"),
+    )
+    return cum.join(F.broadcast(sizes), "cohort").select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+        "cohort_users",
+        "rev_cents",
+        "cum_rev_cents",
+        F.round(
+            F.col("cum_rev_cents")
+            / (F.lit(100) * F.col("cohort_users")).cast("double"),
+            4,
+        ).alias("ltv_per_user"),
+    )
