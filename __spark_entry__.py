@@ -119,7 +119,6 @@ _GATE_FIRST = [
     "dedup_exact",
     "corpus_curation",
     "skew_salted_join_agg",
-    "text_quality_score",
     "anti_join_new_keys",
     "nway_inner_join",
     # -- NEW in round 4 (added after the stats batch): never checked
@@ -132,13 +131,14 @@ _GATE_FIRST = [
     "bigram_logprob_score",
     "readability_report",
     "cohort_ltv_curves",
+    "brown_forecast_user_value",
     # Remaining r1-aged rows (stratified_sample_langs / text_lang_id /
     # global_sort / doc_fingerprint / dedup_clusters / topk_per_group /
-    # window_tumbling_daily / tfidf_top_terms / sessionize_events
-    # (whose sessionization logic the in-prefix top_session_paths
-    # exercises verbatim) — displaced by the nine later round-4
-    # additions; never-checked queries outrank age canaries — plus
-    # projection_rename_literal, range_filter,
+    # window_tumbling_daily / tfidf_top_terms / text_quality_score /
+    # sessionize_events (whose sessionization logic the in-prefix
+    # top_session_paths exercises verbatim) — displaced by the ten
+    # later round-4 additions; never-checked queries outrank age
+    # canaries — plus projection_rename_literal, range_filter,
     # date_decomposition, unit_suffix_parse, json_path_scalar,
     # today_parts, nway_same_key_join, semi_join_existing_keys,
     # union_all_branches, count_existence_probe, multiset_equality,

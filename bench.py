@@ -161,6 +161,7 @@ HEADLINE = [
     "seasonal_adjusted_anomalies",
     "bigram_logprob_score",
     "readability_report",
+    "brown_forecast_user_value",
 ]
 
 

@@ -24,11 +24,98 @@ from pyspark.sql import Window as W
 
 __all__ = [
     "as_of_join",
+    "brown_double_smoothing",
     "range_join_buckets",
     "ewma_last",
     "forward_fill",
     "linear_interpolate",
 ]
+
+
+def brown_double_smoothing(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    alpha: float = 0.3,
+    horizon: int = 7,
+    lookback: int = 64,
+) -> DataFrame:
+    """Brown's double exponential smoothing + h-step linear forecast
+    per key — the trend-aware upgrade of ``ewma_last``: two chained
+    smoothings (s1 over the values, s2 over s1) estimate level AND
+    trend, and the forecast extrapolates
+    ŷ_{+h} = (2 + αh/(1-α))·s1 − (1 + αh/(1-α))·s2.
+
+    Exactness contract: the recursion
+    ``s1 ← α·x + (1-α)·s1; s2 ← α·s1 + (1-α)·s2`` is evaluated in the
+    SAME IEEE operation order on both engines — a numpy fold here, a
+    recursive CTE in the DuckDB oracle — so results are bit-identical
+    before the output rounding. (The closed-form trick ewma_last uses
+    does not extend: a closed form for s2 reorders the floating-point
+    additions and drifts from any recursive replica.)
+
+    Scale shape: fits run on each key's TRAILING ``lookback``
+    observations — per-key work and state are constant, the
+    rolling-z-score bounded-window stance, which is also what a
+    forecaster wants (stale history should age out of the level
+    estimate). One keyed window ranks rows (the shuffle), the fold is
+    an Arrow-batched grouped map over ≤ lookback rows per key.
+
+    Returns (key, n_fit, s1, s2, forecast) with s1/s2/forecast rounded
+    to 6 dp."""
+    import pandas as pd
+
+    q = 1.0 - alpha
+    factor = alpha * horizon / q
+
+    w = W.partitionBy(key_col).orderBy(
+        F.col(ts_col).desc(), F.col(tiebreak_col).desc()
+    )
+    recent = (
+        df.select(key_col, ts_col, tiebreak_col, value_col)
+        .withColumn("_rev", F.row_number().over(w))
+        .filter(F.col("_rev") <= lookback)
+    )
+
+    key_t = df.schema[key_col].dataType.simpleString()
+    out_schema = (
+        f"{key_col} {key_t}, n_fit long, s1 double, s2 double, "
+        "forecast double"
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_rev", ascending=False)  # oldest first
+        xs = pdf[value_col].to_numpy(dtype=float)
+        s1 = xs[0]
+        s2 = s1
+        for x in xs[1:]:
+            s1 = alpha * x + q * s1
+            s2 = alpha * s1 + q * s2
+        fc = (2.0 + factor) * s1 - (1.0 + factor) * s2
+        # no rounding HERE: Python round() is half-to-even while both
+        # engines' SQL round() is half-away — the 6dp rounding happens
+        # in F.round below so it matches the oracle's rounding mode
+        return pd.DataFrame(
+            {
+                key_col: [pdf[key_col].iloc[0]],
+                "n_fit": [len(xs)],
+                "s1": [s1],
+                "s2": [s2],
+                "forecast": [fc],
+            }
+        )
+
+    out = recent.groupBy(key_col).applyInPandas(fold, out_schema)
+    return out.select(
+        key_col,
+        "n_fit",
+        F.round("s1", 6).alias("s1"),
+        F.round("s2", 6).alias("s2"),
+        F.round("forecast", 6).alias("forecast"),
+    )
 
 
 def as_of_join(

@@ -905,3 +905,68 @@ def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("ltv_per_user"),
     )
+
+
+@query(
+    "brown_forecast_user_value",
+    oracle="""
+    WITH RECURSIVE o AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rev
+      FROM events
+    ),
+    idx AS (
+      SELECT user_id, CAST(value AS DOUBLE) AS value,
+             row_number() OVER (PARTITION BY user_id ORDER BY rev DESC)
+               AS rn
+      FROM o WHERE rev <= 64
+    ),
+    r AS (
+      SELECT user_id, rn, value AS s1, value AS s2
+      FROM idx WHERE rn = 1
+      UNION ALL
+      SELECT i.user_id, i.rn,
+             0.3 * i.value + (1.0 - 0.3) * r.s1,
+             0.3 * (0.3 * i.value + (1.0 - 0.3) * r.s1)
+               + (1.0 - 0.3) * r.s2
+      FROM r JOIN idx i ON i.user_id = r.user_id AND i.rn = r.rn + 1
+    ),
+    last AS (SELECT user_id, max(rn) AS mx FROM idx GROUP BY user_id)
+    SELECT r.user_id,
+           CAST(l.mx AS BIGINT) AS n_fit,
+           round(r.s1, 6) AS s1,
+           round(r.s2, 6) AS s2,
+           round((2.0 + (0.3 * 7) / (1.0 - 0.3)) * r.s1
+                 - (1.0 + (0.3 * 7) / (1.0 - 0.3)) * r.s2, 6) AS forecast
+    FROM r JOIN last l ON r.user_id = l.user_id AND r.rn = l.mx
+    """,
+)
+def brown_forecast_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown double-exponential-smoothing forecast of each user's value
+    series (operators/temporal.py::brown_double_smoothing, alpha=0.3,
+    7 steps ahead, trailing-64 fit window) — the trend-aware upgrade of
+    ewma_user_value: level AND trend from two chained smoothings, so a
+    steadily climbing user forecasts above their last level instead of
+    lagging it.
+
+    The recursion is evaluated in the SAME IEEE operation order on
+    both engines — numpy fold here, recursive CTE in the oracle —
+    making results bit-identical before the 6dp rounding; the oracle
+    spells 0.7 as (1.0 - 0.3) because the subtraction and the literal
+    are DIFFERENT doubles, exactly the class of trap the engine's
+    determinism rules exist to catch. Per-key work is bounded by the
+    trailing window (the rolling-z-score stance)."""
+    from ..operators.temporal import brown_double_smoothing
+
+    (events,) = load_tables(spark, sf_dir, "events")
+    return brown_double_smoothing(
+        events,
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        tiebreak_col="event_id",
+        alpha=0.3,
+        horizon=7,
+        lookback=64,
+    )

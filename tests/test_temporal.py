@@ -264,3 +264,55 @@ def test_max_drawdown_hand_computed(spark, tmp_path):
     assert len(got) == 1
     r = got[0]
     assert (r.user_id, r.max_drawdown, r.trough_day) == (1, -0.5, "2024-01-04")
+
+
+def test_brown_double_smoothing_matches_hand_recursion(spark):
+    from sentiment_analysis_data_engineering_spark.operators.temporal import (
+        brown_double_smoothing,
+    )
+
+    rows = [
+        (1, "2024-01-0%d 00:00:00" % (i + 1), i + 1, float(v))
+        for i, v in enumerate([10.0, 12.0, 11.0, 15.0, 18.0])
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r.user_id: r
+        for r in brown_double_smoothing(
+            df, key_col="user_id", ts_col="ts", value_col="value",
+            tiebreak_col="event_id", alpha=0.3, horizon=7, lookback=64,
+        ).collect()
+    }
+    a, q = 0.3, 1.0 - 0.3
+    s1 = s2 = 10.0
+    for x in [12.0, 11.0, 15.0, 18.0]:
+        s1 = a * x + q * s1
+        s2 = a * s1 + q * s2
+    factor = a * 7 / q
+    fc = (2.0 + factor) * s1 - (1.0 + factor) * s2
+    r = out[1]
+    assert r.n_fit == 5
+    assert abs(r.s1 - s1) < 1e-6 and abs(r.s2 - s2) < 1e-6
+    assert abs(r.forecast - fc) < 1e-6
+    # rising series: trend-aware forecast must sit ABOVE the level
+    assert r.forecast > r.s1
+
+
+def test_brown_trailing_window_bounds_fit(spark):
+    from sentiment_analysis_data_engineering_spark.operators.temporal import (
+        brown_double_smoothing,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:00:%02d" % i, i, float(i)) for i in range(50)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = brown_double_smoothing(
+        df, key_col="user_id", ts_col="ts", value_col="value",
+        tiebreak_col="event_id", lookback=8,
+    ).collect()
+    assert out[0].n_fit == 8  # only the trailing window is fitted
