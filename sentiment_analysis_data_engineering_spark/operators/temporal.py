@@ -61,11 +61,19 @@ def brown_double_smoothing(
     observations — per-key work and state are constant, the
     rolling-z-score bounded-window stance, which is also what a
     forecaster wants (stale history should age out of the level
-    estimate). One keyed window ranks rows (the shuffle), the fold is
-    an Arrow-batched grouped map over ≤ lookback rows per key.
+    estimate). One keyed window ranks rows, then keys co-locate with a
+    hash repartition and ONE ``mapInPandas`` pass folds EVERY key in
+    the partition simultaneously: the recursion runs ``lookback``
+    vectorized steps over a (keys × lookback) matrix with a
+    valid-length mask, so Python-side cost is per-STEP, not per-key —
+    the per-group ``applyInPandas`` form measured 6.5 s at sf0.1
+    (1 500 groups of Arrow overhead), this form runs the same
+    per-element IEEE ops (masked elements never update, so results
+    are bit-identical to the scalar fold) at a fraction of it.
 
     Returns (key, n_fit, s1, s2, forecast) with s1/s2/forecast rounded
     to 6 dp."""
+    import numpy as np
     import pandas as pd
 
     q = 1.0 - alpha
@@ -78,7 +86,10 @@ def brown_double_smoothing(
         df.select(key_col, ts_col, tiebreak_col, value_col)
         .withColumn("_rev", F.row_number().over(w))
         .filter(F.col("_rev") <= lookback)
+        .select(key_col, value_col, "_rev")
     )
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    co = recent.repartition(n_part, F.col(key_col))
 
     key_t = df.schema[key_col].dataType.simpleString()
     out_schema = (
@@ -86,29 +97,48 @@ def brown_double_smoothing(
         "forecast double"
     )
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("_rev", ascending=False)  # oldest first
-        xs = pdf[value_col].to_numpy(dtype=float)
-        s1 = xs[0]
-        s2 = s1
-        for x in xs[1:]:
-            s1 = alpha * x + q * s1
-            s2 = alpha * s1 + q * s2
+    def fold_partition(batches):
+        # one partition may arrive as several Arrow batches and a key's
+        # rows must fold together — concat first (bounded: ≤ lookback
+        # rows per key after the trailing-window filter)
+        pdfs = [p for p in batches if not p.empty]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs).sort_values(
+            [key_col, "_rev"], ascending=[True, False]
+        )  # per key: oldest first
+        keys = pdf[key_col].to_numpy()
+        vals = pdf[value_col].to_numpy(dtype=np.float64)
+        uniq, starts, lens = np.unique(
+            keys, return_index=True, return_counts=True
+        )
+        n_keys, maxlen = len(uniq), int(lens.max())
+        X = np.zeros((n_keys, maxlen), dtype=np.float64)
+        for j, (s, ln) in enumerate(zip(starts, lens)):
+            X[j, :ln] = vals[s : s + ln]
+        s1 = X[:, 0].copy()
+        s2 = s1.copy()
+        for i in range(1, maxlen):
+            upd = i < lens
+            ns1 = alpha * X[:, i] + q * s1
+            ns2 = alpha * ns1 + q * s2
+            s1 = np.where(upd, ns1, s1)
+            s2 = np.where(upd, ns2, s2)
         fc = (2.0 + factor) * s1 - (1.0 + factor) * s2
-        # no rounding HERE: Python round() is half-to-even while both
-        # engines' SQL round() is half-away — the 6dp rounding happens
-        # in F.round below so it matches the oracle's rounding mode
-        return pd.DataFrame(
+        # no rounding HERE: numpy/Python round is half-to-even while
+        # both engines' SQL round() is half-away — the 6dp rounding
+        # happens in F.round below to match the oracle's rounding mode
+        yield pd.DataFrame(
             {
-                key_col: [pdf[key_col].iloc[0]],
-                "n_fit": [len(xs)],
-                "s1": [s1],
-                "s2": [s2],
-                "forecast": [fc],
+                key_col: uniq,
+                "n_fit": lens.astype(np.int64),
+                "s1": s1,
+                "s2": s2,
+                "forecast": fc,
             }
         )
 
-    out = recent.groupBy(key_col).applyInPandas(fold, out_schema)
+    out = co.mapInPandas(fold_partition, out_schema)
     return out.select(
         key_col,
         "n_fit",
