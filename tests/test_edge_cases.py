@@ -313,3 +313,51 @@ def test_phonetic_blocking_with_soundex_feeds_jw(spark):
     # soundex(robert)==soundex(rupert)==R163; ashcraft/ashcroft A261
     assert (4, 5) in got
     assert (1, 2) in got
+
+
+def test_brown_single_observation(spark):
+    """One observation: s1 = s2 = x, forecast = x (no trend evidence)."""
+    from sentiment_analysis_data_engineering_spark.operators.temporal import (
+        brown_double_smoothing,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1, 42.0)],
+        "user_id long, ts string, event_id long, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    (r,) = brown_double_smoothing(
+        df, key_col="user_id", ts_col="ts", value_col="value",
+        tiebreak_col="event_id",
+    ).collect()
+    assert (r.n_fit, r.s1, r.s2, r.forecast) == (1, 42.0, 42.0, 42.0)
+
+
+def test_pq_zero_vector_query_survives(spark):
+    """A zero query vector must not crash or hijack rankings (cosine
+    NULL convention sorts it below every real neighbor)."""
+    from sentiment_analysis_data_engineering_spark.operators import similarity as sim
+
+    rows = [(0, [0.0] * 8)] + [
+        (i, [float((i * j) % 5 - 2) for j in range(8)]) for i in range(1, 30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = sim.pq_cosine_topk(
+        df.filter(F.col("vec_id") < 2), df, k=3, m=4, n_codes=8, n_rerank=29
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    # the real query still gets k results
+    assert len(by_q.get(1, [])) == 3
+
+
+def test_wav_empty_sample_stream(spark):
+    """Zero-sample WAV decodes to zeroed features, not a crash."""
+    from sentiment_analysis_data_engineering_spark.operators import multimodal as mm
+
+    payload = mm.encode_wav(8000, b"")
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, content binary"
+    )
+    (r,) = mm.decode_audio(df, strict=True).collect()
+    assert (r.n_samples, r.duration_ms, r.rms, r.zero_crossings) == (0, 0, 0.0, 0)

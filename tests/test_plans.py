@@ -246,3 +246,21 @@ def test_profiler_has_no_expand_or_keyed_sort_aggregate(spark, sf_dir):
 def test_correlation_matrix_single_scan(spark, sf_dir):
     plan = plan_of(QUERIES["correlation_matrix_lineitem"](spark, sf_dir))
     assert plan.count("FileScan parquet") == 1
+
+
+def test_driver_gate_prefix_contract():
+    """The driver checks EXACTLY the first 50 queries() entries; the
+    prefix must be full-length, registered, and deduplicated — a typo'd
+    or dropped name silently wastes a verification slot."""
+    import itertools
+
+    import __spark_entry__ as entrymod
+
+    gate = entrymod._GATE_FIRST
+    qs = entrymod.queries()
+    assert len(gate) == 50
+    assert len(set(gate)) == 50
+    assert all(name in qs for name in gate)
+    assert list(itertools.islice(qs, 50)) == gate
+    # every registered query has an oracle (the round-3+ invariant)
+    assert set(entrymod.oracle_sql()) == set(qs)
