@@ -114,7 +114,6 @@ _GATE_FIRST = [
     "star_join_revenue",
     "casts_and_coalesce",
     "groupby_agg_pricing_summary",
-    "window_moving_avg",
     "unnest_tokens",
     "dedup_exact",
     "corpus_curation",
@@ -132,7 +131,9 @@ _GATE_FIRST = [
     "readability_report",
     "cohort_ltv_curves",
     "brown_forecast_user_value",
-    # Remaining r1-aged rows (stratified_sample_langs / text_lang_id /
+    "ks_drift_purchase_view",
+    # Remaining r1-aged rows (window_moving_avg /
+    # stratified_sample_langs / text_lang_id /
     # global_sort / doc_fingerprint / dedup_clusters / topk_per_group /
     # window_tumbling_daily / tfidf_top_terms / text_quality_score /
     # sessionize_events (whose sessionization logic the in-prefix

@@ -162,6 +162,7 @@ HEADLINE = [
     "bigram_logprob_score",
     "readability_report",
     "brown_forecast_user_value",
+    "ks_drift_purchase_view",
 ]
 
 

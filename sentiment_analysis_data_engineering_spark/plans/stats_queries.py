@@ -839,3 +839,110 @@ def customer_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("gap_days").cast("long").alias("max_gap_days"),
     )
+
+
+# --------------------------------------------------------------------------
+# Distribution drift: binned two-sample Kolmogorov-Smirnov
+# --------------------------------------------------------------------------
+
+_KS_BINS = 256
+_KS_A = "purchase"
+_KS_B = "view"
+
+
+@query(
+    "ks_drift_purchase_view",
+    oracle=f"""
+    WITH pool AS (
+      SELECT event_type, value FROM events
+      WHERE event_type IN ('{_KS_A}', '{_KS_B}')
+    ),
+    rng AS (SELECT min(value) AS lo, max(value) AS hi FROM pool),
+    binned AS (
+      SELECT event_type,
+             CAST(least({_KS_BINS} - 1,
+                  floor((value - rng.lo) / (rng.hi - rng.lo) * {_KS_BINS}))
+               AS BIGINT) AS bin
+      FROM pool, rng
+    ),
+    cells AS (
+      SELECT bin,
+             CAST(sum(CASE WHEN event_type = '{_KS_A}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN event_type = '{_KS_B}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cb
+      FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM cells),
+    cdf AS (
+      SELECT bin,
+             sum(ca) OVER (ORDER BY bin) / CAST(tot.na AS DOUBLE) AS fa,
+             sum(cb) OVER (ORDER BY bin) / CAST(tot.nb AS DOUBLE) AS fb
+      FROM cells, tot
+    )
+    SELECT CAST(any_value(tot.na) AS BIGINT) AS n_a,
+           CAST(any_value(tot.nb) AS BIGINT) AS n_b,
+           round(max(abs(cdf.fa - cdf.fb)), 6) AS ks_stat,
+           round(max(abs(cdf.fa - cdf.fb)), 6) > 0.1 AS drifted
+    FROM cdf CROSS JOIN tot
+    """,
+)
+def ks_drift_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample distribution-drift check between the purchase and
+    view value distributions: the binned Kolmogorov-Smirnov statistic
+    max |CDF_a − CDF_b| over {_KS_BINS} equi-width bins, with a
+    drift verdict at the 0.1 threshold — the data-quality monitor a
+    pipeline runs when "same schema, different distribution" is the
+    failure mode schema checks can't see.
+
+    Scale plan: the textbook KS sorts the pooled DISTINCT values —
+    at warehouse scale that is an unbounded single-axis sort, so this
+    is the standard BINNED variant: one fact-sized aggregate to
+    {_KS_BINS} cells, then CDFs and the max-gap run on the fixed-size
+    bin frame (the unpartitioned window spans ≤ {_KS_BINS} rows —
+    bounded by construction, the post-agg-frame exemption). Bin edges
+    derive from broadcast min/max; CDF values are ratios of exact
+    integer counts, so both engines agree to well past the 6dp
+    rounding, and the drift verdict compares the ROUNDED statistic."""
+    (events,) = load_tables(spark, sf_dir, "events")
+    pool = events.filter(
+        F.col("event_type").isin(_KS_A, _KS_B)
+    ).select("event_type", "value")
+    rng = pool.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    binned = pool.crossJoin(F.broadcast(rng)).select(
+        "event_type",
+        F.least(
+            F.lit(_KS_BINS - 1),
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * _KS_BINS
+            ),
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    cells = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("event_type") == _KS_A, 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("event_type") == _KS_B, 1).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    tot = cells.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    # ≤ _KS_BINS rows: the unpartitioned CDF window is bounded by design
+    wb = W.orderBy("bin")
+    cdf = cells.crossJoin(F.broadcast(tot)).select(
+        (F.sum("ca").over(wb) / F.col("na").cast("double")).alias("fa"),
+        (F.sum("cb").over(wb) / F.col("nb").cast("double")).alias("fb"),
+        "na",
+        "nb",
+    )
+    ks = F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), 6)
+    return cdf.agg(
+        F.any_value("na").cast("long").alias("n_a"),
+        F.any_value("nb").cast("long").alias("n_b"),
+        ks.alias("ks_stat"),
+        (ks > 0.1).alias("drifted"),
+    )
