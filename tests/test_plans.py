@@ -264,3 +264,16 @@ def test_driver_gate_prefix_contract():
     assert list(itertools.islice(qs, 50)) == gate
     # every registered query has an oracle (the round-3+ invariant)
     assert set(entrymod.oracle_sql()) == set(qs)
+
+
+def test_bench_headline_names_resolve():
+    """Every bench.py HEADLINE name must exist in the registry — the
+    runner silently skips unknown names, so a typo would quietly drop
+    a query from BENCH/SCALING/PLANS artifacts."""
+    import __spark_entry__ as entrymod
+    from bench import HEADLINE
+
+    qs = entrymod.queries()
+    missing = [n for n in HEADLINE if n not in qs]
+    assert not missing, f"bench names not in registry: {missing}"
+    assert len(set(HEADLINE)) == len(HEADLINE), "duplicate bench names"
