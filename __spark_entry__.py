@@ -113,7 +113,6 @@ _GATE_FIRST = [
     "predicate_scan",
     "star_join_revenue",
     "casts_and_coalesce",
-    "groupby_agg_pricing_summary",
     "unnest_tokens",
     "dedup_exact",
     "corpus_curation",
@@ -132,8 +131,10 @@ _GATE_FIRST = [
     "cohort_ltv_curves",
     "brown_forecast_user_value",
     "ks_drift_purchase_view",
+    "gini_revenue_concentration",
     # Remaining r1-aged rows (window_moving_avg /
-    # stratified_sample_langs / text_lang_id /
+    # groupby_agg_pricing_summary / stratified_sample_langs /
+    # text_lang_id /
     # global_sort / doc_fingerprint / dedup_clusters / topk_per_group /
     # window_tumbling_daily / tfidf_top_terms / text_quality_score /
     # sessionize_events (whose sessionization logic the in-prefix

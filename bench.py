@@ -163,6 +163,7 @@ HEADLINE = [
     "readability_report",
     "brown_forecast_user_value",
     "ks_drift_purchase_view",
+    "gini_revenue_concentration",
 ]
 
 

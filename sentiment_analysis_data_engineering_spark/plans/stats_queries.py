@@ -946,3 +946,69 @@ def ks_drift_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         ks.alias("ks_stat"),
         (ks > 0.1).alias("drifted"),
     )
+
+
+# --------------------------------------------------------------------------
+# Revenue concentration: Gini coefficient
+# --------------------------------------------------------------------------
+
+
+@query(
+    "gini_revenue_concentration",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS rev_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT rev_cents,
+             CAST(row_number() OVER (ORDER BY rev_cents, o_custkey)
+                  AS BIGINT) AS rk
+      FROM cust
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(rev_cents) AS BIGINT) AS total_cents,
+           round((2.0 * sum(rk * CAST(rev_cents AS DOUBLE)))
+                 / (count(*) * CAST(sum(rev_cents) AS DOUBLE))
+                 - (count(*) + 1.0) / count(*), 6) AS gini
+    FROM ranked
+    """,
+)
+def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration — the single
+    number behind the Pareto curve (pareto_revenue_by_segment shows the
+    prefix; this scores the whole distribution): 0 = every customer
+    spends alike, →1 = revenue concentrated in a few whales. Uses the
+    rank formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over revenues sorted
+    ascending with a customer-key tiebreak.
+
+    Determinism: revenue is exact integer cents BEFORE ranking, so the
+    (rev, custkey) sort order — and therefore every rank — is
+    bit-identical cross-engine; Σ(i·xᵢ) runs in double (the long
+    product overflows at corpus scale) and only the final ratio
+    rounds. Shape: one customer-keyed aggregate (the only fact-sized
+    shuffle); the ranking runs over the customer dimension — at a
+    scale where that is itself huge, the range-partition exact-rank
+    machinery of customer_balance_deciles is the drop-in replacement
+    for the single-axis window."""
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice") * 100).cast("long").alias("rev_cents")
+    )
+    w = W.orderBy("rev_cents", "o_custkey")
+    ranked = cust.select(
+        "rev_cents", F.row_number().over(w).cast("long").alias("rk")
+    )
+    n = F.count("*")
+    tot = F.sum("rev_cents")
+    return ranked.agg(
+        n.cast("long").alias("n_customers"),
+        tot.cast("long").alias("total_cents"),
+        F.round(
+            (F.lit(2.0) * F.sum(F.col("rk") * F.col("rev_cents").cast("double")))
+            / (n * tot.cast("double"))
+            - (n + F.lit(1.0)) / n,
+            6,
+        ).alias("gini"),
+    )
