@@ -191,8 +191,10 @@ def main() -> None:
             continue
         try:
             fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
-        except Exception:
-            pass  # warm-up must never sink the bench
+        except Exception as exc:  # warm-up must never sink the bench...
+            # ...but a silent failure would bias the first timed run
+            # (cold codegen) — make it visible in the captured log.
+            print(f"WARMUP-FAIL {name}: {type(exc).__name__}: {exc}", file=sys.stderr)
         finally:
             release_pinned()
 

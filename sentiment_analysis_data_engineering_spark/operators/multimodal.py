@@ -304,10 +304,10 @@ def _decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
             channels = int.from_bytes(body[2:4], "little")
             rate = int.from_bytes(body[4:8], "little")
             bits = int.from_bytes(body[14:16], "little")
-            if fmt_tag != 1 or channels != 1 or bits != 16:
+            if fmt_tag != 1 or channels != 1 or bits != 16 or rate <= 0:
                 raise ValueError(
                     f"unsupported WAV variant (fmt={fmt_tag}, "
-                    f"channels={channels}, bits={bits})"
+                    f"channels={channels}, bits={bits}, rate={rate})"
                 )
         elif cid == b"data":
             samples = np.frombuffer(body, dtype="<i2")
@@ -346,7 +346,11 @@ def decode_audio(df: DataFrame, *, strict: bool = False) -> DataFrame:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["content"]):
                 payload = bytes(payload)
-                if payload[:4] == b"RIFF":
+                # Sniff the full RIFF/WAVE signature: a non-WAVE RIFF
+                # container (e.g. an AVI misrouted into the audio table)
+                # must fall through to the strict/fake branch rather
+                # than error out of the promised strict=False path.
+                if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
                     rate, s = _decode_wav(payload)
                 elif strict:
                     raise NotImplementedError(
@@ -481,7 +485,7 @@ def encode_avi(
         (1_000_000 // fps).to_bytes(4, "little")  # µs per frame
         + (frame_bytes * fps).to_bytes(4, "little")  # max bytes/sec
         + (0).to_bytes(4, "little")  # padding granularity
-        + (0x10).to_bytes(4, "little")  # AVIF_HASINDEX off: no idx1
+        + (0).to_bytes(4, "little")  # flags: no AVIF_HASINDEX (no idx1 chunk)
         + len(frames).to_bytes(4, "little")
         + (0).to_bytes(4, "little")  # initial frames
         + (1).to_bytes(4, "little")  # streams
@@ -530,8 +534,13 @@ def _decode_avi(payload: bytes) -> tuple[int, int, int, list[np.ndarray]]:
                 width = int.from_bytes(body[4:8], "little", signed=True)
                 height = int.from_bytes(body[8:12], "little", signed=True)
             elif cid == b"strh" and body[:4] == b"vids":
+                # Integer-fps contract: fps reports round(rate/scale) as
+                # an int (NTSC 30000/1001 -> 30); exact rationals are out
+                # of scope for this decoder and encode_avi only emits
+                # scale=1 streams, so round-trips are lossless.
                 scale = int.from_bytes(body[20:24], "little") or 1
-                fps = int.from_bytes(body[24:28], "little") // scale
+                rate_ = int.from_bytes(body[24:28], "little")
+                fps = (rate_ + scale // 2) // scale
             elif cid == b"00db":
                 raw_frames.append(body)
             pos += 8 + size + (size & 1)

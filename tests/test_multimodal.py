@@ -273,3 +273,65 @@ def test_avi_rejects_compressed_stream():
     payload[strf_at + 8 + 16 : strf_at + 8 + 20] = b"MJPG"
     with pytest.raises(ValueError, match="unsupported AVI stream"):
         mm._decode_avi(bytes(payload))
+
+
+# ---------------------------------------------------------------------------
+# Round-5 hardening (ADVICE r4): header-flag honesty, malformed-rate
+# rejection, NTSC fps rounding, non-WAVE RIFF routing
+# ---------------------------------------------------------------------------
+
+
+def test_avi_header_flags_zero_without_index():
+    """encode_avi emits no idx1 chunk, so the avih flags dword must not
+    advertise AVIF_HASINDEX (0x10) to external players."""
+    import numpy as np
+
+    payload = mm.encode_avi(4, 4, [np.zeros(48, dtype=np.uint8).tobytes()])
+    avih_at = payload.find(b"avih")
+    flags = int.from_bytes(payload[avih_at + 8 + 12 : avih_at + 8 + 16], "little")
+    assert flags & 0x10 == 0
+    assert b"idx1" not in payload
+
+
+def test_wav_zero_sample_rate_is_value_error():
+    """A fmt chunk declaring sample_rate=0 must raise the documented
+    ValueError, never ZeroDivisionError from duration math."""
+    import numpy as np
+
+    payload = bytearray(mm.encode_wav(8000, np.zeros(10, dtype="<i2").tobytes()))
+    payload[24:28] = (0).to_bytes(4, "little")  # fmt chunk sample-rate field
+    with pytest.raises(ValueError, match="unsupported WAV variant"):
+        mm._decode_wav(bytes(payload))
+
+
+def test_avi_ntsc_fps_rounds_to_nearest():
+    """A foreign stream with rate/scale = 30000/1001 (NTSC) reports
+    fps=30 under the documented integer-fps contract, not 29."""
+    import numpy as np
+
+    payload = bytearray(
+        mm.encode_avi(4, 4, [np.zeros(48, dtype=np.uint8).tobytes()], fps=30)
+    )
+    strh_at = payload.find(b"strh")
+    body = strh_at + 8
+    payload[body + 20 : body + 24] = (1001).to_bytes(4, "little")  # scale
+    payload[body + 24 : body + 28] = (30000).to_bytes(4, "little")  # rate
+    _, _, fps, _ = mm._decode_avi(bytes(payload))
+    assert fps == 30
+
+
+def test_decode_audio_non_wave_riff_falls_to_fake(spark):
+    """A RIFF container that is not WAVE (e.g. an AVI misrouted into the
+    audio table) takes the deterministic-fake path under strict=False
+    and raises under strict=True — it must not ValueError out of the
+    strict=False promise."""
+    import numpy as np
+
+    avi = mm.encode_avi(4, 4, [np.zeros(48, dtype=np.uint8).tobytes()])
+    df = spark.createDataFrame(
+        [(7, bytearray(avi))], "media_id long, content binary"
+    )
+    rows = mm.decode_audio(df, strict=False).collect()
+    assert len(rows) == 1 and rows[0].sample_rate == 8000  # fake-path marker
+    with pytest.raises(Exception, match="NotImplementedError|only PCM"):
+        mm.decode_audio(df, strict=True).collect()
