@@ -941,6 +941,7 @@ def kmeans_clusters(
     seed: int = 7,
     max_iter: int = 10,
     init_mode: str = "k-means||",
+    fit_sample_rows: int | None = None,
 ) -> DataFrame:
     """MLlib KMeans cluster assignment per vector — (id, cluster).
 
@@ -952,7 +953,16 @@ def kmeans_clusters(
     conversion, no Python. Cluster IDS are only stable for a fixed
     seed+partitioning, so downstream queries should aggregate
     cluster-invariant facts (sizes, purity) rather than raw ids.
-    """
+
+    ``fit_sample_rows`` bounds the FIT to the smallest-``id_col``
+    ``fit_sample_rows`` vectors (the same deterministic sampling rule
+    as ``_sample_normalized``), while assignment stays full-corpus —
+    the standard sampled-Lloyd trade (centroid quality converges with
+    O(k) samples per cluster, not O(n); Sculley 2010's minibatch
+    argument) that turns the Θ(epochs·n·k) fit, the dominant cost of
+    SemDeDup at scale, into Θ(epochs·sample·k). None = fit on the full
+    corpus (exact MLlib behavior, the right call when n is modest or
+    centroids feed a quality-sensitive quantizer like PQ)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -960,8 +970,11 @@ def kmeans_clusters(
         F.col(id_col),
         array_to_vector(_as_double(vec_col)).alias("features"),
     )
+    fit_input = feat
+    if fit_sample_rows is not None:
+        fit_input = feat.orderBy(F.col(id_col)).limit(fit_sample_rows)
     model = KMeans(k=k, seed=seed, maxIter=max_iter, initMode=init_mode).fit(
-        feat
+        fit_input
     )
     return model.transform(feat).select(
         F.col(id_col), F.col("prediction").alias("cluster")
@@ -1037,6 +1050,7 @@ def semantic_dedup(
     seed: int = 7,
     max_cluster_size: int = 100_000,
     cc_max_iter: int = 60,
+    fit_sample_rows: int | None = 8192,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, public method): k-means cluster the
     embeddings, connect within-cluster pairs with cosine ≥ threshold,
@@ -1069,10 +1083,17 @@ def semantic_dedup(
     # random init, not kmeans||: SemDeDup only needs LOCALITY from the
     # clustering (similar vectors co-located), which is insensitive to
     # init quality — kmeans||'s extra distributed init rounds are pure
-    # fixed overhead here (measured ~2x the whole fit at bench scale)
+    # fixed overhead here (measured ~2x the whole fit at bench scale).
+    # The fit is likewise bounded to a deterministic smallest-id sample
+    # (default 8192 rows ≈ 1k/cluster at k=8 — far past sampled-Lloyd
+    # convergence) because the Θ(epochs·n·k) full-corpus fit was the
+    # single most scale-expensive step in the engine (sf1.0 ratio 8.8×
+    # before; the laws the stats query checks are sample-invariant).
+    # Assignment stays full-corpus. fit_sample_rows=None restores the
+    # exact full-fit.
     assign = kmeans_clusters(
         df, vec_col=vec_col, id_col=id_col, k=k, seed=seed,
-        init_mode="random",
+        init_mode="random", fit_sample_rows=fit_sample_rows,
     )
     base = (
         df.select(F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v"))

@@ -1118,11 +1118,22 @@ def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     silently, the recall failure random init makes more likely, so it
     must be a checked law, not a log line. Which vectors survive
     is kmeans||-partition-dependent, hence laws, not rows; the
-    deterministic two-tight-clusters behavior is pytest-pinned."""
+    deterministic two-tight-clusters behavior is pytest-pinned.
+
+    k scales with the corpus (n/250 vectors per cluster, floor 8),
+    exactly as the paper prescribes: the within-cluster pair join costs
+    Θ(k·(n/k)²) = Θ(n²/k), so a FIXED k makes SemDeDup quadratic in
+    corpus size (measured: 8 clusters of 2.5k vectors at the sf1.0
+    probe = 25M cosine pairs, 100× the sf0.1 pair count for 10× data)
+    while k ∝ n holds per-cluster blocks constant and the total pair
+    count linear. The KMeans fit itself stays bounded — it trains on a
+    deterministic 8192-row sample (operators/similarity.py::
+    kmeans_clusters fit_sample_rows) with full-corpus assignment."""
     (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    k = max(_SEMDEDUP_K, embeddings.count() // 250)
     out = sim.semantic_dedup(
         embeddings, vec_col="embedding", id_col="vec_id",
-        k=_SEMDEDUP_K, threshold=0.3, seed=7,
+        k=k, threshold=0.3, seed=7,
     )
     per_cluster = out.groupBy("cluster").agg(
         F.sum(F.col("keep").cast("long")).alias("_keeps"),
@@ -1139,7 +1150,7 @@ def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     == F.count("*")
                 )
             ).alias("conservation_ok"),
-            (F.count_distinct("cluster") <= _SEMDEDUP_K).alias(
+            (F.count_distinct("cluster") <= F.lit(k)).alias(
                 "k_bounded_ok"
             ),
         )
