@@ -403,14 +403,23 @@ def kcore_peel(
     exact k-core.
 
     Input canonicalized like :func:`triangle_counts` (undirected,
-    distinct pairs, self-loops dropped). Scale shape: each round is
-    one degree aggregation (map-side combining count keyed on node)
-    plus two semi joins filtering the pair list to surviving
-    endpoints — shuffle volume ∝ surviving edges, monotonically
-    non-increasing across rounds. The pair frame for each round is the
-    filtered child of the previous round's plan; a localCheckpoint per
-    round keeps the lineage flat (without it the round-r plan would
-    re-derive rounds 1..r-1).
+    distinct pairs, self-loops dropped). Scale shape — DELTA peeling,
+    not a full recount: the degree frame is maintained incrementally
+    across rounds. Each round finds the newly-DEAD nodes (degree < k),
+    semi/anti-joins the pair list against that dead set (small after
+    round 1 — AQE turns these into broadcast joins, so the big edge
+    frame is never shuffled in steady state), aggregates degree
+    DECREMENTS over just the removed edges, and subtracts them from the
+    surviving nodes' degrees. Per-round work is therefore ∝ removed
+    edges + |V|, not ∝ surviving edges — the synchronous full recount
+    re-aggregated 2·|E| rows every round even when one node died. An
+    edge with both endpoints dead decrements both, but both rows leave
+    the degree frame the same round, so alive-node deltas count each
+    removed edge exactly once. When a round kills nobody the fixed
+    point is reached and the loop exits early (the remaining budget is
+    a no-op by definition). localCheckpoint per round keeps both
+    frames' lineage flat (without it the round-r plan would re-derive
+    rounds 1..r-1).
     """
     if k < 0:
         raise ValueError(f"k must be >= 0, got {k}")
@@ -425,19 +434,55 @@ def kcore_peel(
         .distinct()
         .localCheckpoint(eager=True)
     )
-
-    def degrees(pairs: DataFrame) -> DataFrame:
-        return (
-            pairs.select(F.explode(F.array("_u", "_v")).alias("node"))
-            .groupBy("node")
-            .agg(F.count("*").alias("_d"))
-        )
+    deg = (
+        p.select(F.explode(F.array("_u", "_v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("_d"))
+        .localCheckpoint(eager=True)
+    )
 
     for _ in range(rounds):
-        alive = degrees(p).filter(F.col("_d") >= k).select("node")
-        p = (
-            p.join(alive.withColumnRenamed("node", "_u"), "_u", "left_semi")
-            .join(alive.withColumnRenamed("node", "_v"), "_v", "left_semi")
+        dead = (
+            deg.filter(F.col("_d") < k)
+            .select("node")
             .localCheckpoint(eager=True)
         )
-    return degrees(p).select("node", F.col("_d").alias("core_degree"))
+        if dead.isEmpty():
+            break  # fixed point: every further round is a no-op
+        dead_u = dead.withColumnRenamed("node", "_u")
+        dead_v = dead.withColumnRenamed("node", "_v")
+        # an alive node loses edge (u,v) exactly when its OTHER
+        # endpoint died this round; dead-endpoint deltas are computed
+        # too but drop out when the dead rows leave the degree frame
+        deltas = (
+            p.join(dead_u, "_u", "left_semi")
+            .select(F.col("_v").alias("node"))
+            .unionByName(
+                p.join(dead_v, "_v", "left_semi")
+                .select(F.col("_u").alias("node"))
+            )
+            .groupBy("node")
+            .agg(F.count("*").alias("_delta"))
+        )
+        deg = (
+            deg.filter(F.col("_d") >= k)
+            .join(deltas, "node", "left")
+            .select(
+                "node",
+                (F.col("_d") - F.coalesce(F.col("_delta"), F.lit(0))).alias(
+                    "_d"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        p = (
+            p.join(dead_u, "_u", "left_anti")
+            .join(dead_v, "_v", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    # a node whose last edge was removed this round has _d = 0 and no
+    # surviving pair — the recount formulation never listed it, so the
+    # incremental one must not either
+    return deg.filter(F.col("_d") > 0).select(
+        "node", F.col("_d").alias("core_degree")
+    )
