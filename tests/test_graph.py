@@ -316,6 +316,32 @@ def test_kcore_everything_peels(spark):
     assert kcore_peel(edges, k=2, rounds=3).count() == 0
 
 
+def test_kcore_telemetry_pins_rounds_and_convergence(spark):
+    from sentiment_analysis_data_engineering_spark.operators.graph import kcore_peel
+
+    # triangle + 2-tail: fixed point needs exactly 2 peel rounds
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    done = kcore_peel(edges, k=2, rounds=5, with_telemetry=True)
+    rows = done.collect()
+    assert {(r.peel_rounds, r.converged) for r in rows} == {(2, True)}
+    # budget exhausted mid-peel: 1 round executed, NOT converged
+    part = kcore_peel(edges, k=2, rounds=1, with_telemetry=True).collect()
+    assert {(r.peel_rounds, r.converged) for r in part} == {(1, False)}
+    # zero budget on a non-core input: 0 rounds, not converged
+    z = kcore_peel(edges, k=2, rounds=0, with_telemetry=True).collect()
+    assert {(r.peel_rounds, r.converged) for r in z} == {(0, False)}
+    # zero budget on an input that already IS the k-core: converged
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src long, dst long"
+    )
+    t = kcore_peel(tri, k=2, rounds=0, with_telemetry=True).collect()
+    assert {(r.peel_rounds, r.converged) for r in t} == {(0, True)}
+    # telemetry off: legacy 2-column schema unchanged
+    assert kcore_peel(tri, k=2, rounds=1).columns == ["node", "core_degree"]
+
+
 def test_kcore_rejects_bad_args(spark):
     from sentiment_analysis_data_engineering_spark.operators.graph import kcore_peel
 

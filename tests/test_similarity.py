@@ -116,6 +116,38 @@ def test_kmeans_clusters_assigns_every_vector(spark, sf_dir):
     assert a == b
 
 
+def test_kmeans_fit_sample_smaller_than_k_rejected(spark, sf_dir):
+    import pytest
+    from sentiment_analysis_data_engineering_spark.operators import similarity as sim
+    from sentiment_analysis_data_engineering_spark.plans.registry import load_tables
+
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    # a sample smaller than k cannot yield k distinct centers; <=0
+    # would hand MLlib an empty fit frame — both rejected eagerly
+    with pytest.raises(ValueError, match="fit_sample_rows"):
+        sim.kmeans_clusters(emb, k=8, fit_sample_rows=7)
+    with pytest.raises(ValueError, match="fit_sample_rows"):
+        sim.kmeans_clusters(emb, k=8, fit_sample_rows=0)
+    # boundary k == fit_sample_rows is legal and assigns every vector
+    out = sim.kmeans_clusters(emb, k=4, seed=7, max_iter=3, fit_sample_rows=4)
+    assert out.count() == emb.count()
+
+
+def test_semantic_dedup_fit_sample_scales_with_k(spark, sf_dir):
+    from sentiment_analysis_data_engineering_spark.operators import similarity as sim
+    from sentiment_analysis_data_engineering_spark.plans.registry import load_tables
+
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    # a caller-supplied sample FLOOR below 32*k must not cap the
+    # distinct-center count: semantic_dedup auto-raises it, so a large
+    # k with a small floor still conserves every vector (would raise
+    # in kmeans_clusters if passed through unscaled)
+    out = sim.semantic_dedup(
+        emb, k=16, threshold=0.95, seed=7, fit_sample_rows=8
+    )
+    assert out.count() == emb.count()
+
+
 def test_signatures_arrow_matches_expression_form(spark):
     # the arrow matmul pass must produce the SAME packed long as the
     # literal-folded expression sketch, bit for bit, on real data
