@@ -145,6 +145,7 @@ HEADLINE = [
     "winsorized_price_stats",
     "cms_user_counts",
     "bpe_merge_stats",
+    "bpe_encode_stats",
     "join_view_maintenance",
     "event_sequence_patterns",
     # round 4: statistical analytics + pattern mining

@@ -27,10 +27,12 @@ deterministic under any partitioning.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["word_frequencies", "bpe_train", "apply_merges"]
+__all__ = ["word_frequencies", "bpe_train", "apply_merges", "encode_words"]
 
 
 def word_frequencies(df: DataFrame, text_col: str) -> DataFrame:
@@ -135,3 +137,55 @@ def apply_merges(
     for m in merges:
         out = _merge_fold(out, m[0], m[1])
     return out
+
+
+def encode_words(
+    words: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    *,
+    word_col: str = "word",
+    out_col: str = "tokens",
+) -> DataFrame:
+    """Corpus-scale BPE ENCODE: apply a trained merge table to every
+    row of a (usually distinct-word) frame, appending ``out_col`` =
+    array<string> of subword tokens. Semantics are bit-identical to
+    :func:`apply_merges` (each merge greedily left-to-right, in rank
+    order — property-tested against the JVM fold), but the engine is an
+    Arrow-batched pandas UDF instead of a ``len(merges)``-deep nested
+    ``F.aggregate`` chain: the fold chain is the right tool for the
+    handful of merges the TRAINER applies per iteration, while a
+    production merge table (hundreds to tens of thousands of ranks)
+    literal-folds into an expression tree whose analysis/codegen cost
+    grows with the vocabulary — the same big-constant-expression trap
+    the PQ ADC tables hit (SNIPPETS.md). The merge list rides the UDF
+    closure as driver state (bounded model-build class, like IVF
+    centroids), so executors apply it with a plain Python scan per
+    word: O(len(word)·ranks) worst case, over rows that should be the
+    DISTINCT vocabulary — encode the vocab once, then equi-join token
+    counts back to the corpus (the 100 TB shape: the Python pass is
+    vocabulary-bounded, never corpus-bounded)."""
+    ranked = [(m[0], m[1], m[0] + m[1]) for m in merges]
+
+    @F.pandas_udf("array<string>")
+    def _enc(col: pd.Series) -> pd.Series:
+        def enc(w: str) -> list[str]:
+            syms: list[str] = list(w)
+            for left, right, joined in ranked:
+                out: list[str] = []
+                for x in syms:
+                    # mirror _merge_fold exactly: merge when the
+                    # accumulator's LAST symbol is `left` and the
+                    # incoming one is `right` (a just-merged 2+-char
+                    # symbol can never equal the 1-char-or-longer
+                    # `left` it was built from, so greedy
+                    # left-to-right non-overlap holds)
+                    if out and out[-1] == left and x == right:
+                        out[-1] = joined
+                    else:
+                        out.append(x)
+                syms = out
+            return syms
+
+        return col.map(enc)
+
+    return words.withColumn(out_col, _enc(F.col(word_col)))

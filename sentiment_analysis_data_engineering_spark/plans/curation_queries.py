@@ -360,6 +360,28 @@ def char_entropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BPE_MERGES = 8
 
+#: (sf_dir, n_merges, min_count) -> trained merge table, memoized per
+#: process: training is deterministic on the immutable fixture corpus
+#: (ties break (count DESC, l, r)), and each of its n_merges iterations
+#: is a driver-blocking argmax action — the trainer query and the
+#: encode query would otherwise each pay the full iteration ladder for
+#: the identical result. Same convention as extension_queries'
+#: _ROWCOUNT_CACHE.
+_BPE_MERGE_CACHE: dict[tuple[str, int, int], list[tuple[str, str, int]]] = {}
+
+
+def _trained_merges(
+    words: DataFrame, sf_dir: str, n_merges: int, min_count: int
+) -> list[tuple[str, str, int]]:
+    from ..operators.bpe import bpe_train
+
+    key = (sf_dir, n_merges, min_count)
+    if key not in _BPE_MERGE_CACHE:
+        _BPE_MERGE_CACHE[key] = bpe_train(
+            words, n_merges=n_merges, min_count=min_count
+        )
+    return _BPE_MERGE_CACHE[key]
+
 
 @query(
     "bpe_merge_stats",
@@ -410,13 +432,13 @@ def bpe_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames (pair counts shuffle ≤ |alphabet|² rows after map-side
     combine), each collecting exactly ONE argmax row — the bounded
     model-build action class."""
-    from ..operators.bpe import apply_merges, bpe_train, word_frequencies
+    from ..operators.bpe import apply_merges, word_frequencies
 
     (documents,) = load_tables(spark, sf_dir, "documents")
     words = word_frequencies(documents, "text")
     words = words.persist()
     try:
-        merges = bpe_train(words, n_merges=_BPE_MERGES, min_count=2)
+        merges = _trained_merges(words, sf_dir, _BPE_MERGES, 2)
         counts = [c for _, _, c in merges]
         seg = words.select(
             "word", apply_merges(F.split("word", ""), merges).alias("s")
@@ -448,6 +470,175 @@ def bpe_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reconstruct_ok",
         )
         out = out.localCheckpoint(eager=True)
+    finally:
+        words.unpersist()
+    return out
+
+
+@query(
+    "bpe_encode_stats",
+    oracle=r"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+      FROM documents
+    ),
+    words AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq
+      FROM toks WHERE len(word) > 0 GROUP BY word
+    ),
+    pairs AS (
+      SELECT substring(word, CAST(u.i AS INT), 1) AS l,
+             substring(word, CAST(u.i AS INT) + 1, 1) AS r,
+             CAST(sum(freq) AS BIGINT) AS c
+      FROM words, unnest(range(1, len(word))) AS u(i)
+      GROUP BY l, r
+    ),
+    top AS (
+      SELECT l, r FROM pairs WHERE c >= 2 ORDER BY c DESC, l, r LIMIT 1
+    ),
+    -- replay of the FIRST merge's greedy left-to-right application:
+    -- replace() consumes non-overlapping occurrences left to right,
+    -- exactly the fold's greedy pairing (incl. the l = r run case:
+    -- 'aaa' loses one pair, not two), so chars_removed // 2 = merges
+    -- performed in that word and len - merges = its token count
+    enc1 AS (
+      SELECT freq, len(word) AS nc,
+             CASE WHEN (SELECT count(*) FROM top) = 0 THEN len(word)
+                  ELSE len(word)
+                       - (len(word) - len(replace(word,
+                             (SELECT l FROM top) || (SELECT r FROM top),
+                             ''))) // 2
+             END AS t1
+      FROM words
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM words) AS n_words,
+           (SELECT CAST(sum(freq) AS BIGINT) FROM words) AS total_words,
+           (SELECT CAST(count(*) AS BIGINT) FROM documents
+             WHERE len(trim(text)) > 0) AS n_docs,
+           CAST(sum(freq * nc) AS BIGINT) AS total_word_chars,
+           CAST(sum(freq * t1) AS BIGINT) AS tokens_after_first_merge,
+           TRUE AS reconstruct_ok,
+           TRUE AS jvm_agree_ok,
+           TRUE AS token_bounds_ok,
+           TRUE AS doc_sum_matches_ok
+    FROM enc1
+    """,
+)
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide BPE ENCODE with the trained merge table
+    (operators/bpe.py::encode_words — the Arrow-batched apply that
+    completes the tokenizer story bpe_merge_stats's trainer started),
+    reported through conservation laws plus SQL-replayable values.
+
+    The scale shape is the one a 100 TB tokenizing pipeline needs: the
+    Python encode runs ONCE per DISTINCT vocabulary word (never per
+    corpus occurrence), per-document token counts come from an
+    equi-join of the exploded corpus against that encoded vocabulary,
+    and the merge table rides the UDF closure as bounded driver state.
+
+    Checked exactly by the oracle: vocabulary size, corpus word count,
+    tokenized-doc count, weighted character total, and — the encode
+    semantics probe — the corpus token count after the FIRST merge,
+    which DuckDB replays independently via replace()'s greedy
+    non-overlapping scan (flips if the greedy pairing ever drifts).
+    Checked as laws (full merge table is not SQL-replayable):
+    concatenating every word's tokens reconstructs the word; the
+    pandas encode agrees token-for-token with the apply_merges JVM
+    fold on the whole vocabulary (two independent implementations);
+    the full-table token total is monotone (words <= tokens(full) <=
+    tokens(first merge) <= chars); and the per-document token sum
+    equals the vocabulary-weighted total (the join plumbing conserves
+    occurrences)."""
+    from ..operators.bpe import (
+        apply_merges,
+        encode_words,
+        word_frequencies,
+    )
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    words = word_frequencies(documents, "text").persist()
+    try:
+        merges = _trained_merges(words, sf_dir, _BPE_MERGES, 2)
+        # two encode passes over the vocabulary: the full table and the
+        # first rank alone (the oracle's independently replayable one)
+        enc = encode_words(words, merges).withColumnRenamed(
+            "tokens", "toks_full"
+        )
+        enc = encode_words(enc, merges[:1]).withColumnRenamed(
+            "tokens", "toks_first"
+        )
+        enc = enc.withColumn(
+            "seg_jvm", apply_merges(F.split("word", ""), merges)
+        )
+        vocab_stats = enc.agg(
+            F.count("*").alias("n_words"),
+            F.sum("freq").alias("total_words"),
+            F.sum(F.col("freq") * F.length("word")).alias(
+                "total_word_chars"
+            ),
+            F.sum(F.col("freq") * F.size("toks_full")).alias("_tok_full"),
+            F.sum(F.col("freq") * F.size("toks_first")).alias(
+                "tokens_after_first_merge"
+            ),
+            (
+                F.sum(
+                    (F.array_join("toks_full", "") != F.col("word")).cast(
+                        "long"
+                    )
+                )
+                == 0
+            ).alias("reconstruct_ok"),
+            (
+                F.sum(
+                    (F.col("toks_full") != F.col("seg_jvm")).cast("long")
+                )
+                == 0
+            ).alias("jvm_agree_ok"),
+        )
+        per_doc = (
+            documents.select(
+                "doc_id",
+                F.explode(F.split(F.trim("text"), r"\s+")).alias("word"),
+            )
+            .filter(F.length("word") > 0)
+            .join(
+                enc.select("word", F.size("toks_full").alias("_nt")),
+                "word",
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("_nt").alias("_doc_toks"))
+        )
+        doc_stats = per_doc.agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_doc_toks").alias("_doc_tok_sum"),
+        )
+        out = (
+            vocab_stats.crossJoin(F.broadcast(doc_stats))
+            .select(
+                "n_words",
+                "total_words",
+                "n_docs",
+                "total_word_chars",
+                "tokens_after_first_merge",
+                "reconstruct_ok",
+                "jvm_agree_ok",
+                (
+                    (F.col("total_words") <= F.col("_tok_full"))
+                    & (
+                        F.col("_tok_full")
+                        <= F.col("tokens_after_first_merge")
+                    )
+                    & (
+                        F.col("tokens_after_first_merge")
+                        <= F.col("total_word_chars")
+                    )
+                ).alias("token_bounds_ok"),
+                (F.col("_doc_tok_sum") == F.col("_tok_full")).alias(
+                    "doc_sum_matches_ok"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
     finally:
         words.unpersist()
     return out

@@ -99,3 +99,41 @@ def test_word_frequencies_one_pass(spark):
     docs = spark.createDataFrame([(" a b  a ",), ("b a",)], "text string")
     got = {r.word: r.freq for r in word_frequencies(docs, "text").collect()}
     assert got == {"a": 3, "b": 2}
+
+
+def test_encode_words_matches_jvm_fold(spark):
+    # the Arrow-batched corpus encoder and the JVM fold chain are two
+    # independent implementations of the same greedy semantics — they
+    # must agree token for token, including the run case ("aaaa") and
+    # chained merges whose left side is itself a merged symbol
+    from sentiment_analysis_data_engineering_spark.operators.bpe import encode_words
+
+    words = spark.createDataFrame(
+        [("aaaa",), ("abab",), ("aab",), ("banana",), ("x",)],
+        "word string",
+    )
+    merges = [("a", "a", 9), ("a", "b", 5), ("aa", "b", 3), ("n", "a", 2)]
+    enc = encode_words(words, merges)
+    jvm = words.select(
+        "word", apply_merges(F.split("word", ""), merges).alias("tokens")
+    )
+    got = {r.word: r.tokens for r in enc.collect()}
+    want = {r.word: r.tokens for r in jvm.collect()}
+    assert got == want
+    # concatenation reconstructs every word (BPE conservation)
+    assert all("".join(t) == w for w, t in got.items())
+    # spot-pin the greedy pairing itself, not just cross-agreement
+    assert got["aaaa"] == ["aa", "aa"]
+    assert got["aab"] == ["aab"]          # aa then (aa,b)
+    assert got["banana"] == ["b", "a", "na", "na"]
+
+
+def test_encode_words_empty_merge_table_is_char_split(spark):
+    from sentiment_analysis_data_engineering_spark.operators.bpe import encode_words
+
+    words = spark.createDataFrame([("abc",), ("z",), ("",)], "word string")
+    got = {r.word: r.tokens for r in encode_words(words, []).collect()}
+    # "" → [] (list("") semantics; unreachable from word_frequencies,
+    # which filters empty words — the JVM fold's split-based [""] form
+    # differs only on this unreachable input)
+    assert got == {"abc": ["a", "b", "c"], "z": ["z"], "": []}
