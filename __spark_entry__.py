@@ -70,86 +70,83 @@ SF0001 = "/root/testdata/sf0.001"
 # re-verified each round by a FULL tools/check_oracle.py run over the
 # whole registry, recorded in PROGRESS.jsonl for audit.
 _GATE_FIRST = [
-    # -- round-3 additions that have NEVER had a driver row (VERDICT r3
-    #    item 1 prescribes exactly these nine at positions 1-9)
-    "semantic_dedup_stats",
-    "correlation_matrix_lineitem",
-    "span_dedup_rewrite",
-    "event_sequence_patterns",
-    "user_value_trend",
-    "daily_returns_volatility",
-    "max_drawdown_per_user",
-    "pagerank_weighted_copurchase",
-    "personalized_pagerank_parts",
-    # -- implementation changed THIS round: heavy_hitter_users threshold
-    #    lowered (k=119) so the sf0.01 driver row is NON-empty (r3's
-    #    0-vs-0 pass was vacuous — VERDICT r3 item 2);
-    #    custom_source_events_report staging path now session-scoped
-    "heavy_hitter_users",
-    "custom_source_events_report",
-    # -- NEW in round 4 (plans/stats_queries.py): never driver-checked
-    "regr_price_quantity",
-    "mad_outlier_prices",
-    "dow_seasonality_index",
-    "markov_event_transitions",
-    "market_basket_part_pairs",
-    "zipf_token_rank_slope",
-    "chi_square_segment_priority",
-    "rfm_customer_segments",
-    "top_session_paths",
-    "customer_order_gap_stats",
-    # -- regression canaries: implementation changed since their last
-    #    driver row (r1/r2-green, rotated back in per VERDICT r3 item 4)
-    "customer_balance_deciles",
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "dedup_embedding_cosine",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    # -- age canaries: last driver row is round 1 (oldest attested rows
-    #    in the registry); re-gate as many as the remaining slots allow
-    "predicate_scan",
-    "star_join_revenue",
-    "casts_and_coalesce",
-    "unnest_tokens",
-    "dedup_exact",
-    "corpus_curation",
-    "skew_salted_join_agg",
-    "anti_join_new_keys",
-    "nway_inner_join",
-    # -- NEW in round 4 (added after the stats batch): never checked
-    "ann_pq_topk",
-    "audio_decode_features",
-    "video_frame_features",
-    "seasonal_adjusted_anomalies",
-    "local_supplier_volume",
-    "ann_ivfpq_topk",
-    "bigram_logprob_score",
-    "readability_report",
-    "cohort_ltv_curves",
-    "brown_forecast_user_value",
-    "ks_drift_purchase_view",
-    "gini_revenue_concentration",
-    # Remaining r1-aged rows (window_moving_avg /
-    # groupby_agg_pricing_summary / stratified_sample_langs /
-    # text_lang_id /
-    # global_sort / doc_fingerprint / dedup_clusters / topk_per_group /
-    # window_tumbling_daily / tfidf_top_terms / text_quality_score /
-    # sessionize_events (whose sessionization logic the in-prefix
-    # top_session_paths exercises verbatim) — displaced by the ten
-    # later round-4 additions; never-checked queries outrank age
-    # canaries — plus projection_rename_literal, range_filter,
-    # date_decomposition, unit_suffix_parse, json_path_scalar,
-    # today_parts, nway_same_key_join, semi_join_existing_keys,
-    # union_all_branches, count_existence_probe, multiset_equality,
-    # exact_distinct_parts, props_map_report, except_all_part_multiset,
-    # null_safe_join_props, date_functions_report, text_token_count,
-    # skew_salted_agg) and every r2/r3-green row stay outside the
-    # 50-slot window this round; all are re-verified on current
-    # implementations by the full tools/check_oracle.py sweep logged to
-    # PROGRESS.jsonl at HEAD.
+    # ROUND-7 ROTATION (VERDICT r6 item 1). Priority order per the
+    # standing convention: (1) queries that have NEVER had a driver
+    # row, (2) oldest-attested age canaries (r1 before r2). The r4-r6
+    # prefix was byte-identical three rounds running; this rotation
+    # retires that debt.
+    # -- position 1: the only query with zero driver rows ever (landed
+    #    in the r6 snapshot commit)
+    "bpe_encode_stats",
+    # -- NEW in round 7: never driver-checked (never-attested outranks
+    #    age canaries; costs two r2-aged slots, documented below)
+    "ann_rerank_topk",
+    "pca_embedding_variance",
+    # -- all 31 queries whose latest driver row is ROUND 1 (the oldest
+    #    attestations in the registry)
+    "count_existence_probe",
+    "date_decomposition",
+    "date_functions_report",
+    "dedup_clusters",
+    "doc_fingerprint",
+    "exact_distinct_parts",
+    "except_all_part_multiset",
+    "global_sort",
+    "groupby_agg_pricing_summary",
+    "json_path_scalar",
+    "multiset_equality",
+    "null_safe_join_props",
+    "nway_same_key_join",
+    "projection_rename_literal",
+    "props_map_report",
+    "range_filter",
+    "semi_join_existing_keys",
+    "sessionize_events",
+    "skew_salted_agg",
+    "stratified_sample_langs",
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_count",
+    "tfidf_top_terms",
+    "today_parts",
+    "topk_global",
+    "topk_per_group",
+    "union_all_branches",
+    "unit_suffix_parse",
+    "window_moving_avg",
+    "window_tumbling_daily",
+    # -- oldest r2-attested rows: the set-op / distinct / percentile /
+    #    grouping / window families the r6 verdict names explicitly
+    "except_non_building_buyers",
+    "intersect_buyer_suppliers_nations",
+    "approx_distinct_parts",
+    "approx_percentiles_by_segment",
+    "percentiles_by_segment",
+    "robust_stats_by_priority",
+    "quality_percentile_prune",
+    "cube_order_stats",
+    "rollup_revenue",
+    "grouping_sets_revenue",
+    "pivot_event_counts",
+    "unpivot_event_counts",
+    "window_sliding_6h",
+    "rolling_7day_customer_revenue",
+    "rank_functions_report",
+    "asof_join_last_signup",
+    # The remaining r2-aged rows (outer_join_customer_orders,
+    # range_join_error_windows, large_orders, top_unshipped_orders,
+    # min_cost_supplier_per_part, nation_pair_volume, region_nation_
+    # rollcall, supplier_part_volume, top_revenue_supplier, customers_
+    # above_nation_avg, disjunctive_predicate_revenue, order_count_
+    # distribution, order_flags_by_priority, promo_revenue_share,
+    # sole_late_supplier_waitlist, price_quantity_statistics, string_
+    # functions_report, benchmark_contamination, gopher_repetition_
+    # signals, text_clean_and_mask, document_chunks, sequence_packing_
+    # stats, dedup_survivor_selection, daily_event_gapfill, mixture_
+    # weighted_sample_sources, train_val_test_split) rotate in next
+    # round; all are re-verified on current implementations by the
+    # full tools/check_oracle.py sweep logged to PROGRESS.jsonl at
+    # HEAD each round.
 ]
 assert len(_GATE_FIRST) <= 50, "driver gate checks only the first 50 queries"
 

@@ -163,7 +163,26 @@ def encode_words(
     word: O(len(word)·ranks) worst case, over rows that should be the
     DISTINCT vocabulary — encode the vocab once, then equi-join token
     counts back to the corpus (the 100 TB shape: the Python pass is
-    vocabulary-bounded, never corpus-bounded)."""
+    vocabulary-bounded, never corpus-bounded).
+
+    Preconditions / production notes:
+
+    - ``word_col`` values must be NON-EMPTY strings (guaranteed by
+      :func:`word_frequencies`, which drops zero-length tokens). For
+      an empty string this scan returns ``[]`` while
+      :func:`apply_merges`' split-based JVM fold yields ``[""]`` —
+      pinned unreachable by
+      ``test_encode_words_empty_merge_table_is_char_split``.
+    - The per-word scan applies the FULL rank list unconditionally:
+      O(len(word)·ranks). Fine through a few hundred ranks (each pass
+      is a tight list scan over short words); a production-size merge
+      table (30k+ ranks, tokenizer-scale) over a long-tail vocabulary
+      wants the standard pair-priority-queue encode (merge the
+      lowest-rank pair PRESENT in the word, heap-ordered) or
+      symbol-pair indexing, which is O(len·log len) per word
+      independent of table size. The call shape (distinct-vocab rows,
+      closure-carried table) would not change — only this inner
+      function."""
     ranked = [(m[0], m[1], m[0] + m[1]) for m in merges]
 
     @F.pandas_udf("array<string>")

@@ -366,13 +366,25 @@ _BPE_MERGES = 8
 #: is a driver-blocking argmax action — the trainer query and the
 #: encode query would otherwise each pay the full iteration ladder for
 #: the identical result. Same convention as extension_queries'
-#: _ROWCOUNT_CACHE.
+#: _ROWCOUNT_CACHE, with the same caveat: the key assumes the fixture
+#: at sf_dir is immutable for the process lifetime; a corpus mutated
+#: in place at the same path would be served stale merges (key on
+#: (path, parquet mtime) if fixtures ever become mutable).
 _BPE_MERGE_CACHE: dict[tuple[str, int, int], list[tuple[str, str, int]]] = {}
 
 
 def _trained_merges(
     words: DataFrame, sf_dir: str, n_merges: int, min_count: int
 ) -> list[tuple[str, str, int]]:
+    """Train-or-recall the merge table for ``sf_dir``'s corpus.
+
+    INVARIANT: ``words`` MUST be ``word_frequencies(documents, "text")``
+    over the documents table at ``sf_dir`` — the memo key is only
+    (sf_dir, n_merges, min_count), so a caller passing any other frame
+    would silently receive merges trained on a different corpus on a
+    cache hit. Both registered callers (bpe_merge_stats,
+    bpe_encode_stats) derive it exactly that way; keep it so.
+    """
     from ..operators.bpe import bpe_train
 
     key = (sf_dir, n_merges, min_count)

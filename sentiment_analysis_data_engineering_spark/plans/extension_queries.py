@@ -1097,7 +1097,11 @@ _SEMDEDUP_K = 8
 #: derives k from the corpus size at plan-build time, and recounting
 #: an immutable fixture parquet on every invocation (bench reruns,
 #: oracle sweeps) is a wasted action — the footprint is one count job
-#: per (process, sf_dir), amortized to zero across reruns.
+#: per (process, sf_dir), amortized to zero across reruns. Caveat: the
+#: path key assumes the fixture is immutable for the process lifetime
+#: (true for the driver/bench workflow); regenerating testdata in a
+#: long-lived session would serve a stale k — key on (path, parquet
+#: mtime) if fixtures ever become mutable.
 _ROWCOUNT_CACHE: dict[tuple[str, str], int] = {}
 
 
