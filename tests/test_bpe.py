@@ -128,6 +128,56 @@ def test_encode_words_matches_jvm_fold(spark):
     assert got["banana"] == ["b", "a", "na", "na"]
 
 
+def test_encode_words_production_rank_count(spark):
+    # VERDICT r6 item 5: pin encode_words == apply_merges at a
+    # production-ish rank count (hundreds of ranks, not the 8-merge
+    # query scale). The sf0.01 corpus vocabulary alone is 31 words and
+    # exhausts after ~89 merges, so extend it with its own pairwise
+    # concatenations (still corpus-derived and deterministic) to give
+    # the trainer enough pair mass for 300 ranks. Merges come from the
+    # pure-Python reference trainer — already pinned bit-equal to
+    # bpe_train by test_bpe_matches_reference_exactly — so this test
+    # pays zero Spark training jobs and isolates exactly the claim
+    # under test: the Arrow per-word scan and the 300-deep JVM fold
+    # chain agree token for token over the whole vocabulary.
+    from sentiment_analysis_data_engineering_spark.operators.bpe import encode_words
+
+    from conftest import SF001
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    base = {
+        r.word: r.freq
+        for r in word_frequencies(docs, "text").collect()
+    }
+    extended = dict(base)
+    for a in sorted(base):
+        for b in sorted(base):
+            w = a + b
+            extended[w] = extended.get(w, 0) + min(base[a], base[b])
+    merges = _ref_bpe(extended, 300, min_count=2)
+    assert len(merges) == 300  # enough pair mass; not exhausted early
+
+    words = spark.createDataFrame(
+        [(w,) for w in sorted(extended)], "word string"
+    )
+    enc = encode_words(words, merges)
+    # fold the 300 ranks in chunks of 60 selects deep — a single
+    # 300-deep nested-aggregate expression overruns the analyzer's
+    # fixed 100-iteration Resolution budget; chunked selects keep each
+    # analysis pass bounded while composing to the identical fold
+    jvm = words.withColumn("jvm", F.split("word", ""))
+    for i in range(0, len(merges), 60):
+        jvm = jvm.withColumn(
+            "jvm", apply_merges(F.col("jvm"), merges[i : i + 60])
+        )
+    joined = enc.join(jvm.select("word", "jvm"), "word")
+    rows = joined.collect()
+    assert len(rows) == len(extended)
+    for r in rows:
+        assert r.tokens == r.jvm, r.word
+        assert "".join(r.tokens) == r.word  # conservation at depth 300
+
+
 def test_encode_words_empty_merge_table_is_char_split(spark):
     from sentiment_analysis_data_engineering_spark.operators.bpe import encode_words
 
