@@ -165,6 +165,9 @@ HEADLINE = [
     "brown_forecast_user_value",
     "ks_drift_purchase_view",
     "gini_revenue_concentration",
+    # round 7: retrieval second stage + dimensionality reduction
+    "ann_rerank_topk",
+    "pca_embedding_variance",
 ]
 
 

@@ -790,6 +790,114 @@ def ann_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pca_embedding_variance",
+    oracle="""
+    SELECT CAST(r.i AS INT) AS component,
+           (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_points,
+           TRUE AS ratio_positive_ok,
+           TRUE AS nonincreasing_ok,
+           TRUE AS cum_le_one_ok,
+           TRUE AS var_matches_ok,
+           TRUE AS orthonormal_ok
+    FROM range(1, 9) r(i)
+    ORDER BY component
+    """,
+)
+def pca_embedding_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib PCA(k=8) over the 64-dim embedding corpus with a
+    variance-accounting contract (operators/decomposition.py::
+    pca_fit_project). One row per principal component, all hash-gated:
+
+    - ``ratio_positive_ok``  — 0 < explained-variance ratio ≤ 1;
+    - ``nonincreasing_ok``   — ratios sorted non-increasing (the
+      eigenvalue order);
+    - ``cum_le_one_ok``      — cumulative ratio through this component
+      ≤ 1 (+1e-9 float slack);
+    - ``var_matches_ok``     — THE CROSS-CHECK: the sample variance of
+      this component's projected coordinate, computed by a plain
+      DataFrame ``var_samp`` aggregate over the transformed corpus,
+      equals ratio_i × Σ_d var_samp(x_d) within 1e-6 relative — the
+      MLlib eigensolver and the SQL aggregation engine are two
+      independent computations of the same spectrum (var is
+      shift-invariant, so the uncentered projection doesn't matter);
+    - ``orthonormal_ok``     — max |PCᵀPC − I| < 1e-8 on the loading
+      matrix (driver-side audit of the model itself).
+
+    Plan: one treeAggregate fit pass (O(n·d²) distributed, d=64 →
+    4 KB combiner states), one narrow JVM transform, then TWO 1-row
+    aggregates (the k projected variances; the 64 input variances +
+    count) crossJoined and exploded to k component rows — no shuffle
+    larger than a single row. At 100 TB the fit pass is the only
+    corpus-sized cost and it is embarrassingly parallel."""
+    from ..operators.decomposition import pca_fit_project
+
+    k = 8
+    dim = 64
+    (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    proj, info = pca_fit_project(
+        embeddings, vec_col="embedding", id_col="vec_id", k=k
+    )
+    ev = info["explained_variance"]
+
+    pv = proj.agg(
+        *[
+            F.var_samp(F.col("components")[i]).alias(f"_v{i}")
+            for i in range(k)
+        ]
+    )
+    x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    tot = embeddings.select(x.alias("_x")).agg(
+        F.count("*").alias("n_points"),
+        sum(
+            [F.var_samp(F.col("_x")[d]) for d in range(1, dim)],
+            F.var_samp(F.col("_x")[0]),
+        ).alias("_total_var"),
+    )
+
+    comps = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("component"),
+                F.col(f"_v{i}").alias("_pvar"),
+                F.lit(float(ev[i])).alias("_evr"),
+                F.lit(
+                    bool(i == 0 or ev[i] <= ev[i - 1] + 1e-12)
+                ).alias("nonincreasing_ok"),
+                F.lit(bool(sum(ev[: i + 1]) <= 1.0 + 1e-9)).alias(
+                    "cum_le_one_ok"
+                ),
+            )
+            for i in range(k)
+        ]
+    )
+    return (
+        pv.crossJoin(tot)
+        .select("n_points", "_total_var", F.explode(comps).alias("c"))
+        .select(
+            F.col("c.component").alias("component"),
+            "n_points",
+            ((F.col("c._evr") > 0) & (F.col("c._evr") <= 1)).alias(
+                "ratio_positive_ok"
+            ),
+            F.col("c.nonincreasing_ok"),
+            F.col("c.cum_le_one_ok"),
+            (
+                F.abs(
+                    F.col("c._pvar")
+                    / (F.col("c._evr") * F.col("_total_var"))
+                    - 1
+                )
+                < 1e-6
+            ).alias("var_matches_ok"),
+            F.lit(
+                bool(info["orthonormal_max_abs_err"] < 1e-8)
+            ).alias("orthonormal_ok"),
+        )
+        .orderBy("component")
+    )
+
+
 # --------------------------------------------------------------------------
 # Skew mitigation (operators/skew.py) — salted plans must equal the
 # plain-join / plain-agg oracle exactly; salt is partitioning-only.
