@@ -31,7 +31,10 @@ sys.path.insert(0, "/root/repo")
 
 SF1_DIR = "/root/repo/.scaling_sf1"
 SFS = [("0.1", "/root/testdata/sf0.1"), ("1.0", SF1_DIR)]
-N_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "2")))
+# default raised 2 -> 3 in r7: min-of-2 after one warm-up demonstrably
+# under-converges the heavy iterative queries in a fresh JVM (triangles
+# at sf1.0: 43.7 s min-of-2 vs 28.6 s steady-state on identical code)
+N_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3")))
 RATIO_FLAG = 12.0
 MIN_SECS_FLAG = 1.0
 
@@ -126,19 +129,31 @@ def render(times: dict[str, dict[str, float]]) -> str:
         lines.append(f"| {name} | {a} | {b} | {ratio:.1f}× | {flag} |")
     lines += [
         "",
-        "Cost-model context for the ratios: pagerank is Θ(iterations × "
-        "edges) with a fixed 3-iteration budget, so ≈10 is the linear "
-        "ceiling; triangle counting's compact-forward bound is "
-        "O(m^1.5), so up to ≈31.6 at 10× edges would still be "
-        "within-model (the flag threshold stays 12 because the forward "
-        "orientation keeps real-world graphs near-linear); k-core's "
-        "peel rounds grow with the deeper degeneracy of the larger "
-        "graph (work ∝ rounds × surviving edges); SemDeDup is "
-        "dominated by the MLlib k-means fit, Θ(epochs × n × k) — "
-        "linear in n at fixed k, and the paper's own scaling story is "
-        "to RAISE k with corpus size, which also shrinks the "
-        "per-cluster quadratic pairing. Ratios at or under these "
-        "models with zero flags = the second decade passes.",
+        "Cost-model context for the ratios (matches the r5/r6 "
+        "implementations): pagerank is Θ(iterations × edges) with a "
+        "fixed 3-iteration budget, so ≈10 is the linear ceiling; "
+        "triangle counting's compact-forward bound is O(m^1.5), so up "
+        "to ≈31.6 at 10× edges would still be within-model (the flag "
+        "threshold stays 12 because the forward orientation keeps "
+        "real-world graphs near-linear); k-core uses DELTA PEELING "
+        "(graph.py:383) — each round's shuffle is proportional to the "
+        "edges REMOVED that round plus |V| for the degree update, "
+        "never to the surviving-edge recount, so total work ∝ m + "
+        "rounds·|V| with an early fixed-point exit (the pre-r5 model "
+        "\"rounds × surviving edges\" is obsolete); SemDeDup "
+        "(similarity.py:941,1097) fits k-means on a hash-ordered "
+        "max(8192, 32·k) TakeOrdered sample — the fit never touches "
+        "the full corpus — then pays one Θ(n·k) assignment pass and a "
+        "per-cluster-LOCAL pair join that stays linear at the fixed "
+        "≈250-point expected cluster size (k is raised ∝ n, the "
+        "paper's own scaling story). Ratios at or under these models "
+        "with zero flags = the second decade passes.",
+        "",
+        "Protocol note: N_RUNS=3 (SPARK_GRAFT_SCALING_RUNS) for this "
+        "table — min-of-2 demonstrably under-converges the heavy "
+        "iterative queries in a fresh JVM (triangles at sf1.0 "
+        "measured 43.7 s on min-of-2 vs 28.6 s steady-state in a "
+        "3-run probe; SemDeDup sf0.1 18.0→5.5 s across three runs).",
         "",
         SECTION_END,
     ]
