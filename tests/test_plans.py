@@ -277,3 +277,41 @@ def test_bench_headline_names_resolve():
     missing = [n for n in HEADLINE if n not in qs]
     assert not missing, f"bench names not in registry: {missing}"
     assert len(set(HEADLINE)) == len(HEADLINE), "duplicate bench names"
+
+
+def test_crossencoder_rerank_plan_shape(spark, sf_dir):
+    """The production rerank path (candidates -> true-vector equi-join
+    -> Arrow score -> window top-k) must broadcast the query side and
+    never fall back to a cartesian product; the corpus is scanned, not
+    cross-joined."""
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_data_engineering_spark.operators import (
+        similarity as sim,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cand = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        (F.col("vec_id") + 10).alias("neighbor_id"),
+    )
+    out = sim.crossencoder_rerank_topk(
+        cand, emb.filter(F.col("vec_id") < 3), emb, k=2, dim=64
+    )
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # query vectors ride a broadcast
+    assert "ArrowEvalPython" in plan or "BatchEvalPython" not in plan
+
+
+def test_pca_variance_plan_shape(spark, sf_dir):
+    """pca_embedding_variance's post-fit plan is two 1-row aggregates
+    joined and exploded to k rows — no corpus-sized shuffle, no
+    cartesian product larger than 1x1."""
+    from sentiment_analysis_data_engineering_spark.plans.registry import QUERIES
+
+    plan = plan_of(QUERIES["pca_embedding_variance"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # exactly the two fit-independent corpus scans (projection + input
+    # variances); the MLlib fit happens at plan build, not here
+    assert plan.count("FileScan parquet") == 2
