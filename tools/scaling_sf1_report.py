@@ -153,7 +153,16 @@ def render(times: dict[str, dict[str, float]]) -> str:
         "table — min-of-2 demonstrably under-converges the heavy "
         "iterative queries in a fresh JVM (triangles at sf1.0 "
         "measured 43.7 s on min-of-2 vs 28.6 s steady-state in a "
-        "3-run probe; SemDeDup sf0.1 18.0→5.5 s across three runs).",
+        "3-run probe; SemDeDup sf0.1 18.0→5.5 s across three runs). "
+        "The sf0.1 column here is NOT comparable in absolute seconds "
+        "to the main table's sf0.1 column or to BENCH numbers: this "
+        "run warms the JVM with only the 11 other iterative queries, "
+        "while the main report and bench.py measure after 130+ "
+        "queries of codegen/JIT warmth, which the graph family "
+        "rewards with ~2× lower absolutes (kcore_parts sf0.1: ≈6.1 s "
+        "at this table's warmth vs ≈2.6-2.7 s deep-warmed, same HEAD, "
+        "same VM, same hour). Within-table ratios measured at uniform "
+        "warmth are the scaling signal.",
         "",
         SECTION_END,
     ]
