@@ -416,3 +416,97 @@ def test_avi_codec_roundtrip_law(w, h, n_frames, seed, fps):
     for f, fb in enumerate(frames):
         expect = np.frombuffer(fb, dtype=np.uint8).reshape(h, w, 3) / 255.0
         assert np.allclose(decoded[f], expect)
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-100.0, 100.0, allow_nan=False, allow_infinity=False,
+                      width=32),
+            min_size=6, max_size=6,
+        ),
+        min_size=2, max_size=10,
+    ),
+)
+@_slow
+def test_crossencoder_arrow_jvm_bitexact_law(spark, vecs):
+    """LAW: the Arrow scorer and the JVM expression are the SAME
+    IEEE-754 computation — sequential softsign fold over finite
+    inputs — so their doubles are bit-identical for EVERY finite
+    vector pair, not merely close. (Both engines cast float32 inputs
+    to double exactly, multiply/divide/abs are correctly rounded, and
+    both accumulate in d=0..dim-1 order.)"""
+    from sentiment_analysis_data_engineering_spark.operators import (
+        similarity as sim,
+    )
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cand = spark.createDataFrame(
+        [(a, b) for a, _ in rows for b, _ in rows if a != b],
+        "query_id long, neighbor_id long",
+    )
+    out = sim.crossencoder_rerank_topk(
+        cand, df, df, k=len(rows), dim=6
+    )
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    qv = df.select(F.col("vec_id").alias("query_id"), dv.alias("_qv"))
+    cv = df.select(F.col("vec_id").alias("neighbor_id"), dv.alias("_cv"))
+    checked = (
+        out.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn(
+            "_jvm",
+            F.round(
+                sim.crossencoder_score_expr(F.col("_qv"), F.col("_cv"), dim=6),
+                6,
+            ),
+        )
+        .collect()
+    )
+    assert len(checked) == len(rows) * (len(rows) - 1)
+    for r in checked:
+        assert r.ce_score == r._jvm, (r.query_id, r.neighbor_id)
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=12),
+        min_size=1, max_size=20, unique=True,
+    ),
+    pairs=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c", "d", "ab", "ba", "cd", "aa"]),
+            st.sampled_from(["a", "b", "c", "d", "ab", "ba", "cd", "aa"]),
+        ),
+        min_size=0, max_size=12,
+    ),
+)
+@_slow
+def test_bpe_encode_matches_fold_law(spark, words, pairs):
+    """LAW: encode_words (Arrow per-word scan) and apply_merges (JVM
+    fold chain) implement identical greedy left-to-right merge
+    semantics for ANY merge table over ANY non-empty words — including
+    merge tables never produced by the trainer (unreachable symbols,
+    duplicate pairs, merged-left chains)."""
+    from sentiment_analysis_data_engineering_spark.operators.bpe import (
+        apply_merges,
+        encode_words,
+    )
+
+    merges = [(l, r, 1) for l, r in pairs]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    enc = encode_words(df, merges)
+    jvm = df.withColumn("jvm", F.split("word", ""))
+    for i in range(0, len(merges), 60):
+        jvm = jvm.withColumn(
+            "jvm", apply_merges(F.col("jvm"), merges[i : i + 60])
+        )
+    got = {
+        r.word: (r.tokens, r.jvm)
+        for r in enc.join(jvm.select("word", "jvm"), "word").collect()
+    }
+    assert len(got) == len(words)
+    for w, (tok, ref) in got.items():
+        assert tok == ref, (w, merges)
+        assert "".join(tok) == w
