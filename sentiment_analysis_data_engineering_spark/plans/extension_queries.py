@@ -606,14 +606,23 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the memory-bandwidth ANN play at 100 TB), and the top-96 ADC
     candidates re-rank exactly. Reported as the per-query recall
     contract vs the exact scan (≥ 0.6 with the deterministic
-    Lloyd-trained codebooks — measured 0.6/0.8 worst-query at
-    sf0.001/sf0.01; distributed MLlib-KMeans codebooks are the recall
-    upgrade when the training sample must exceed the driver)."""
+    Lloyd-trained codebooks — worst-query 0.6/0.8/0.6 measured at
+    sf0.001/sf0.01/sf0.1; distributed MLlib-KMeans codebooks are the
+    recall upgrade when the training sample must exceed the driver).
+
+    The re-rank depth SCALES with the corpus — max(96, n/8) — because
+    a fixed depth over a growing corpus silently starves recall (at
+    sf0.1's 2000 vectors the original fixed 96 dropped worst-query
+    recall to 0.4). n/8 keeps the FIXED tiny fixture codebook honest
+    across the test ladder; at production scale the sharper lever is
+    growing n_codes/m with the corpus so the ADC ranking itself stays
+    precise and the re-rank depth stays sublinear."""
     (embeddings,) = load_tables(spark, sf_dir, "embeddings")
     queries_df = embeddings.filter(F.col("vec_id") < 10)
+    n_corpus = _table_rowcount(spark, sf_dir, "embeddings")
     approx = sim.pq_cosine_topk(
         queries_df, embeddings, vec_col="embedding", id_col="vec_id",
-        k=5, m=8, n_codes=64, n_rerank=96,
+        k=5, m=8, n_codes=64, n_rerank=max(96, n_corpus // 8),
     )
     exact = sim.cosine_topk(
         queries_df, embeddings, vec_col="embedding", id_col="vec_id", k=5
@@ -629,14 +638,17 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe 4 cells — the partition-pruning equi-join), vectors are
     PQ-encoded on their cell RESIDUALS (finer quantization from the
     same code budget), and per-(query, cell) ADC tables score the
-    probed fraction before the exact top-96 re-rank. Reported as the
-    per-query recall contract vs the exact scan (≥ 0.6; measured
-    worst-query 0.6 at both driver scale factors)."""
+    probed fraction before the exact corpus-scaled re-rank
+    (max(96, n/8) — same rationale and measurements as ann_pq_topk).
+    Reported as the per-query recall contract vs the exact scan
+    (≥ 0.6; worst-query 0.6 measured at sf0.001, sf0.01 AND sf0.1)."""
     (embeddings,) = load_tables(spark, sf_dir, "embeddings")
     queries_df = embeddings.filter(F.col("vec_id") < 10)
+    n_corpus = _table_rowcount(spark, sf_dir, "embeddings")
     approx = sim.ivfpq_cosine_topk(
         queries_df, embeddings, vec_col="embedding", id_col="vec_id",
-        k=5, n_cells=16, n_probe=4, m=8, n_codes=64, n_rerank=96,
+        k=5, n_cells=16, n_probe=4, m=8, n_codes=64,
+        n_rerank=max(96, n_corpus // 8),
     )
     exact = sim.cosine_topk(
         queries_df, embeddings, vec_col="embedding", id_col="vec_id", k=5

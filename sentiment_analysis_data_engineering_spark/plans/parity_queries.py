@@ -684,7 +684,7 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_suppkey, l_orderkey, l_linenumber,
            round(avg(l_quantity) OVER (
              PARTITION BY l_suppkey
-             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS qty_ma7
     FROM lineitem
     """,
@@ -692,11 +692,21 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic frame window — 7-row moving average per supplier, the
     natural Spark form of a per-ticker OHLCV moving average
-    (SURVEY.md §2.7). Deterministic total order within partitions."""
+    (SURVEY.md §2.7).
+
+    The ORDER BY includes l_quantity because (l_orderkey,
+    l_linenumber) is NOT unique in this corpus (the generator injects
+    dup-prone rows — 11,785 duplicate keys at sf0.01, 118,144 at
+    sf0.1): a ROWS frame over a non-total order hands each engine an
+    arbitrary peer permutation, and the one sf0.1 tie whose duplicates
+    carry DIFFERENT quantities flipped 2 rows between Spark and DuckDB
+    until the value column joined the sort key. With l_quantity in the
+    order, remaining ties are full-duplicate rows, whose frame
+    averages are permutation-invariant."""
     (lineitem,) = load_tables(spark, sf_dir, "lineitem")
     w = (
         W.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
         .rowsBetween(-6, 0)
     )
     return lineitem.select(
