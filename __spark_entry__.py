@@ -82,6 +82,8 @@ _GATE_FIRST = [
     #    age canaries; costs two r2-aged slots, documented below)
     "ann_rerank_topk",
     "pca_embedding_variance",
+    "classifier_quality_filter",
+    "epoch_shuffle_stats",
     # -- all 31 queries whose latest driver row is ROUND 1 (the oldest
     #    attestations in the registry)
     "count_existence_probe",
@@ -131,9 +133,10 @@ _GATE_FIRST = [
     "unpivot_event_counts",
     "window_sliding_6h",
     "rolling_7day_customer_revenue",
-    "rank_functions_report",
-    "asof_join_last_signup",
-    # The remaining r2-aged rows (outer_join_customer_orders,
+    # The remaining r2-aged rows (rank_functions_report,
+    # asof_join_last_signup — displaced by the two never-attested
+    # round-7 additions above, per the never-attested-first rule —
+    # outer_join_customer_orders,
     # range_join_error_windows, large_orders, top_unshipped_orders,
     # min_cost_supplier_per_part, nation_pair_volume, region_nation_
     # rollcall, supplier_part_volume, top_revenue_supplier, customers_

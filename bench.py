@@ -168,6 +168,9 @@ HEADLINE = [
     # round 7: retrieval second stage + dimensionality reduction
     "ann_rerank_topk",
     "pca_embedding_variance",
+    # round 7: model-based filtering + deterministic epoch shuffle
+    "classifier_quality_filter",
+    "epoch_shuffle_stats",
 ]
 
 

@@ -28,6 +28,7 @@ __all__ = [
     "hash_sample",
     "stratified_hash_sample",
     "mixture_weighted_sample",
+    "epoch_shuffle",
 ]
 
 _BUCKETS = 10_000
@@ -128,4 +129,66 @@ def mixture_weighted_sample(
         df.join(F.broadcast(thresholds), stratum_col)
         .filter(hash_bucket(id_col, salt) < F.col("_thr"))
         .drop("_thr")
+    )
+
+
+_SHUFFLE_MOD = 1 << 31
+
+
+def epoch_shuffle_params(epoch: int, modulus: int = _SHUFFLE_MOD) -> tuple[int, int]:
+    """Affine-permutation coefficients (a, b) for a training epoch.
+
+    ``a`` is forced odd, so for the power-of-two ``modulus`` it is a
+    unit mod 2^31 and ``pos = (a·id + b) mod 2^31`` is a BIJECTION on
+    [0, 2^31) — every id gets a distinct position, no collisions to
+    resolve. ``epoch + 1`` seeds the Knuth multiplicative constant so
+    epoch 0 is already a non-trivial permutation.
+    """
+    a = (2 * (((epoch + 1) * 2654435761) % (modulus // 2)) + 1) % modulus
+    b = ((epoch + 1) * 40503 + 2531011) % modulus
+    return a, b
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    *,
+    epoch: int,
+    n_shards: int,
+    modulus: int = _SHUFFLE_MOD,
+) -> DataFrame:
+    """Deterministic global reshuffle of a training corpus for one
+    epoch — shard assignment and intra-shard order as a PURE FUNCTION
+    of (id, epoch), the way large-pretraining loaders re-order data
+    between epochs without ever materializing a random permutation.
+
+    Extension layer (no reference counterpart). ``pos = (a·id + b)
+    mod 2^31`` with epoch-derived odd ``a`` (``epoch_shuffle_params``)
+    is an affine bijection on [0, 2^31): positions are unique, so
+    ``shard = pos % n_shards`` balances to within ±1 row per residue
+    class and ``ORDER BY pos`` inside a shard is a total order. Because
+    the permutation is arithmetic on the id, the operator is a NARROW
+    projection — no RNG state, no zipWithIndex, no global sort, no
+    shuffle at all until the caller repartitions by ``shard`` to write
+    (one exchange, the minimum any sharded write needs). Re-running any
+    subset of tasks reproduces identical placement (retry-safe), and a
+    different epoch yields an independent-looking permutation from the
+    same scan.
+
+    Scale note: ids must fit in [0, 2^31) so ``a·id`` stays within
+    int64 (a < 2^31 ⇒ product < 2^62). Corpora with wider ids hash
+    into that range first (``xxhash64 & 0x7fffffff``) at the cost of
+    birthday-collision ties broken by id, or lift the same affine map
+    to 128-bit decimal arithmetic; the 2^31 form is exact for the
+    fixture ids and keeps every operation in JVM integer codegen.
+
+    Adds ``shuffle_pos`` (long) and ``shard`` (int) columns.
+    """
+    if not 0 < n_shards <= modulus:
+        raise ValueError(f"n_shards must be in (0, {modulus}]")
+    a, b = epoch_shuffle_params(epoch, modulus)
+    c = F.col(id_col).cast("long")
+    pos = (c * F.lit(a) + F.lit(b)) % F.lit(modulus)
+    return df.withColumn("shuffle_pos", pos).withColumn(
+        "shard", (F.col("shuffle_pos") % F.lit(n_shards)).cast("int")
     )

@@ -39,6 +39,7 @@ __all__ = [
     "bigram_pmi",
     "remove_duplicate_spans",
     "doc_spans",
+    "hashed_classifier_score",
 ]
 
 
@@ -639,3 +640,63 @@ def remove_duplicate_spans(
         )
         .select(F.col("_id").alias(id_col), "text", "n_spans", "n_removed")
     )
+
+
+_CLF_FEATURES = 4096
+_CLF_MULT = 1103515245
+_CLF_INC = 12345
+_CLF_WMOD = 2001
+_CLF_WOFF = 1000
+
+
+def hashed_classifier_score(
+    col: Column | str, *, n_features: int = _CLF_FEATURES
+) -> Column:
+    """Linear classifier score over hashed bag-of-words features — the
+    model-based quality-filter stage of the modern curation stack
+    (fastText/CCNet-style linear scorer; public methodology), expressed
+    so the ENTIRE inference pass is a narrow JVM projection.
+
+    Feature extraction: lowercase, split on non-letters, drop empties.
+    Each token hashes to a feature id in [0, n_features) by the classic
+    31-polynomial char fold (h ← (31·h + ascii) mod D — exact integer
+    arithmetic, reproducible in any engine). The "model" is a weight
+    per feature id, derived arithmetically from the id itself by an
+    LCG step (w(i) = ((i·1103515245 + 12345) mod 2001) − 1000 ∈
+    [−1000, 1000]) so the weight vector needs no lookup table at all;
+    a LEARNED vector swaps that expression for a broadcast
+    ``map_from_arrays`` lookup (n_features entries — KBs, not data)
+    or an Arrow-batched matmul when dense, leaving the plan shape
+    unchanged. score(doc) = Σ_tokens w(h(token)), a BIGINT.
+
+    Scale story: no explode, no shuffle, no Python, no state — the
+    score is one nested higher-order-function expression inside the
+    scan projection, so classifier filtering runs at full scan speed
+    and composes with predicate pushdown (filter on the score prunes
+    downstream stages, not the scan). Every operation is exact int64
+    (token weights ≤ 1000, so overflow needs > 9·10^15 tokens in ONE
+    document).
+    """
+    toks = F.filter(
+        F.split(F.lower(_c(col)), r"[^a-z]+"), lambda t: t != F.lit("")
+    )
+    feat = lambda t: F.aggregate(  # noqa: E731 — inline HOF chain
+        F.split(t, ""),
+        F.lit(0).cast("long"),
+        lambda h, ch: (h * F.lit(31) + F.ascii(ch)) % F.lit(_CLF_FEATURES),
+    )
+    weight = lambda i: (  # noqa: E731
+        (i * F.lit(_CLF_MULT) + F.lit(_CLF_INC)) % F.lit(_CLF_WMOD)
+    ) - F.lit(_CLF_WOFF)
+    return F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + weight(feat(t))
+    )
+
+
+def classifier_token_count(col: Column | str) -> Column:
+    """Token count under the classifier's tokenizer (lowercase,
+    non-letter split, empties dropped) — reported alongside the score
+    so acceptance rates can be length-normalized downstream."""
+    return F.size(
+        F.filter(F.split(F.lower(_c(col)), r"[^a-z]+"), lambda t: t != F.lit(""))
+    ).cast("long")

@@ -654,3 +654,135 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         words.unpersist()
     return out
+
+
+# --------------------------------------------------------------------------
+# Model-based quality filtering (hashed linear classifier)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "classifier_quality_filter",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             [t FOR t IN string_split_regex(lower(text), '[^a-z]+')
+                IF t <> ''] AS ts
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+             CAST(len(ts) AS BIGINT) AS n_tokens,
+             CAST(coalesce(list_sum(
+               [((CAST(list_reduce([ascii(c) FOR c IN string_split(t, '')],
+                                   (h, c2) -> (h * 31 + c2) % 4096)
+                       AS BIGINT)
+                  * 1103515245 + 12345) % 2001) - 1000
+                FOR t IN ts]), 0) AS BIGINT) AS clf_score
+      FROM toks
+    )
+    SELECT doc_id, lang, n_tokens, clf_score,
+           clf_score > 0 AS accepted
+    FROM scored
+    """,
+)
+def classifier_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering — score every document under a
+    hashed bag-of-words linear classifier and report the accept
+    decision (the fastText/CCNet-style filter stage of a pretraining
+    curation stack; public methodology).
+
+    Plan shape: the whole inference pass is ONE narrow projection over
+    the documents scan — `hashed_classifier_score` is a nested
+    higher-order-function expression (token split → 31-polynomial char
+    fold → LCG-derived integer weight → sum), so there is no explode,
+    no shuffle, no Python, and no weight table to distribute. At 100 TB
+    classifier filtering therefore runs at scan speed, and a
+    `WHERE accepted` on top prunes every downstream stage. A learned
+    weight vector swaps the weight expression for a broadcast
+    `map_from_arrays` lookup (KBs) with the identical plan. All
+    arithmetic is exact int64, so the DuckDB oracle reproduces scores
+    bit-for-bit (same fold, same LCG — no floats anywhere).
+    """
+    from ..operators import text as tx
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    score = tx.hashed_classifier_score("text")
+    return documents.select(
+        "doc_id",
+        "lang",
+        tx.classifier_token_count("text").alias("n_tokens"),
+        score.alias("clf_score"),
+        (score > F.lit(0)).alias("accepted"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic epoch shuffle (training-order resharding)
+# --------------------------------------------------------------------------
+
+_SHUF_SHARDS = 8
+
+
+@query(
+    "epoch_shuffle_stats",
+    oracle=f"""
+    WITH epochs AS (SELECT * FROM (VALUES (0), (1)) e(epoch)),
+    params AS (
+      SELECT epoch,
+             (2 * (((epoch + 1) * 2654435761) % 1073741824) + 1)
+               % 2147483648 AS a,
+             ((epoch + 1) * 40503 + 2531011) % 2147483648 AS b
+      FROM epochs
+    ),
+    placed AS (
+      SELECT p.epoch,
+             (d.doc_id * p.a + p.b) % 2147483648 AS pos,
+             d.n_chars
+      FROM documents d CROSS JOIN params p
+    )
+    SELECT epoch,
+           CAST(pos % {_SHUF_SHARDS} AS INTEGER) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT pos) AS BIGINT) AS n_distinct_pos,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(min(pos) AS BIGINT) AS min_pos,
+           CAST(max(pos) AS BIGINT) AS max_pos
+    FROM placed
+    GROUP BY epoch, shard
+    """,
+)
+def epoch_shuffle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch reshuffle audit — place every document for
+    training epochs 0 and 1 via the affine permutation
+    `operators/sampling.py::epoch_shuffle` and report per-(epoch,
+    shard) occupancy: row count, DISTINCT position count (equal to
+    n_docs ⇔ the permutation really is injective — the bijectivity
+    proof rides in the result), char mass, and the position range.
+
+    Scale shape: shard/pos assignment is a narrow projection (pure
+    int64 affine arithmetic on the id — no RNG, no zipWithIndex, no
+    global sort), one epoch per pass exactly as a training loader
+    consumes it; the only exchange is the per-(epoch, shard) hash
+    aggregate (16 groups), and a production shard WRITE would reuse
+    that same single exchange as `repartition(shard) +
+    sortWithinPartitions(shuffle_pos)`. The union of two epochs here
+    is two passes over one tiny fixture; real loaders run one epoch
+    at a time anyway.
+    """
+    from ..operators.sampling import epoch_shuffle
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    per_epoch = [
+        epoch_shuffle(documents, "doc_id", epoch=e, n_shards=_SHUF_SHARDS)
+        .withColumn("epoch", F.lit(e))
+        for e in (0, 1)
+    ]
+    both = per_epoch[0].unionByName(per_epoch[1])
+    return both.groupBy("epoch", "shard").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("shuffle_pos").alias("n_distinct_pos"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("shuffle_pos").alias("min_pos"),
+        F.max("shuffle_pos").alias("max_pos"),
+    )

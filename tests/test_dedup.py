@@ -451,3 +451,57 @@ def test_minhash_index_built_in_pieces_equals_whole(spark, sf_dir):
         build_minhash_index(docs.filter(F.col("doc_id") % 2 == 1), "text", "doc_id")
     )
     assert whole.exceptAll(parts).isEmpty() and parts.exceptAll(whole).isEmpty()
+
+
+def test_epoch_shuffle_bijective_and_deterministic(spark):
+    from pyspark.sql import functions as F
+    from sentiment_analysis_data_engineering_spark.operators import sampling as sp
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    out = sp.epoch_shuffle(df, "doc_id", epoch=0, n_shards=8)
+    # bijectivity: every id gets a distinct position
+    agg = out.agg(
+        F.countDistinct("shuffle_pos").alias("npos"),
+        F.count("*").alias("n"),
+        F.min("shard").alias("smin"),
+        F.max("shard").alias("smax"),
+    ).first()
+    assert agg.npos == agg.n == 5000
+    assert agg.smin >= 0 and agg.smax <= 7
+    # determinism + partition independence: identical placement on re-run
+    again = {
+        r.doc_id: (r.shuffle_pos, r.shard)
+        for r in sp.epoch_shuffle(
+            df.repartition(13), "doc_id", epoch=0, n_shards=8
+        ).collect()
+    }
+    first = {r.doc_id: (r.shuffle_pos, r.shard) for r in out.collect()}
+    assert first == again
+
+
+def test_epoch_shuffle_epochs_differ_and_match_python(spark):
+    from sentiment_analysis_data_engineering_spark.operators import sampling as sp
+    from sentiment_analysis_data_engineering_spark.operators.sampling import (
+        epoch_shuffle_params,
+    )
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    e0 = {r.doc_id: r.shuffle_pos
+          for r in sp.epoch_shuffle(df, "doc_id", epoch=0, n_shards=4).collect()}
+    e1 = {r.doc_id: r.shuffle_pos
+          for r in sp.epoch_shuffle(df, "doc_id", epoch=1, n_shards=4).collect()}
+    assert e0 != e1  # epochs permute differently
+    # bit-exact against the pure-Python affine map
+    for epoch, got in ((0, e0), (1, e1)):
+        a, b = epoch_shuffle_params(epoch)
+        for i in (0, 1, 17, 499):
+            assert got[i] == (a * i + b) % (1 << 31)
+
+
+def test_epoch_shuffle_rejects_bad_shards(spark):
+    import pytest as _pytest
+    from sentiment_analysis_data_engineering_spark.operators import sampling as sp
+
+    df = spark.range(3).withColumnRenamed("id", "doc_id")
+    with _pytest.raises(ValueError):
+        sp.epoch_shuffle(df, "doc_id", epoch=0, n_shards=0)

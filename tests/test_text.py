@@ -342,3 +342,55 @@ def test_bigram_logprob_prefers_natural_order(spark):
     out = {r.doc_id: r.avg_logprob for r in
            bigram_logprob_score(df, "text", "doc_id").collect()}
     assert out[100] > out[101]
+
+
+# ---------------------------------------------------------------------------
+# hashed_classifier_score — bit-exactness vs a pure-Python reimplementation
+# ---------------------------------------------------------------------------
+
+
+def _py_clf_score(text: str, n_features: int = 4096) -> tuple[int, int]:
+    """Independent reimplementation of the classifier arithmetic."""
+    import re
+
+    toks = [t for t in re.split(r"[^a-z]+", text.lower()) if t]
+    score = 0
+    for t in toks:
+        h = 0
+        for ch in t:
+            h = (h * 31 + ord(ch)) % n_features
+        score += ((h * 1103515245 + 12345) % 2001) - 1000
+    return len(toks), score
+
+
+def test_classifier_score_matches_python(spark):
+    texts = [
+        "The quick brown fox jumps over the lazy dog",
+        "hello, World!  123 mixed-CASE tokens; punctuation...",
+        "",
+        "!!! 456 789 ---",  # no alpha tokens at all -> score 0
+        "a" * 300 + " zz " + "qwertyuiop asdfghjkl",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select(
+        tx.classifier_token_count("text").alias("n"),
+        tx.hashed_classifier_score("text").alias("s"),
+    ).collect()
+    for text, row in zip(texts, rows):
+        n, s = _py_clf_score(text)
+        assert (row.n, row.s) == (n, s), text
+
+
+def test_classifier_score_no_tokens_is_zero(spark):
+    assert _one(spark, "0123 !!!", tx.hashed_classifier_score("text")) == 0
+    assert _one(spark, "", tx.hashed_classifier_score("text")) == 0
+
+
+def test_classifier_score_additive_over_concat(spark):
+    # score is a sum over tokens => concatenating documents with a
+    # separator adds their scores (the linearity law of the model)
+    a, b = "alpha beta gamma", "delta epsilon"
+    sa = _one(spark, a, tx.hashed_classifier_score("text"))
+    sb = _one(spark, b, tx.hashed_classifier_score("text"))
+    sab = _one(spark, a + " . " + b, tx.hashed_classifier_score("text"))
+    assert sab == sa + sb
