@@ -84,6 +84,7 @@ _GATE_FIRST = [
     "pca_embedding_variance",
     "classifier_quality_filter",
     "epoch_shuffle_stats",
+    "cluster_aware_split_stats",
     # -- all 31 queries whose latest driver row is ROUND 1 (the oldest
     #    attestations in the registry)
     "count_existence_probe",
@@ -132,11 +133,10 @@ _GATE_FIRST = [
     "pivot_event_counts",
     "unpivot_event_counts",
     "window_sliding_6h",
-    "rolling_7day_customer_revenue",
     # The remaining r2-aged rows (rank_functions_report,
-    # asof_join_last_signup — displaced by the two never-attested
-    # round-7 additions above, per the never-attested-first rule —
-    # outer_join_customer_orders,
+    # asof_join_last_signup, rolling_7day_customer_revenue — displaced
+    # by the three never-attested round-7 additions above, per the
+    # never-attested-first rule — outer_join_customer_orders,
     # range_join_error_windows, large_orders, top_unshipped_orders,
     # min_cost_supplier_per_part, nation_pair_volume, region_nation_
     # rollcall, supplier_part_volume, top_revenue_supplier, customers_

@@ -171,6 +171,8 @@ HEADLINE = [
     # round 7: model-based filtering + deterministic epoch shuffle
     "classifier_quality_filter",
     "epoch_shuffle_stats",
+    # round 7: leakage-proof cluster-aware train/val/test splitting
+    "cluster_aware_split_stats",
 ]
 
 

@@ -2359,3 +2359,148 @@ def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.2)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+@query(
+    "cluster_aware_split_stats",
+    oracle="""
+    WITH RECURSIVE
+    keys AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS k1,
+             array_to_string(
+               (string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                             ' '))[1:5], ' ') AS k2
+      FROM documents
+    ),
+    e1 AS (SELECT min(doc_id) OVER (PARTITION BY k1) AS a, doc_id AS b
+           FROM keys WHERE k1 IS NOT NULL),
+    e2 AS (SELECT min(doc_id) OVER (PARTITION BY k2) AS a, doc_id AS b
+           FROM keys WHERE k2 IS NOT NULL),
+    star AS (
+      SELECT a, b FROM e1 WHERE a <> b
+      UNION
+      SELECT a, b FROM e2 WHERE a <> b
+    ),
+    edges AS (SELECT a, b FROM star UNION SELECT b AS a, a AS b FROM star),
+    walk(id, comp) AS (
+      SELECT DISTINCT a AS id, a AS comp FROM edges
+      UNION
+      SELECT e.b AS id, w.comp FROM walk w JOIN edges e ON e.a = w.id
+    ),
+    comp AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
+    placed AS (
+      SELECT d.doc_id, d.n_chars,
+             coalesce(c.comp, d.doc_id) AS rep
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    ),
+    labeled AS (
+      SELECT doc_id, n_chars, rep,
+             CASE WHEN CAST('0x' || substr(md5('split' ||
+                    CAST(rep AS VARCHAR)), 1, 8) AS BIGINT) % 10000 < 9000
+                  THEN 'train'
+                  WHEN CAST('0x' || substr(md5('split' ||
+                    CAST(rep AS VARCHAR)), 1, 8) AS BIGINT) % 10000 < 9500
+                  THEN 'val' ELSE 'test' END AS split,
+             CASE WHEN CAST('0x' || substr(md5('split' ||
+                    CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 < 9000
+                  THEN 'train'
+                  WHEN CAST('0x' || substr(md5('split' ||
+                    CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 < 9500
+                  THEN 'val' ELSE 'test' END AS naive_split
+      FROM placed
+    ),
+    straddle AS (
+      SELECT CAST(max(k) AS BIGINT) AS max_splits_per_cluster
+      FROM (SELECT rep, count(DISTINCT split) AS k FROM labeled GROUP BY rep)
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT rep) AS BIGINT) AS n_clusters,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(CASE WHEN split <> naive_split THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_rehomed,
+           max_splits_per_cluster
+    FROM labeled, straddle
+    GROUP BY split, max_splits_per_cluster
+    """,
+)
+def cluster_aware_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/val/test splitting — the leakage-proof form
+    of `train_val_test_split`: membership is keyed on each document's
+    DEDUP-CLUSTER representative, not its own id, so near-duplicates
+    can never straddle splits (the eval-contamination mode a naive
+    per-doc split has once the corpus contains duplicates — public
+    methodology; the reference's existence-probe family only ever
+    guards exact keys, `weekly_dag.py:423,482`).
+
+    Composition: the `dedup_clusters` graph (star blocking edges on
+    two fingerprint keys → min-label connected components) labels each
+    duplicate-group member with the group minimum; singletons fall
+    back to their own id via a LEFT join + coalesce. The split is then
+    the same salted-md5 90/5/5 bucket as `train_val_test_split`, taken
+    over the representative. Reported per split: docs, distinct
+    clusters, char mass, `n_rehomed` (docs whose naive per-doc split
+    would have DIFFERED — the quantified would-be leakage), and the
+    bijectivity-style proof column `max_splits_per_cluster` (1 ⇔ no
+    cluster straddles any split, carried in the result so a
+    construction regression flips the value hash).
+
+    Scale shape: the component graph is bounded by duplicate-group
+    sizes (star edges, never all-pairs); the corpus side is ONE left
+    equi-join against the (small) component frame plus a 3-group
+    aggregate; the straddle proof aggregates the per-rep frame (≤
+    corpus-sized, map-side combined) and broadcasts 1 row back. No
+    RNG anywhere — identical assignment across reruns, partitionings,
+    and engines.
+    """
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    norm = tx.normalize_text(F.col("text"))
+    edges = dd.blocking_edges(
+        documents,
+        "doc_id",
+        F.md5(norm.cast("binary")),
+        F.array_join(F.slice(F.split(norm, " "), 1, 5), " "),
+    )
+    comp = dd.connected_components(edges).withColumnRenamed("id", "doc_id")
+    placed = (
+        documents.select("doc_id", "n_chars")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce(F.col("comp"), F.col("doc_id")).alias("rep"),
+        )
+    )
+
+    def split_of(col):
+        b = sp.hash_bucket(col, "split")
+        return (
+            F.when(b < 9000, F.lit("train"))
+            .when(b < 9500, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    labeled = placed.select(
+        "n_chars",
+        "rep",
+        split_of(F.col("rep")).alias("split"),
+        split_of(F.col("doc_id")).alias("naive_split"),
+    )
+    straddle = (
+        labeled.groupBy("rep")
+        .agg(F.countDistinct("split").alias("k"))
+        .agg(F.max("k").cast("long").alias("max_splits_per_cluster"))
+    )
+    return (
+        labeled.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("rep").alias("n_clusters"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum((F.col("split") != F.col("naive_split")).cast("long")).alias(
+                "n_rehomed"
+            ),
+        )
+        .crossJoin(F.broadcast(straddle))
+    )

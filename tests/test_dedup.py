@@ -505,3 +505,41 @@ def test_epoch_shuffle_rejects_bad_shards(spark):
     df = spark.range(3).withColumnRenamed("id", "doc_id")
     with _pytest.raises(ValueError):
         sp.epoch_shuffle(df, "doc_id", epoch=0, n_shards=0)
+
+
+def test_cluster_aware_split_no_straddle_and_rehoming(spark):
+    """Law test for the cluster-aware split construction: near-dup
+    cluster members always land in ONE split (the rep's), and a member
+    whose naive per-doc split differs is rehomed, not leaked."""
+    from pyspark.sql import functions as F
+    from sentiment_analysis_data_engineering_spark.operators import sampling as sp
+
+    # ids 0..399 as singletons plus one 5-member cluster rep'd by 1000
+    ids = list(range(400)) + [1000, 1001, 1002, 1003, 1004]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    rep = F.when(F.col("doc_id") >= 1000, F.lit(1000)).otherwise(F.col("doc_id"))
+
+    def split_of(col):
+        b = sp.hash_bucket(col, "split")
+        return (
+            F.when(b < 9000, F.lit("train"))
+            .when(b < 9500, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    out = df.select(
+        "doc_id",
+        split_of(rep).alias("split"),
+        split_of(F.col("doc_id")).alias("naive"),
+    )
+    cluster = {r.doc_id: (r.split, r.naive) for r in out.collect() if r.doc_id >= 1000}
+    # all 5 cluster members share the rep's split regardless of naive
+    splits = {s for s, _ in cluster.values()}
+    assert len(splits) == 1
+    assert splits == {cluster[1000][0]}
+    # the rep itself is never rehomed (rep == own id)
+    assert cluster[1000][0] == cluster[1000][1]
+    # the naive assignment over 405 docs uses all three splits (sanity
+    # that the rehoming law above isn't vacuous for every corpus)
+    naives = {r.naive for r in out.collect()}
+    assert naives == {"train", "val", "test"}
