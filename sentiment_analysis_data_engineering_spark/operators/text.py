@@ -40,6 +40,7 @@ __all__ = [
     "remove_duplicate_spans",
     "doc_spans",
     "hashed_classifier_score",
+    "classifier_token_count",
 ]
 
 
@@ -683,7 +684,7 @@ def hashed_classifier_score(
     feat = lambda t: F.aggregate(  # noqa: E731 — inline HOF chain
         F.split(t, ""),
         F.lit(0).cast("long"),
-        lambda h, ch: (h * F.lit(31) + F.ascii(ch)) % F.lit(_CLF_FEATURES),
+        lambda h, ch: (h * F.lit(31) + F.ascii(ch)) % F.lit(n_features),
     )
     weight = lambda i: (  # noqa: E731
         (i * F.lit(_CLF_MULT) + F.lit(_CLF_INC)) % F.lit(_CLF_WMOD)

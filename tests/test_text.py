@@ -394,3 +394,14 @@ def test_classifier_score_additive_over_concat(spark):
     sb = _one(spark, b, tx.hashed_classifier_score("text"))
     sab = _one(spark, a + " . " + b, tx.hashed_classifier_score("text"))
     assert sab == sa + sb
+
+
+def test_classifier_score_n_features_is_honored(spark):
+    # same text, different hash space => (generically) different score;
+    # 16 features collides almost everything, 4096 does not
+    t = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    s_small = _one(spark, t, tx.hashed_classifier_score("text", n_features=16))
+    s_big = _one(spark, t, tx.hashed_classifier_score("text"))
+    n, s_py = _py_clf_score(t, n_features=16)
+    assert s_small == s_py          # parameter reaches the fold
+    assert s_small != s_big         # and actually changes the hash space
