@@ -139,11 +139,19 @@ def epoch_shuffle_params(epoch: int, modulus: int = _SHUFFLE_MOD) -> tuple[int, 
     """Affine-permutation coefficients (a, b) for a training epoch.
 
     ``a`` is forced odd, so for the power-of-two ``modulus`` it is a
-    unit mod 2^31 and ``pos = (a·id + b) mod 2^31`` is a BIJECTION on
-    [0, 2^31) — every id gets a distinct position, no collisions to
-    resolve. ``epoch + 1`` seeds the Knuth multiplicative constant so
-    epoch 0 is already a non-trivial permutation.
+    unit mod 2^k and ``pos = (a·id + b) mod 2^k`` is a BIJECTION on
+    [0, 2^k) — every id gets a distinct position, no collisions to
+    resolve. The bijection argument NEEDS the power-of-two modulus
+    (odd ⇔ coprime only holds there), so any other modulus is rejected
+    rather than silently producing a non-injective map. ``epoch + 1``
+    seeds the Knuth multiplicative constant so epoch 0 is already a
+    non-trivial permutation.
     """
+    if modulus <= 1 or modulus & (modulus - 1):
+        raise ValueError(
+            f"modulus must be a power of two > 1 (got {modulus}): odd `a` "
+            "is a unit — and the map a bijection — only mod 2^k"
+        )
     a = (2 * (((epoch + 1) * 2654435761) % (modulus // 2)) + 1) % modulus
     b = ((epoch + 1) * 40503 + 2531011) % modulus
     return a, b
@@ -156,6 +164,7 @@ def epoch_shuffle(
     epoch: int,
     n_shards: int,
     modulus: int = _SHUFFLE_MOD,
+    hash_ids: bool = False,
 ) -> DataFrame:
     """Deterministic global reshuffle of a training corpus for one
     epoch — shard assignment and intra-shard order as a PURE FUNCTION
@@ -164,10 +173,15 @@ def epoch_shuffle(
 
     Extension layer (no reference counterpart). ``pos = (a·id + b)
     mod 2^31`` with epoch-derived odd ``a`` (``epoch_shuffle_params``)
-    is an affine bijection on [0, 2^31): positions are unique, so
-    ``shard = pos % n_shards`` balances to within ±1 row per residue
-    class and ``ORDER BY pos`` inside a shard is a total order. Because
-    the permutation is arithmetic on the id, the operator is a NARROW
+    is an affine bijection on [0, 2^31): positions are unique, and
+    ``ORDER BY pos`` inside a shard is a total order. ``shard = pos %
+    n_shards`` balances EXACTLY to within ±1 row per shard when
+    ``n_shards`` is a power of two (so it divides the modulus) and the
+    ids are contiguous — the bijection then maps them onto an interval
+    of positions, which any divisor of the modulus slices evenly; for
+    other shard counts or sparse id sets the balance is only the
+    statistical one of a pseudorandom position assignment. Because the
+    permutation is arithmetic on the id, the operator is a NARROW
     projection — no RNG state, no zipWithIndex, no global sort, no
     shuffle at all until the caller repartitions by ``shard`` to write
     (one exchange, the minimum any sharded write needs). Re-running any
@@ -175,20 +189,45 @@ def epoch_shuffle(
     different epoch yields an independent-looking permutation from the
     same scan.
 
-    Scale note: ids must fit in [0, 2^31) so ``a·id`` stays within
-    int64 (a < 2^31 ⇒ product < 2^62). Corpora with wider ids hash
-    into that range first (``xxhash64 & 0x7fffffff``) at the cost of
-    birthday-collision ties broken by id, or lift the same affine map
-    to 128-bit decimal arithmetic; the 2^31 form is exact for the
-    fixture ids and keeps every operation in JVM integer codegen.
+    Id domain: with ``hash_ids=False`` (default) ids MUST lie in
+    [0, modulus) so ``a·id`` stays within int64 (a < 2^31 ⇒ product
+    < 2^62) — ENFORCED per row with a codegen-stage ``raise_error``
+    guard, so an out-of-range or negative id fails the job loudly
+    instead of silently wrapping into a negative shard (plain ``%``
+    keeps the dividend's sign; the arithmetic here uses ``pmod`` so
+    every emitted position/shard is non-negative by construction).
+    Corpora with wider/negative/non-numeric ids pass
+    ``hash_ids=True``: ids map through ``xxhash64 & (modulus-1)``
+    first, which trades the bijection guarantee for a birthday-bound
+    collision rate (~n²/2^32 colliding PAIRS at the default modulus —
+    break position ties deterministically by ordering on
+    ``(shuffle_pos, id)``) and keeps everything in JVM integer
+    codegen. Exact 128-bit decimal lifting is the alternative when
+    even hashed ties are unacceptable.
 
     Adds ``shuffle_pos`` (long) and ``shard`` (int) columns.
     """
     if not 0 < n_shards <= modulus:
         raise ValueError(f"n_shards must be in (0, {modulus}]")
     a, b = epoch_shuffle_params(epoch, modulus)
-    c = F.col(id_col).cast("long")
-    pos = (c * F.lit(a) + F.lit(b)) % F.lit(modulus)
+    if hash_ids:
+        # two's-complement AND with 2^k-1 == mod 2^k, non-negative even
+        # for negative hash values; works for any column type.
+        c = F.xxhash64(F.col(id_col)).bitwiseAND(F.lit(modulus - 1))
+    else:
+        raw = F.col(id_col).cast("long")
+        c = F.when((raw >= 0) & (raw < F.lit(modulus)), raw).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"epoch_shuffle: id outside [0, {modulus}) — "
+                        "pass hash_ids=True for wide or negative ids; got "
+                    ),
+                    F.col(id_col).cast("string"),
+                )
+            ).cast("long")
+        )
+    pos = F.pmod(c * F.lit(a) + F.lit(b), F.lit(modulus))
     return df.withColumn("shuffle_pos", pos).withColumn(
-        "shard", (F.col("shuffle_pos") % F.lit(n_shards)).cast("int")
+        "shard", F.pmod(F.col("shuffle_pos"), F.lit(n_shards)).cast("int")
     )

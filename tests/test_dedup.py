@@ -507,6 +507,95 @@ def test_epoch_shuffle_rejects_bad_shards(spark):
         sp.epoch_shuffle(df, "doc_id", epoch=0, n_shards=0)
 
 
+def test_epoch_shuffle_rejects_non_pow2_modulus(spark):
+    import pytest as _pytest
+    from sentiment_analysis_data_engineering_spark.operators import sampling as sp
+
+    # odd `a` is only a unit (and the map only a bijection) mod 2^k —
+    # any other modulus must be rejected, not silently non-injective
+    with _pytest.raises(ValueError, match="power of two"):
+        sp.epoch_shuffle_params(0, modulus=1000)
+    df = spark.range(3).withColumnRenamed("id", "doc_id")
+    with _pytest.raises(ValueError, match="power of two"):
+        sp.epoch_shuffle(df, "doc_id", epoch=0, n_shards=2, modulus=3**7)
+
+
+def test_epoch_shuffle_out_of_range_id_fails_loudly(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from sentiment_analysis_data_engineering_spark.operators import sampling as sp
+
+    # without hash_ids the [0, 2^31) precondition is ENFORCED, not a
+    # caller-beware footnote: plain % would have emitted a negative
+    # shard for these rows instead of failing
+    for bad in (-1, 1 << 31, (1 << 40) + 7):
+        df = spark.createDataFrame([(bad,)], "doc_id long")
+        with _pytest.raises(Exception, match="epoch_shuffle"):
+            sp.epoch_shuffle(df, "doc_id", epoch=0, n_shards=8).collect()
+    # boundary ids are fine and land in-range
+    ok = spark.createDataFrame([(0,), ((1 << 31) - 1,)], "doc_id long")
+    rows = sp.epoch_shuffle(ok, "doc_id", epoch=0, n_shards=8).collect()
+    assert all(0 <= r.shuffle_pos < (1 << 31) and 0 <= r.shard < 8 for r in rows)
+
+
+def test_epoch_shuffle_hash_ids_wide_domain(spark):
+    from pyspark.sql import functions as F
+    from sentiment_analysis_data_engineering_spark.operators import sampling as sp
+    from sentiment_analysis_data_engineering_spark.operators.sampling import (
+        epoch_shuffle_params,
+    )
+
+    # wide + negative ids: the documented xxhash64 fallback, now real
+    wide = spark.range(0, 2000).select(
+        ((F.col("id") * F.lit(1 << 33)) - F.lit(1 << 40)).alias("doc_id")
+    )
+    out = sp.epoch_shuffle(wide, "doc_id", epoch=3, n_shards=8, hash_ids=True)
+    agg = out.agg(
+        F.countDistinct("shuffle_pos").alias("npos"),
+        F.count("*").alias("n"),
+        F.min("shuffle_pos").alias("pmin"),
+        F.max("shuffle_pos").alias("pmax"),
+        F.min("shard").alias("smin"),
+        F.max("shard").alias("smax"),
+    ).first()
+    # domain law: positions/shards non-negative and in range even for
+    # negative input ids (pmod + mask, never sign-carrying %)
+    assert 0 <= agg.pmin and agg.pmax < (1 << 31)
+    assert agg.smin >= 0 and agg.smax <= 7
+    # bijectivity law on this synthetic frame: no birthday collision
+    # among 2000 hashed ids (deterministic, so this holds exactly)
+    assert agg.npos == agg.n == 2000
+    # determinism + partition independence
+    first = {r.doc_id: (r.shuffle_pos, r.shard) for r in out.collect()}
+    again = {
+        r.doc_id: (r.shuffle_pos, r.shard)
+        for r in sp.epoch_shuffle(
+            wide.repartition(17), "doc_id", epoch=3, n_shards=8, hash_ids=True
+        ).collect()
+    }
+    assert first == again
+    # epochs permute differently over the same hashed domain
+    e4 = {
+        r.doc_id: r.shuffle_pos
+        for r in sp.epoch_shuffle(
+            wide, "doc_id", epoch=4, n_shards=8, hash_ids=True
+        ).collect()
+    }
+    assert e4 != {k: v[0] for k, v in first.items()}
+    # bit-exact law: hashed path == affine map applied to the masked
+    # xxhash64 value Spark itself computes
+    a, b = epoch_shuffle_params(3)
+    masked = {
+        r.doc_id: r.h
+        for r in wide.select(
+            "doc_id",
+            F.xxhash64("doc_id").bitwiseAND(F.lit((1 << 31) - 1)).alias("h"),
+        ).collect()
+    }
+    for did, (pos, _) in first.items():
+        assert pos == (a * masked[did] + b) % (1 << 31)
+
+
 def test_cluster_aware_split_no_straddle_and_rehoming(spark):
     """Law test for the cluster-aware split construction: near-dup
     cluster members always land in ONE split (the rep's), and a member
