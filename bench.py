@@ -173,6 +173,8 @@ HEADLINE = [
     "epoch_shuffle_stats",
     # round 7: leakage-proof cluster-aware train/val/test splitting
     "cluster_aware_split_stats",
+    # round 8: learned-weight classifier path (plan-constant model swap)
+    "classifier_learned_weights_filter",
 ]
 
 

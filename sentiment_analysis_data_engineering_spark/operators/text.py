@@ -665,10 +665,12 @@ def hashed_classifier_score(
     per feature id, derived arithmetically from the id itself by an
     LCG step (w(i) = ((i·1103515245 + 12345) mod 2001) − 1000 ∈
     [−1000, 1000]) so the weight vector needs no lookup table at all;
-    a LEARNED vector swaps that expression for a broadcast
-    ``map_from_arrays`` lookup (n_features entries — KBs, not data)
-    or an Arrow-batched matmul when dense, leaving the plan shape
-    unchanged. score(doc) = Σ_tokens w(h(token)), a BIGINT.
+    a LEARNED vector swaps that expression for a constant-array
+    ``element_at`` lookup (n_features entries — KBs, not data) with
+    the IDENTICAL plan shape — that path is implemented, not just
+    promised: ``hashed_classifier_score_learned`` below, pinned equal
+    to this form when fed the LCG weights (tests/test_text.py).
+    score(doc) = Σ_tokens w(h(token)), a BIGINT.
 
     Scale story: no explode, no shuffle, no Python, no state — the
     score is one nested higher-order-function expression inside the
@@ -691,6 +693,66 @@ def hashed_classifier_score(
     ) - F.lit(_CLF_WOFF)
     return F.aggregate(
         toks, F.lit(0).cast("long"), lambda acc, t: acc + weight(feat(t))
+    )
+
+
+def lcg_classifier_weights(n_features: int = _CLF_FEATURES) -> list[int]:
+    """The LCG-derived weight vector ``hashed_classifier_score`` bakes
+    into its projection, materialized as a plain Python list — feed it
+    to ``hashed_classifier_score_learned`` and the two paths are
+    pinned bit-identical (the equivalence law in tests/test_text.py)."""
+    return [
+        ((i * _CLF_MULT + _CLF_INC) % _CLF_WMOD) - _CLF_WOFF
+        for i in range(n_features)
+    ]
+
+
+def hashed_classifier_score_learned(
+    col: Column | str, weights: "list[int] | tuple[int, ...]"
+) -> Column:
+    """Linear classifier score with an EXPLICIT learned weight vector —
+    the production form of ``hashed_classifier_score``, where the
+    weights come out of a trained model (fastText/CCNet-style logistic
+    fit; public methodology) instead of the LCG derivation.
+
+    ``weights[i]`` is the integer weight of feature id ``i`` (train in
+    floats, then fix-point quantize — e.g. round(w·1000) — so scoring
+    stays exact int64 and engine-reproducible); ``n_features`` is
+    ``len(weights)``. The vector ships as ONE dense ``ArrayType``
+    literal (a single Catalyst ``Literal`` node — constant-folded, a
+    few KB riding the serialized plan exactly like a broadcast scalar,
+    NOT n_features nested expression nodes, which is the
+    analyzer-blowup trap), and each token does an O(1)
+    ``element_at`` index into it. A ``map_from_arrays`` lookup would
+    be the sparse-id alternative, but Catalyst's ``GetMapValue`` on a
+    literal map is a LINEAR key scan per lookup — for a dense
+    [0, n_features) id space the array index is strictly better.
+
+    Plan shape is IDENTICAL to the LCG form: one narrow projection
+    over the scan — no explode, no shuffle, no Python, no join, no
+    exchange anywhere (asserted by the plan-shape law in
+    tests/test_text.py), so swapping a trained model in changes no
+    physical plan, only the constant. score(doc) = Σ_tokens
+    weights[h(token)], a BIGINT; exact int64 throughout.
+    """
+    n_features = len(weights)
+    if n_features < 1:
+        raise ValueError("weights must be non-empty")
+    warr = F.lit([int(w) for w in weights]).cast("array<long>")
+    toks = F.filter(
+        F.split(F.lower(_c(col)), r"[^a-z]+"), lambda t: t != F.lit("")
+    )
+    feat = lambda t: F.aggregate(  # noqa: E731 — inline HOF chain
+        F.split(t, ""),
+        F.lit(0).cast("long"),
+        lambda h, ch: (h * F.lit(31) + F.ascii(ch)) % F.lit(n_features),
+    )
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        # element_at is 1-based; feature ids are [0, n_features)
+        lambda acc, t: acc
+        + F.element_at(warr, (feat(t) + F.lit(1)).cast("int")),
     )
 
 

@@ -699,8 +699,9 @@ def classifier_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle, no Python, and no weight table to distribute. At 100 TB
     classifier filtering therefore runs at scan speed, and a
     `WHERE accepted` on top prunes every downstream stage. A learned
-    weight vector swaps the weight expression for a broadcast
-    `map_from_arrays` lookup (KBs) with the identical plan. All
+    weight vector swaps the weight expression for a constant-array
+    `element_at` lookup (KBs) with the identical plan — exercised for
+    real by `classifier_learned_weights_filter` below. All
     arithmetic is exact int64, so the DuckDB oracle reproduces scores
     bit-for-bit (same fold, same LCG — no floats anywhere).
     """
@@ -708,6 +709,65 @@ def classifier_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (documents,) = load_tables(spark, sf_dir, "documents")
     score = tx.hashed_classifier_score("text")
+    return documents.select(
+        "doc_id",
+        "lang",
+        tx.classifier_token_count("text").alias("n_tokens"),
+        score.alias("clf_score"),
+        (score > F.lit(0)).alias("accepted"),
+    )
+
+
+@query(
+    "classifier_learned_weights_filter",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             [t FOR t IN string_split_regex(lower(text), '[^a-z]+')
+                IF t <> ''] AS ts
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+             CAST(len(ts) AS BIGINT) AS n_tokens,
+             CAST(coalesce(list_sum(
+               [((CAST(list_reduce([ascii(c) FOR c IN string_split(t, '')],
+                                   (h, c2) -> (h * 31 + c2) % 4096)
+                       AS BIGINT)
+                  * 7919 + 13) % 401) - 200
+                FOR t IN ts]), 0) AS BIGINT) AS clf_score
+      FROM toks
+    )
+    SELECT doc_id, lang, n_tokens, clf_score,
+           clf_score > 0 AS accepted
+    FROM scored
+    """,
+)
+def classifier_learned_weights_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering with an EXPLICIT learned weight
+    vector — the production path `classifier_quality_filter`'s
+    docstring promises, exercised end to end: a 4096-entry integer
+    model (here a non-LCG deterministic stand-in, w(i) = ((i·7919 +
+    13) mod 401) − 200, so the DuckDB oracle can replay it exactly;
+    a real trained vector is the same Python list after fix-point
+    quantization) ships as ONE dense array literal and every token
+    scores by an O(1) `element_at` index
+    (operators/text.py::hashed_classifier_score_learned).
+
+    Plan shape: IDENTICAL to the LCG form — one narrow projection over
+    the documents scan, no explode, no shuffle, no Python, no join
+    (the plan-shape law in tests/test_text.py asserts no Exchange in
+    either variant). At 100 TB swapping models in and out is therefore
+    a plan-constant change: the weight array is a few KB riding the
+    serialized plan to every task, and filtering still runs at scan
+    speed. All arithmetic exact int64 — the oracle matches
+    bit-for-bit.
+    """
+    from ..operators import text as tx
+
+    weights = [((i * 7919 + 13) % 401) - 200 for i in range(4096)]
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    score = tx.hashed_classifier_score_learned("text", weights)
     return documents.select(
         "doc_id",
         "lang",

@@ -405,3 +405,74 @@ def test_classifier_score_n_features_is_honored(spark):
     n, s_py = _py_clf_score(t, n_features=16)
     assert s_small == s_py          # parameter reaches the fold
     assert s_small != s_big         # and actually changes the hash space
+
+
+def test_classifier_learned_weights_equal_lcg_form(spark):
+    # the learned-weight path fed the LCG weights IS the LCG form —
+    # bit-identical on every fixture text, at both feature widths
+    texts = [
+        "The quick brown fox jumps over the lazy dog",
+        "hello, World!  123 mixed-CASE tokens; punctuation...",
+        "",
+        "!!! 456 789 ---",
+        "a" * 300 + " zz " + "qwertyuiop asdfghjkl",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    for nf in (16, 4096):
+        w = tx.lcg_classifier_weights(nf)
+        assert len(w) == nf
+        rows = df.select(
+            tx.hashed_classifier_score("text", n_features=nf).alias("lcg"),
+            tx.hashed_classifier_score_learned("text", w).alias("learned"),
+        ).collect()
+        for r in rows:
+            assert r.lcg == r.learned
+
+
+def test_classifier_learned_weights_plan_shape_unchanged(spark):
+    # swapping a trained model in must change only the constant, not
+    # the physical plan: still one projection over the scan, no
+    # exchange/join/python anywhere in either form
+    df = spark.createDataFrame([("alpha beta",)], "text string")
+    plans = {}
+    for name, col in (
+        ("lcg", tx.hashed_classifier_score("text")),
+        ("learned", tx.hashed_classifier_score_learned(
+            "text", tx.lcg_classifier_weights())),
+    ):
+        plans[name] = df.select(col.alias("s"))._jdf.queryExecution().executedPlan().toString()
+    for plan in plans.values():
+        assert "Exchange" not in plan
+        assert "Join" not in plan
+        assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_classifier_learned_weights_matches_python_model(spark):
+    # a genuinely different (non-LCG) integer model, checked against a
+    # pure-Python scorer — the oracle arithmetic of
+    # classifier_learned_weights_filter
+    import re
+
+    nf = 4096
+    w = [((i * 7919 + 13) % 401) - 200 for i in range(nf)]
+    texts = ["gamma delta epsilon", "The quick brown fox", "", "123 !!!"]
+
+    def py_score(text):
+        s = 0
+        for t in [x for x in re.split(r"[^a-z]+", text.lower()) if x]:
+            h = 0
+            for ch in t:
+                h = (h * 31 + ord(ch)) % nf
+            s += w[h]
+        return s
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        r.s
+        for r in df.select(
+            tx.hashed_classifier_score_learned("text", w).alias("s")
+        ).collect()
+    ]
+    assert got == [py_score(t) for t in texts]
+    with __import__("pytest").raises(ValueError):
+        tx.hashed_classifier_score_learned("text", [])
