@@ -707,10 +707,13 @@ def ann_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = sim.cosine_topk(
         queries_df, embeddings, vec_col="embedding", id_col="vec_id", k=32
     )
+    # materialize the reranked top-5 ONCE: three contract legs (jvm
+    # agreement, candidate subset, recall hits) fan out from `rer`,
+    # and without this the Arrow rerank + its window recompute per leg
     rer = sim.crossencoder_rerank_topk(
         cand, queries_df, embeddings,
         vec_col="embedding", id_col="vec_id", k=5, dim=64,
-    )
+    ).localCheckpoint(eager=True)
 
     dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     qv = queries_df.select(
