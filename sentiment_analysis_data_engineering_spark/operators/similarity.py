@@ -42,6 +42,10 @@ __all__ = [
     "quantize_int8_stats",
     "crossencoder_score_expr",
     "crossencoder_rerank_topk",
+    "ivfpq_write_index",
+    "ivfpq_read_model",
+    "ivfpq_merge_index",
+    "ivfpq_probe_index",
 ]
 
 
@@ -800,6 +804,145 @@ def _exact_rerank(
     )
 
 
+def _ivfpq_train_model(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    n_cells: int,
+    m: int,
+    n_codes: int,
+    train_rows: int,
+    iters: int,
+):
+    """Deterministic IVF-PQ model fit (bounded-sample driver Lloyd):
+    returns ``(C, books)`` — the (n_cells, dim) coarse centroids and
+    the ``m`` per-subspace RESIDUAL codebooks (each (n_codes, dim/m)).
+    Residual codebooks are shared across cells (the standard IVFPQ
+    choice — per-cell books multiply model size by n_cells). No RNG
+    anywhere, so the model is bit-replayable from the same corpus."""
+    V = _sample_normalized(corpus, vec_col, id_col, train_rows)
+    dim = V.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    C = _lloyd(V, n_cells, iters)  # coarse centroids (n_cells, dim)
+    d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    R = V - C[d2.argmin(axis=1)]
+    books = [
+        _lloyd(R[:, s * sub : (s + 1) * sub], n_codes, iters)
+        for s in range(m)
+    ]
+    return C, books
+
+
+def _ivfpq_encode(
+    corpus: DataFrame, vec_col: str, id_col: str, C, books
+) -> DataFrame:
+    """One Arrow pass assigning every corpus vector its coarse cell and
+    its ``m`` residual codeword ids: (neighbor_id, cell long, codes
+    array<int>). Narrow map — the model rides the closure; output is
+    ~m bytes of codes instead of 4·dim of floats, which is the PQ
+    bandwidth win at 100 TB."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(books)
+    sub = books[0].shape[1] if hasattr(books[0], "shape") else len(books[0][0])
+    B = [np.asarray(b, dtype=np.float64) for b in books]
+    Cm = np.asarray(C, dtype=np.float64)
+    id_t = corpus.schema[id_col].dataType.simpleString()
+
+    def enc_gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            norms = np.sqrt((X * X).sum(axis=1, keepdims=True))
+            norms[norms == 0] = 1.0
+            X = X / norms
+            cells = (
+                ((X[:, None, :] - Cm[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+            )
+            Rx = X - Cm[cells]
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for s in range(m):
+                Rs = Rx[:, s * sub : (s + 1) * sub]
+                d = (B[s] * B[s]).sum(axis=1)[None, :] - 2.0 * (Rs @ B[s].T)
+                codes[:, s] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["_id"].to_numpy(),
+                    "cell": cells.astype(np.int64),
+                    "codes": list(codes),
+                }
+            )
+
+    return _spread(corpus, id_col).select(
+        F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v")
+    ).mapInPandas(enc_gen, f"neighbor_id {id_t}, cell long, codes array<int>")
+
+
+def _ivfpq_query_tables(
+    queries: DataFrame, vec_col: str, id_col: str, C, books, n_probe: int
+) -> DataFrame:
+    """One Arrow pass over the queries: each query picks its
+    ``n_probe`` nearest coarse cells and precomputes the per-(query,
+    cell) ADC lookup table on its residual IN that cell — (query_id,
+    cell, _qv unit-norm vector, _tab m·n_codes distances)."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(books)
+    B = [np.asarray(b, dtype=np.float64) for b in books]
+    sub = B[0].shape[1]
+    Cm = np.asarray(C, dtype=np.float64)
+    id_t = queries.schema[id_col].dataType.simpleString()
+
+    def qtab_gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            norms = np.sqrt((X * X).sum(axis=1, keepdims=True))
+            norms[norms == 0] = 1.0
+            X = X / norms
+            dcell = ((X[:, None, :] - Cm[None, :, :]) ** 2).sum(axis=2)
+            probes = np.argsort(dcell, axis=1, kind="stable")[:, :n_probe]
+            out_id, out_cell, out_qv, out_tab = [], [], [], []
+            for i in range(len(pdf)):
+                for cell in probes[i]:
+                    r = X[i] - Cm[cell]  # query residual IN this cell
+                    tab = np.concatenate(
+                        [
+                            (
+                                (r[s * sub : (s + 1) * sub][None, :] - B[s])
+                                ** 2
+                            ).sum(axis=1)
+                            for s in range(m)
+                        ]
+                    )
+                    out_id.append(pdf["_id"].iloc[i])
+                    out_cell.append(int(cell))
+                    out_qv.append(X[i])
+                    out_tab.append(tab)
+            yield pd.DataFrame(
+                {
+                    "query_id": out_id,
+                    "cell": out_cell,
+                    "_qv": out_qv,
+                    "_tab": out_tab,
+                }
+            )
+
+    return queries.select(
+        F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v")
+    ).mapInPandas(
+        qtab_gen,
+        f"query_id {id_t}, cell long, _qv array<double>, _tab array<double>",
+    )
+
+
 def ivfpq_cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -832,99 +975,18 @@ def ivfpq_cosine_topk(
     tables), a broadcast equi-join on cell, the ADC window, the exact
     re-rank. All training is the deterministic bounded-sample Lloyd
     (`_lloyd`) — no RNG, bit-replayable; MLlib KMeans is the drop-in
-    when the training sample must be distributed."""
-    import numpy as np
-    import pandas as pd
-
-    V = _sample_normalized(corpus, vec_col, id_col, train_rows)
-    dim = V.shape[1]
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
-    sub = dim // m
-    C = _lloyd(V, n_cells, iters)  # coarse centroids (n_cells, dim)
-    # residual codebooks: shared across cells (the standard IVFPQ
-    # choice — per-cell books multiply model size by n_cells)
-    d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-    R = V - C[d2.argmin(axis=1)]
-    books = [
-        _lloyd(R[:, s * sub : (s + 1) * sub], n_codes, iters)
-        for s in range(m)
-    ]
-
-    id_t = corpus.schema[id_col].dataType.simpleString()
-
-    def enc_gen(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            X = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
-            norms = np.sqrt((X * X).sum(axis=1, keepdims=True))
-            norms[norms == 0] = 1.0
-            X = X / norms
-            cells = (
-                ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
-            )
-            Rx = X - C[cells]
-            codes = np.empty((len(pdf), m), dtype=np.int32)
-            for s in range(m):
-                Rs = Rx[:, s * sub : (s + 1) * sub]
-                B = books[s]
-                d = (B * B).sum(axis=1)[None, :] - 2.0 * (Rs @ B.T)
-                codes[:, s] = d.argmin(axis=1)
-            yield pd.DataFrame(
-                {
-                    "neighbor_id": pdf["_id"].to_numpy(),
-                    "cell": cells.astype(np.int64),
-                    "codes": list(codes),
-                }
-            )
-
-    enc = _spread(corpus, id_col).select(
-        F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v")
-    ).mapInPandas(enc_gen, f"neighbor_id {id_t}, cell long, codes array<int>")
-
-    def qtab_gen(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            X = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
-            norms = np.sqrt((X * X).sum(axis=1, keepdims=True))
-            norms[norms == 0] = 1.0
-            X = X / norms
-            dcell = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            probes = np.argsort(dcell, axis=1, kind="stable")[:, :n_probe]
-            out_id, out_cell, out_qv, out_tab = [], [], [], []
-            for i in range(len(pdf)):
-                for cell in probes[i]:
-                    r = X[i] - C[cell]  # query residual IN this cell
-                    tab = np.concatenate(
-                        [
-                            (
-                                (r[s * sub : (s + 1) * sub][None, :] - books[s])
-                                ** 2
-                            ).sum(axis=1)
-                            for s in range(m)
-                        ]
-                    )
-                    out_id.append(pdf["_id"].iloc[i])
-                    out_cell.append(int(cell))
-                    out_qv.append(X[i])
-                    out_tab.append(tab)
-            yield pd.DataFrame(
-                {
-                    "query_id": out_id,
-                    "cell": out_cell,
-                    "_qv": out_qv,
-                    "_tab": out_tab,
-                }
-            )
-
-    qtab = queries.select(
-        F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v")
-    ).mapInPandas(
-        qtab_gen,
-        f"query_id {id_t}, cell long, _qv array<double>, _tab array<double>",
+    when the training sample must be distributed. The train / encode /
+    query-table stages are shared verbatim with the PERSISTED index
+    lifecycle (``ivfpq_write_index`` / ``ivfpq_merge_index`` /
+    ``ivfpq_probe_index``), so an ad-hoc query and an index probe are
+    the same arithmetic."""
+    C, books = _ivfpq_train_model(
+        corpus, vec_col, id_col,
+        n_cells=n_cells, m=m, n_codes=n_codes,
+        train_rows=train_rows, iters=iters,
     )
+    enc = _ivfpq_encode(corpus, vec_col, id_col, C, books)
+    qtab = _ivfpq_query_tables(queries, vec_col, id_col, C, books, n_probe)
 
     # partition-pruning equi-join: a query meets only its probed cells'
     # vectors — n_probe/n_cells of the corpus instead of all of it
@@ -932,6 +994,198 @@ def ivfpq_cosine_topk(
         F.broadcast(qtab.select("query_id", "cell", "_tab")), "cell"
     ).filter(F.col("query_id") != F.col("neighbor_id"))
     cand = _adc_candidates(adc, m=m, n_codes=n_codes, n_rerank=n_rerank)
+    qv = qtab.select("query_id", "_qv").dropDuplicates(["query_id"])
+    return _exact_rerank(cand, qv, corpus, vec_col, id_col, k=k)
+
+
+# ---------------------------------------------------------------------------
+# Persisted + incrementally-maintained IVF-PQ index
+# ---------------------------------------------------------------------------
+#
+# The index-lifecycle story `build_minhash_index` tells for dedup, told
+# for ANN: train ONCE, persist the model and the encoded corpus, probe
+# from any later session without re-encoding anything, and MERGE new
+# vectors in idempotently. Layout under `path`:
+#
+#   meta/       1 row  — n_cells, n_probe-free model params, dim
+#   centroids/  n_cells rows — (cell, vec)
+#   codebooks/  m·n_codes rows — (subspace, code, vec)
+#   codes/      one row per indexed vector, parquet PARTITIONED BY
+#               cell — (neighbor_id, codes). Cell == directory, so a
+#               probe's `cell IN (probed)` filter prunes at the FILE
+#               LISTING level: a probe reads ~n_probe/n_cells of the
+#               index bytes, which is the IVF promise made physical.
+#
+# At 100 TB the codes table is the only corpus-sized artifact (~m
+# bytes/vector), and every maintenance operation below touches only
+# the partitions its batch lands in.
+
+
+def ivfpq_write_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    m: int = 8,
+    n_codes: int = 64,
+    train_rows: int = 256,
+    iters: int = 10,
+) -> dict:
+    """Train the IVF-PQ model on ``corpus`` and persist model + encoded
+    corpus at ``path`` (overwriting any prior index there). Training is
+    the deterministic bounded-sample Lloyd (`_ivfpq_train_model`);
+    encoding is one Arrow pass; the codes land partitioned by cell so
+    probes prune directories. Returns ``{"n_indexed", "n_cells", "m",
+    "n_codes", "dim"}``."""
+    spark = corpus.sparkSession
+    C, books = _ivfpq_train_model(
+        corpus, vec_col, id_col,
+        n_cells=n_cells, m=m, n_codes=n_codes,
+        train_rows=train_rows, iters=iters,
+    )
+    dim = len(C[0])
+    spark.createDataFrame(
+        [(int(n_cells), int(m), int(n_codes), int(dim))],
+        "n_cells int, m int, n_codes int, dim int",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(C)],
+        "cell long, vec array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [
+            (s, c, [float(x) for x in row])
+            for s, book in enumerate(books)
+            for c, row in enumerate(book)
+        ],
+        "subspace int, code int, vec array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+    enc = _ivfpq_encode(corpus, vec_col, id_col, C, books)
+    # cluster by cell before the partitioned write: each cell directory
+    # gets ONE file per writing task that owns it instead of one file
+    # per (task x cell) — the difference between n_cells files and
+    # n_tasks*n_cells tiny files, and what makes directory pruning
+    # worth having. At larger corpora repartition(n, "cell") with n >
+    # n_cells keeps write parallelism while preserving the clustering.
+    enc.repartition(F.col("cell")).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{path}/codes")
+    n = spark.read.parquet(f"{path}/codes").count()
+    return {
+        "n_indexed": n, "n_cells": n_cells, "m": m,
+        "n_codes": n_codes, "dim": dim,
+    }
+
+
+def ivfpq_read_model(spark, path: str):
+    """Reload the persisted model: ``(C, books, meta)`` exactly as
+    trained — centroid/codebook rows are keyed, so reconstruction is
+    order-independent. A bounded model-sized collect (n_cells + m·
+    n_codes rows), the same class as the training collect itself."""
+    import numpy as np
+
+    meta = spark.read.parquet(f"{path}/meta").first().asDict()
+    cent = spark.read.parquet(f"{path}/centroids").collect()
+    C = np.zeros((meta["n_cells"], meta["dim"]), dtype=np.float64)
+    for r in cent:
+        C[r.cell] = r.vec
+    book_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    sub = meta["dim"] // meta["m"]
+    books = [
+        np.zeros((meta["n_codes"], sub), dtype=np.float64)
+        for _ in range(meta["m"])
+    ]
+    for r in book_rows:
+        books[r.subspace][r.code] = r.vec
+    return C, books, meta
+
+
+def ivfpq_merge_index(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Incrementally MERGE a batch of vectors into a persisted index:
+    encode the batch under the EXISTING model (no retrain — exactly how
+    FAISS adds to a trained IVF-PQ), anti-join away ids the index
+    already holds, and append the remainder into their cell
+    partitions. Idempotent by construction: re-merging the same batch
+    adds 0 rows, so a retried ingest job cannot duplicate the index.
+
+    Scale shape: the dedup probe reads ONLY the cell partitions the
+    batch encodes into (`cell IN (batch cells)` prunes directories —
+    never a full-index scan), the batch's cell list is a ≤ n_cells
+    collect, and the append touches the same partitions. Assumes ids
+    are stable per vector (the encode is deterministic, so an
+    unchanged vector always re-lands in its original cell and dedups);
+    re-embedding under a CHANGED vector is delete+insert maintenance,
+    the SCD path, not merge. Returns ``{"n_batch", "n_added",
+    "n_already"}``."""
+    C, books, meta = ivfpq_read_model(spark, path)
+    enc = _ivfpq_encode(new_vectors, vec_col, id_col, C, books)
+    enc = enc.localCheckpoint(eager=True)  # encode once: cells + dedup + write
+    batch_cells = [r.cell for r in enc.select("cell").distinct().collect()]
+    n_batch = enc.count()
+    existing = (
+        spark.read.parquet(f"{path}/codes")
+        .filter(F.col("cell").isin(batch_cells))
+        .select("neighbor_id")
+    )
+    fresh = enc.join(existing, "neighbor_id", "left_anti")
+    fresh.repartition(F.col("cell")).write.mode("append").partitionBy(
+        "cell"
+    ).parquet(f"{path}/codes")
+    n_added = fresh.count()
+    return {
+        "n_batch": n_batch,
+        "n_added": n_added,
+        "n_already": n_batch - n_added,
+    }
+
+
+def ivfpq_probe_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_probe: int = 4,
+    n_rerank: int = 96,
+) -> DataFrame:
+    """Approximate top-k against a PERSISTED index — same arithmetic as
+    ``ivfpq_cosine_topk`` (shared `_ivfpq_query_tables` /
+    `_adc_candidates` / `_exact_rerank` stages) but the corpus-sized
+    encode pass is GONE: codes stream off parquet, and the probe's
+    ``cell IN (probed cells)`` filter prunes unprobed cell directories
+    at file-listing time, so a probe reads ~n_probe/n_cells of the
+    index bytes. ``corpus`` supplies true vectors for the exact
+    re-rank only (candidate-sized equi-join, the deployed-path cost).
+    The probed-cell list is a ≤ |queries|·n_probe collect — bounded
+    model-build class, same as the training collect."""
+    C, books, meta = ivfpq_read_model(spark, path)
+    qtab = _ivfpq_query_tables(
+        queries, vec_col, id_col, C, books, n_probe
+    ).localCheckpoint(eager=True)  # probed cells + join side + rerank qv
+    probed = [r.cell for r in qtab.select("cell").distinct().collect()]
+    enc = (
+        spark.read.parquet(f"{path}/codes")
+        .filter(F.col("cell").isin(probed))  # directory-level pruning
+        .withColumn("cell", F.col("cell").cast("long"))
+    )
+    adc = enc.join(
+        F.broadcast(qtab.select("query_id", "cell", "_tab")), "cell"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    cand = _adc_candidates(
+        adc, m=meta["m"], n_codes=meta["n_codes"], n_rerank=n_rerank
+    )
     qv = qtab.select("query_id", "_qv").dropDuplicates(["query_id"])
     return _exact_rerank(cand, qv, corpus, vec_col, id_col, k=k)
 

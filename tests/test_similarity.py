@@ -429,3 +429,121 @@ def test_crossencoder_weights_deterministic_and_bounded():
     assert w == [sim._ce_weight(d) for d in range(64)]
     assert all(0.5 <= x < 1.5 for x in w)
     assert len(set(w)) > 32  # spread, not collapsed
+
+
+# ---------------------------------------------------------------------------
+# Persisted + incrementally-maintained IVF-PQ index
+# ---------------------------------------------------------------------------
+
+
+def test_ivfpq_index_probe_equals_adhoc_query(spark, sf_dir, tmp_path):
+    """An index built from the corpus and probed is the SAME arithmetic
+    as the ad-hoc ivfpq_cosine_topk (shared train/encode/qtab stages):
+    identical (query, neighbor, rank) sets, bit-for-bit."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "idx")
+    stats = sim.ivfpq_write_index(emb, path)
+    assert stats["n_indexed"] == emb.count()
+    probe = sorted(
+        (r.query_id, r.neighbor_id, r.rank, round(r.cosine, 12))
+        for r in sim.ivfpq_probe_index(spark, path, queries, emb, k=3).collect()
+    )
+    adhoc = sorted(
+        (r.query_id, r.neighbor_id, r.rank, round(r.cosine, 12))
+        for r in sim.ivfpq_cosine_topk(queries, emb, k=3).collect()
+    )
+    assert probe == adhoc and probe
+
+
+def test_ivfpq_index_fresh_session_probe(spark, sf_dir, tmp_path):
+    """The persisted artifacts carry EVERYTHING: a probe from a fresh
+    session (new session state, nothing cached from the build) returns
+    identical results."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    path = str(tmp_path / "idx")
+    sim.ivfpq_write_index(emb, path)
+    same = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in sim.ivfpq_probe_index(spark, path, queries, emb, k=3).collect()
+    )
+    fresh = spark.newSession()
+    emb2 = fresh.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q2 = emb2.filter(F.col("vec_id") < 3)
+    other = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in sim.ivfpq_probe_index(fresh, path, q2, emb2, k=3).collect()
+    )
+    assert same == other and same
+
+
+def test_ivfpq_index_merge_idempotent_and_complete(spark, sf_dir, tmp_path):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "idx")
+    stats = sim.ivfpq_write_index(base, path)
+    assert stats["n_indexed"] == base.count()
+    m1 = sim.ivfpq_merge_index(spark, path, delta)
+    assert m1["n_batch"] == delta.count()
+    assert m1["n_added"] == delta.count() and m1["n_already"] == 0
+    # idempotence: re-merging the same batch adds nothing
+    m2 = sim.ivfpq_merge_index(spark, path, delta)
+    assert m2["n_added"] == 0 and m2["n_already"] == delta.count()
+    # completeness: every id indexed exactly once
+    codes = spark.read.parquet(f"{path}/codes")
+    agg = codes.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("neighbor_id").alias("nd"),
+    ).first()
+    assert agg.n == agg.nd == emb.count()
+
+
+def test_ivfpq_index_merged_vectors_fully_reachable(spark, sf_dir, tmp_path):
+    """Probing EVERY cell with full re-rank depth removes both
+    approximations, so the post-merge index must return the EXACT
+    top-k over the full corpus — regardless of the model having been
+    trained on the pre-merge base. Proves merged vectors are encoded,
+    stored, and scored identically to built ones."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    queries = emb.filter(F.col("vec_id") < 3)
+    n = emb.count()
+    path = str(tmp_path / "idx")
+    sim.ivfpq_write_index(base, path, n_cells=8)
+    sim.ivfpq_merge_index(spark, path, delta)
+    exact = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in sim.cosine_topk(queries, emb, k=3).collect()
+    )
+    probe = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in sim.ivfpq_probe_index(
+            spark, path, queries, emb, k=3, n_probe=8, n_rerank=n
+        ).collect()
+    )
+    assert probe == exact
+
+
+def test_ivfpq_index_probe_prunes_cell_directories(spark, sf_dir, tmp_path):
+    """The codes table is partitioned by cell, so a probed-cell filter
+    prunes at the file-listing level: reading 2 cells touches strictly
+    fewer files than the full index."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "idx")
+    sim.ivfpq_write_index(emb, path)
+    codes = spark.read.parquet(f"{path}/codes")
+    cells = sorted(r.cell for r in codes.select("cell").distinct().collect())
+    assert len(cells) > 2
+
+    def files_scanned(df):
+        return df.select(F.input_file_name()).distinct().count()
+
+    total = files_scanned(codes)
+    pruned = files_scanned(codes.filter(F.col("cell").isin(cells[:2])))
+    assert 0 < pruned < total
+    # the cell-clustered write keeps the layout tight: one file per
+    # cell directory, so the probe reads exactly its probed cells
+    assert total == len(cells) and pruned == 2
