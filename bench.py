@@ -175,6 +175,8 @@ HEADLINE = [
     "cluster_aware_split_stats",
     # round 8: learned-weight classifier path (plan-constant model swap)
     "classifier_learned_weights_filter",
+    # round 8: persisted ANN index build -> merge -> probe lifecycle
+    "ann_index_lifecycle",
 ]
 
 
