@@ -70,86 +70,79 @@ SF0001 = "/root/testdata/sf0.001"
 # re-verified each round by a FULL tools/check_oracle.py run over the
 # whole registry, recorded in PROGRESS.jsonl for audit.
 _GATE_FIRST = [
-    # ROUND-7 ROTATION (VERDICT r6 item 1). Priority order per the
+    # ROUND-8 ROTATION (VERDICT r7 item 1). Priority order per the
     # standing convention: (1) queries that have NEVER had a driver
-    # row, (2) oldest-attested age canaries (r1 before r2). The r4-r6
-    # prefix was byte-identical three rounds running; this rotation
-    # retires that debt.
-    # -- position 1: the only query with zero driver rows ever (landed
-    #    in the r6 snapshot commit)
-    "bpe_encode_stats",
-    # -- NEW in round 7: never driver-checked (never-attested outranks
-    #    age canaries; costs two r2-aged slots, documented below)
-    "ann_rerank_topk",
-    "pca_embedding_variance",
-    "classifier_quality_filter",
+    # row, (2) queries whose implementation changed since their last
+    # driver row, (3) oldest-attested age canaries. After this
+    # rotation ZERO queries in the registry carry a pre-r3
+    # attestation (the r7 target met in full).
+    # -- (1) NEW in round 8, never driver-checked
+    "classifier_learned_weights_filter",
+    "ann_index_lifecycle",
+    # -- (2) implementation changed this round: epoch_shuffle gained
+    #    pmod + the enforced id-range guard, ann_rerank_topk pins the
+    #    reranked frame, pq/ivfpq had train/encode/qtab extracted
+    #    into shared helpers (bit-identical by design — re-gated to
+    #    prove it)
     "epoch_shuffle_stats",
-    "cluster_aware_split_stats",
-    # -- all 31 queries whose latest driver row is ROUND 1 (the oldest
-    #    attestations in the registry)
-    "count_existence_probe",
-    "date_decomposition",
-    "date_functions_report",
-    "dedup_clusters",
-    "doc_fingerprint",
-    "exact_distinct_parts",
-    "except_all_part_multiset",
-    "global_sort",
-    "groupby_agg_pricing_summary",
-    "json_path_scalar",
-    "multiset_equality",
-    "null_safe_join_props",
-    "nway_same_key_join",
-    "projection_rename_literal",
-    "props_map_report",
-    "range_filter",
-    "semi_join_existing_keys",
-    "sessionize_events",
-    "skew_salted_agg",
-    "stratified_sample_langs",
-    "text_lang_id",
-    "text_quality_score",
-    "text_token_count",
-    "tfidf_top_terms",
-    "today_parts",
-    "topk_global",
-    "topk_per_group",
-    "union_all_branches",
-    "unit_suffix_parse",
-    "window_moving_avg",
-    "window_tumbling_daily",
-    # -- oldest r2-attested rows: the set-op / distinct / percentile /
-    #    grouping / window families the r6 verdict names explicitly
-    "except_non_building_buyers",
-    "intersect_buyer_suppliers_nations",
-    "approx_distinct_parts",
-    "approx_percentiles_by_segment",
-    "percentiles_by_segment",
-    "robust_stats_by_priority",
-    "quality_percentile_prune",
-    "cube_order_stats",
-    "rollup_revenue",
-    "grouping_sets_revenue",
-    "pivot_event_counts",
-    "unpivot_event_counts",
-    "window_sliding_6h",
-    # The remaining r2-aged rows (rank_functions_report,
-    # asof_join_last_signup, rolling_7day_customer_revenue — displaced
-    # by the three never-attested round-7 additions above, per the
-    # never-attested-first rule — outer_join_customer_orders,
-    # range_join_error_windows, large_orders, top_unshipped_orders,
-    # min_cost_supplier_per_part, nation_pair_volume, region_nation_
-    # rollcall, supplier_part_volume, top_revenue_supplier, customers_
-    # above_nation_avg, disjunctive_predicate_revenue, order_count_
-    # distribution, order_flags_by_priority, promo_revenue_share,
-    # sole_late_supplier_waitlist, price_quantity_statistics, string_
-    # functions_report, benchmark_contamination, gopher_repetition_
-    # signals, text_clean_and_mask, document_chunks, sequence_packing_
-    # stats, dedup_survivor_selection, daily_event_gapfill, mixture_
-    # weighted_sample_sources, train_val_test_split) rotate in next
-    # round; all are re-verified on current implementations by the
-    # full tools/check_oracle.py sweep logged to PROGRESS.jsonl at
-    # HEAD each round.
+    "ann_rerank_topk",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    # -- (3) all 29 queries whose latest driver row is ROUND 2 — the
+    #    oldest attestations left in the registry (the full list the
+    #    r7 verdict enumerates)
+    "asof_join_last_signup",
+    "benchmark_contamination",
+    "customers_above_nation_avg",
+    "daily_event_gapfill",
+    "dedup_survivor_selection",
+    "disjunctive_predicate_revenue",
+    "document_chunks",
+    "gopher_repetition_signals",
+    "large_orders",
+    "min_cost_supplier_per_part",
+    "mixture_weighted_sample_sources",
+    "nation_pair_volume",
+    "order_count_distribution",
+    "order_flags_by_priority",
+    "outer_join_customer_orders",
+    "price_quantity_statistics",
+    "promo_revenue_share",
+    "range_join_error_windows",
+    "rank_functions_report",
+    "region_nation_rollcall",
+    "rolling_7day_customer_revenue",
+    "sequence_packing_stats",
+    "sole_late_supplier_waitlist",
+    "string_functions_report",
+    "supplier_part_volume",
+    "text_clean_and_mask",
+    "top_revenue_supplier",
+    "top_unshipped_orders",
+    "train_val_test_split",
+    # -- remaining 15 slots: r3-attested age canaries (all r3 rows
+    #    are equally aged; alphabetical prefix, the rest rotate next
+    #    round)
+    "array_functions_report",
+    "bigram_pmi_collocations",
+    "bloom_pruned_order_revenue",
+    "bpe_merge_stats",
+    "char_entropy_report",
+    "cms_user_counts",
+    "daily_new_returning_users",
+    "daily_ohlc_bars",
+    "daily_user_value_interp",
+    "daily_user_value_locf",
+    "data_quality_report",
+    "dedup_incremental_probe",
+    "embedding_kmeans_sizes",
+    "embedding_quantize_error",
+    "ewma_user_value",
+    # Every query outside this prefix is r3-or-fresher on its current
+    # implementation and is re-verified each round by the FULL
+    # tools/check_oracle.py sweep (now run at sf0.001, sf0.01 AND
+    # sf0.1 — the standing cross-SF protocol) logged to
+    # PROGRESS.jsonl at HEAD.
 ]
 assert len(_GATE_FIRST) <= 50, "driver gate checks only the first 50 queries"
 
