@@ -1005,9 +1005,10 @@ def ivfpq_cosine_topk(
 # The index-lifecycle story `build_minhash_index` tells for dedup, told
 # for ANN: train ONCE, persist the model and the encoded corpus, probe
 # from any later session without re-encoding anything, and MERGE new
-# vectors in idempotently. Layout under `path`:
+# vectors in idempotently. Layout under `path` (model params n_cells /
+# m / n_codes / dim are derived from the artifacts on read — no
+# metadata file to drift):
 #
-#   meta/       1 row  — n_cells, n_probe-free model params, dim
 #   centroids/  n_cells rows — (cell, vec)
 #   codebooks/  m·n_codes rows — (subspace, code, vec)
 #   codes/      one row per indexed vector, parquet PARTITIONED BY
@@ -1037,8 +1038,9 @@ def ivfpq_write_index(
     corpus at ``path`` (overwriting any prior index there). Training is
     the deterministic bounded-sample Lloyd (`_ivfpq_train_model`);
     encoding is one Arrow pass; the codes land partitioned by cell so
-    probes prune directories. Returns ``{"n_indexed", "n_cells", "m",
-    "n_codes", "dim"}``."""
+    probes prune directories. Model params are not stored separately —
+    ``ivfpq_read_model`` derives them from the keyed centroid/codebook
+    rows. Returns ``{"n_indexed", "n_cells", "m", "n_codes", "dim"}``."""
     spark = corpus.sparkSession
     C, books = _ivfpq_train_model(
         corpus, vec_col, id_col,
@@ -1046,10 +1048,6 @@ def ivfpq_write_index(
         train_rows=train_rows, iters=iters,
     )
     dim = len(C[0])
-    spark.createDataFrame(
-        [(int(n_cells), int(m), int(n_codes), int(dim))],
-        "n_cells int, m int, n_codes int, dim int",
-    ).write.mode("overwrite").parquet(f"{path}/meta")
     spark.createDataFrame(
         [(i, [float(x) for x in row]) for i, row in enumerate(C)],
         "cell long, vec array<double>",
@@ -1062,7 +1060,12 @@ def ivfpq_write_index(
         ],
         "subspace int, code int, vec array<double>",
     ).write.mode("overwrite").parquet(f"{path}/codebooks")
-    enc = _ivfpq_encode(corpus, vec_col, id_col, C, books)
+    # encode exactly once: the clustered write and the n_indexed count
+    # both consume the pinned result (a read-back count would cost a
+    # second listing+scan job)
+    enc = _ivfpq_encode(corpus, vec_col, id_col, C, books).localCheckpoint(
+        eager=True
+    )
     # cluster by cell before the partitioned write: each cell directory
     # gets ONE file per writing task that owns it instead of one file
     # per (task x cell) — the difference between n_cells files and
@@ -1072,7 +1075,7 @@ def ivfpq_write_index(
     enc.repartition(F.col("cell")).write.mode("overwrite").partitionBy(
         "cell"
     ).parquet(f"{path}/codes")
-    n = spark.read.parquet(f"{path}/codes").count()
+    n = enc.count()
     return {
         "n_indexed": n, "n_cells": n_cells, "m": m,
         "n_codes": n_codes, "dim": dim,
@@ -1082,23 +1085,29 @@ def ivfpq_write_index(
 def ivfpq_read_model(spark, path: str):
     """Reload the persisted model: ``(C, books, meta)`` exactly as
     trained — centroid/codebook rows are keyed, so reconstruction is
-    order-independent. A bounded model-sized collect (n_cells + m·
-    n_codes rows), the same class as the training collect itself."""
+    order-independent, and every model parameter (n_cells, m, n_codes,
+    dim) is DERIVED from the artifacts themselves rather than stored
+    beside them (no separate metadata file to drift out of sync, and
+    one fewer read job per maintenance operation). A bounded
+    model-sized collect (n_cells + m·n_codes rows), the same class as
+    the training collect itself."""
     import numpy as np
 
-    meta = spark.read.parquet(f"{path}/meta").first().asDict()
     cent = spark.read.parquet(f"{path}/centroids").collect()
-    C = np.zeros((meta["n_cells"], meta["dim"]), dtype=np.float64)
+    n_cells = len(cent)
+    dim = len(cent[0].vec)
+    C = np.zeros((n_cells, dim), dtype=np.float64)
     for r in cent:
         C[r.cell] = r.vec
     book_rows = spark.read.parquet(f"{path}/codebooks").collect()
-    sub = meta["dim"] // meta["m"]
+    m = 1 + max(r.subspace for r in book_rows)
+    n_codes = 1 + max(r.code for r in book_rows)
     books = [
-        np.zeros((meta["n_codes"], sub), dtype=np.float64)
-        for _ in range(meta["m"])
+        np.zeros((n_codes, dim // m), dtype=np.float64) for _ in range(m)
     ]
     for r in book_rows:
         books[r.subspace][r.code] = r.vec
+    meta = {"n_cells": n_cells, "m": m, "n_codes": n_codes, "dim": dim}
     return C, books, meta
 
 
@@ -1136,11 +1145,16 @@ def ivfpq_merge_index(
         .filter(F.col("cell").isin(batch_cells))
         .select("neighbor_id")
     )
-    fresh = enc.join(existing, "neighbor_id", "left_anti")
-    fresh.repartition(F.col("cell")).write.mode("append").partitionBy(
-        "cell"
-    ).parquet(f"{path}/codes")
+    # pin the surviving rows once: the append write and the n_added
+    # count would otherwise each recompute the anti-join
+    fresh = enc.join(existing, "neighbor_id", "left_anti").localCheckpoint(
+        eager=True
+    )
     n_added = fresh.count()
+    if n_added:  # an all-duplicate batch never touches the index files
+        fresh.repartition(F.col("cell")).write.mode("append").partitionBy(
+            "cell"
+        ).parquet(f"{path}/codes")
     return {
         "n_batch": n_batch,
         "n_added": n_added,

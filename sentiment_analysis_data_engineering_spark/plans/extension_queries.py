@@ -708,7 +708,12 @@ def ann_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     incrementally batch by batch (each touching only its cell
     partitions), probe reading n_probe/n_cells of the index bytes.
     The build/merge here are real writes to a scratch dir; the result
-    is pinned eagerly before cleanup."""
+    is pinned eagerly before cleanup. Bench shape: wall-clock is
+    dominated by the FIXED job overheads of ~a dozen sequential
+    lifecycle actions (writes, model collects, audit counts) — the
+    data-scaled work is an Arrow encode pass + a cell-pruned probe —
+    so the sf0.01→sf0.1 scaling ratio, not the absolute seconds, is
+    the number that reflects the design."""
     import shutil
     import tempfile
 
@@ -733,11 +738,14 @@ def ann_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             and m1["n_batch"] > 0
             and m2["n_added"] == 0
         )
+        # pin the probe once: the recall-hits leg and the per-query
+        # count both consume it, and each would otherwise re-run the
+        # qtab pass + pruned codes read + ADC window + rerank
         probe = sim.ivfpq_probe_index(
             spark, path, queries_df, embeddings,
             vec_col="embedding", id_col="vec_id",
             k=5, n_probe=8, n_rerank=max(96, n_corpus // 8),
-        )
+        ).localCheckpoint(eager=True)
         exact = sim.cosine_topk(
             queries_df, embeddings, vec_col="embedding", id_col="vec_id", k=5
         )
