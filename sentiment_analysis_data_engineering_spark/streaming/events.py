@@ -37,6 +37,7 @@ __all__ = [
     "run_quarantine_stream",
     "run_cms_maintenance_stream",
     "read_cms_sketch",
+    "run_ivfpq_merge_stream",
 ]
 
 #: events.parquet with ts as long (read under nanosAsLong).
@@ -565,3 +566,48 @@ def read_cms_sketch(spark: SparkSession, target: str) -> DataFrame:
         .groupBy("row_i", "cell")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def run_ivfpq_merge_stream(
+    stream_df: DataFrame,
+    index_path: str,
+    *,
+    checkpoint: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[dict]:
+    """Streaming maintenance of a PERSISTED IVF-PQ index: each
+    micro-batch of new vectors merges into the index under the frozen
+    model (operators/similarity.py::ivfpq_merge_index) — the
+    continuous-ingest form of the batch merge, the way a production
+    embedding pipeline keeps its ANN index current as documents land.
+
+    Replay safety — the part that matters: foreachBatch is
+    at-least-once, and a naive append would duplicate index rows on
+    every retry. No batch-id bookkeeping is needed here because the
+    merge itself is INSERT-IDEMPOTENT: the id anti-join (pruned to the
+    batch's cell partitions) makes a replayed or overlapping batch add
+    exactly the rows the index does not already hold — the
+    exactly-once effect from operator algebra instead of transactions.
+
+    Returns the per-batch merge stats (batch_id, n_batch, n_added,
+    n_already) so callers can audit what the stream did."""
+    from ..operators.similarity import ivfpq_merge_index
+
+    stats: list[dict] = []
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = ivfpq_merge_index(
+            batch_df.sparkSession, index_path, batch_df,
+            vec_col=vec_col, id_col=id_col,
+        )
+        stats.append({"batch_id": batch_id, **s})
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stats

@@ -681,3 +681,73 @@ def test_streaming_transitions_match_batch(spark, sf_dir, events_dir, tmp_path):
     # increments in more than one micro-batch run
     per_user_rows = pdf.groupby("user_id").size()
     assert (per_user_rows > 1).any()
+
+
+def test_streaming_ivfpq_merge_matches_batch_and_replays(spark, sf_dir, tmp_path):
+    from sentiment_analysis_data_engineering_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "idx")
+    sim.ivfpq_write_index(base, path)
+
+    # land the delta as two files -> two micro-batches under
+    # maxFilesPerTrigger=1, so the merge crosses a batch boundary
+    stream_dir = str(tmp_path / "landing")
+    delta.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.parquet(
+        stream_dir, mode="append"
+    )
+    delta.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.parquet(
+        stream_dir, mode="append"
+    )
+    schema = emb.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    stats = st.run_ivfpq_merge_stream(
+        stream, path, checkpoint=str(tmp_path / "ckpt1")
+    )
+    assert len(stats) == 2
+    assert sum(s["n_added"] for s in stats) == delta.count()
+    assert all(s["n_already"] == 0 for s in stats)
+
+    # streamed merges == the batch merge: index complete, ids unique
+    codes = spark.read.parquet(f"{path}/codes")
+    agg = codes.agg(
+        F.count("*").alias("n"), F.countDistinct("neighbor_id").alias("nd")
+    ).first()
+    assert agg.n == agg.nd == emb.count()
+
+    # replay from a fresh checkpoint: every batch re-delivered, the
+    # insert-idempotent merge adds nothing
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    stats2 = st.run_ivfpq_merge_stream(
+        stream2, path, checkpoint=str(tmp_path / "ckpt2")
+    )
+    assert sum(s["n_added"] for s in stats2) == 0
+    assert sum(s["n_already"] for s in stats2) == delta.count()
+
+    # and the maintained index still answers exactly when both
+    # approximations are removed (merged vectors fully reachable)
+    queries = emb.filter(F.col("vec_id") < 3)
+    n = emb.count()
+    exact = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in sim.cosine_topk(
+            queries, emb, vec_col="embedding", id_col="vec_id", k=3
+        ).collect()
+    )
+    probe = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in sim.ivfpq_probe_index(
+            spark, path, queries, emb, k=3, n_probe=16, n_rerank=n
+        ).collect()
+    )
+    assert probe == exact
