@@ -16,10 +16,19 @@ Usage:
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(1, "/root/repo/tools")
+# Python WORKERS must import the package too (pandas UDF closures are
+# pickled by reference); the driver harness runs from /root/repo so
+# cwd covers it there — pin PYTHONPATH so this tool is
+# launch-directory-independent.
+os.environ["PYTHONPATH"] = "/root/repo" + os.pathsep + os.environ.get(
+    "PYTHONPATH", ""
+)
 
 from check_oracle import TABLES, compare  # noqa: E402
 
