@@ -719,14 +719,20 @@ def hashed_classifier_score_learned(
     floats, then fix-point quantize — e.g. round(w·1000) — so scoring
     stays exact int64 and engine-reproducible); ``n_features`` is
     ``len(weights)``. The vector ships as ONE dense ``ArrayType``
-    literal (a single Catalyst ``Literal`` node — constant-folded, a
-    few KB riding the serialized plan exactly like a broadcast scalar,
-    NOT n_features nested expression nodes, which is the
-    analyzer-blowup trap), and each token does an O(1)
-    ``element_at`` index into it. A ``map_from_arrays`` lookup would
-    be the sparse-id alternative, but Catalyst's ``GetMapValue`` on a
-    literal map is a LINEAR key scan per lookup — for a dense
-    [0, n_features) id space the array index is strictly better.
+    literal (a single Catalyst ``Literal`` node — a few KB riding the
+    serialized plan exactly like a broadcast scalar, NOT n_features
+    nested expression nodes, which is the analyzer-blowup trap), and
+    each token does an O(1) ``element_at`` index into it. The literal
+    is built JVM-side by constant-folding ``from_json`` of one JSON
+    string — ``F.lit(<python list>)`` marshals element-by-element
+    through the py4j gateway and costs ~2 s PER PLAN CONSTRUCTION at
+    4096 entries (measured; the string form is ~4 ms, and the
+    optimized plan is the identical folded array literal — asserted
+    by the no-from_json plan law in tests/test_text.py). A
+    ``map_from_arrays`` lookup would be the sparse-id alternative,
+    but Catalyst's ``GetMapValue`` on a literal map is a LINEAR key
+    scan per lookup — for a dense [0, n_features) id space the array
+    index is strictly better.
 
     Plan shape is IDENTICAL to the LCG form: one narrow projection
     over the scan — no explode, no shuffle, no Python, no join, no
@@ -735,10 +741,14 @@ def hashed_classifier_score_learned(
     physical plan, only the constant. score(doc) = Σ_tokens
     weights[h(token)], a BIGINT; exact int64 throughout.
     """
+    import json
+
     n_features = len(weights)
     if n_features < 1:
         raise ValueError("weights must be non-empty")
-    warr = F.lit([int(w) for w in weights]).cast("array<long>")
+    warr = F.from_json(
+        F.lit(json.dumps([int(w) for w in weights])), "array<bigint>"
+    )
     toks = F.filter(
         F.split(F.lower(_c(col)), r"[^a-z]+"), lambda t: t != F.lit("")
     )

@@ -445,6 +445,19 @@ def test_classifier_learned_weights_plan_shape_unchanged(spark):
         assert "Exchange" not in plan
         assert "Join" not in plan
         assert "Python" not in plan and "ArrowEval" not in plan
+    # the JSON-shipped weight vector must CONSTANT-FOLD into a plain
+    # array literal — a surviving from_json would mean a per-row parse
+    opt = (
+        df.select(
+            tx.hashed_classifier_score_learned(
+                "text", tx.lcg_classifier_weights()
+            ).alias("s")
+        )
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "from_json" not in opt
 
 
 def test_classifier_learned_weights_matches_python_model(spark):
