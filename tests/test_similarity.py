@@ -547,3 +547,19 @@ def test_ivfpq_index_probe_prunes_cell_directories(spark, sf_dir, tmp_path):
     # the cell-clustered write keeps the layout tight: one file per
     # cell directory, so the probe reads exactly its probed cells
     assert total == len(cells) and pruned == 2
+
+
+def test_ivfpq_index_empty_merge_and_probe(spark, sf_dir, tmp_path):
+    """Degenerate inputs stay total: an empty merge batch is a no-op
+    with zeroed stats (and never touches the index files), an empty
+    query set probes to an empty frame — no isin([])/emptiness traps."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "idx")
+    sim.ivfpq_write_index(emb, path)
+    before = sorted(spark.read.parquet(f"{path}/codes").inputFiles())
+    empty = emb.filter(F.col("vec_id") < 0)
+    assert sim.ivfpq_merge_index(spark, path, empty) == {
+        "n_batch": 0, "n_added": 0, "n_already": 0,
+    }
+    assert sorted(spark.read.parquet(f"{path}/codes").inputFiles()) == before
+    assert sim.ivfpq_probe_index(spark, path, empty, emb, k=3).count() == 0
