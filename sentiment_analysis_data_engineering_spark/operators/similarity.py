@@ -1133,8 +1133,13 @@ def ivfpq_merge_index(
     are stable per vector (the encode is deterministic, so an
     unchanged vector always re-lands in its original cell and dedups);
     re-embedding under a CHANGED vector is delete+insert maintenance,
-    the SCD path, not merge. Returns ``{"n_batch", "n_added",
-    "n_already"}``."""
+    the SCD path, not merge. Merges are SINGLE-WRITER: the
+    dedup-then-append pair is not atomic, so two concurrent merges of
+    overlapping batches could both pass the anti-join — serialize
+    merges (the streaming twin's foreachBatch does exactly that), or
+    move the codes table to an ACID table format (Delta/Iceberg
+    MERGE) when multiple writers are unavoidable. Returns
+    ``{"n_batch", "n_added", "n_already"}``."""
     C, books, meta = ivfpq_read_model(spark, path)
     enc = _ivfpq_encode(new_vectors, vec_col, id_col, C, books)
     enc = enc.localCheckpoint(eager=True)  # encode once: cells + dedup + write
