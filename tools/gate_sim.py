@@ -43,11 +43,17 @@ def main() -> int:
 
     # VANILLA session: master only — no shuffle-partition tuning, no
     # AQE overrides, no timezone pin. Mirrors the driver harness.
-    spark = (
-        SparkSession.builder.master("local[32]")
-        .appName("gate-sim")
-        .getOrCreate()
-    )
+    # GATE_SIM_DRIVER_MEM optionally raises the heap WITHOUT touching
+    # any SQL config: at the gated sf0.01 the default (1g) suffices,
+    # but full-registry sweeps at sf0.1 exhaust a 1g local-mode heap
+    # (driver + all 32 executor threads share it) around query ~135 —
+    # an environment limit, not a query property; SQL-config
+    # independence is the axis this tool tests.
+    builder = SparkSession.builder.master("local[32]").appName("gate-sim")
+    mem = os.environ.get("GATE_SIM_DRIVER_MEM")
+    if mem:
+        builder = builder.config("spark.driver.memory", mem)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entrymod
