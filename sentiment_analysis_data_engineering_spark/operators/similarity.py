@@ -45,6 +45,7 @@ __all__ = [
     "ivfpq_write_index",
     "ivfpq_read_model",
     "ivfpq_merge_index",
+    "ivfpq_compact_index",
     "ivfpq_probe_index",
 ]
 
@@ -1165,6 +1166,50 @@ def ivfpq_merge_index(
         "n_added": n_added,
         "n_already": n_batch - n_added,
     }
+
+
+def ivfpq_compact_index(spark, path: str) -> dict:
+    """Compact merge-fragmented cell partitions back to ONE file per
+    cell — the ordinary parquet maintenance an append-based index
+    accumulates (each ``ivfpq_merge_index`` adds a file to every cell
+    its batch touches, so probe IO per cell grows with merge count
+    until compacted).
+
+    Scale shape: only MULTI-file cells are rewritten (single-file
+    cells are already compact and their bytes are never touched), the
+    fragmented subset is pinned before the overwrite (Spark refuses a
+    self-overwrite plan that still reads the target files; the
+    checkpoint both satisfies that check and makes the rewrite safe),
+    and the write uses DYNAMIC partition overwrite so untouched cell
+    directories survive. Same single-writer rule as merge — do not
+    compact concurrently with a merge. Idempotent: a second compaction
+    finds nothing fragmented. Returns ``{"n_cells_compacted",
+    "n_rows_rewritten"}``."""
+    codes = spark.read.parquet(f"{path}/codes")
+    fragmented = [
+        r.cell
+        for r in codes.withColumn("_f", F.input_file_name())
+        .groupBy("cell")
+        .agg(F.countDistinct("_f").alias("_nf"))
+        .filter(F.col("_nf") > 1)
+        .collect()
+    ]
+    if not fragmented:
+        return {"n_cells_compacted": 0, "n_rows_rewritten": 0}
+    sub = (
+        codes.filter(F.col("cell").isin(fragmented))
+        .withColumn("cell", F.col("cell").cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    n_rows = sub.count()
+    (
+        sub.repartition(F.col("cell"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .parquet(f"{path}/codes")
+    )
+    return {"n_cells_compacted": len(fragmented), "n_rows_rewritten": n_rows}
 
 
 def ivfpq_probe_index(

@@ -563,3 +563,55 @@ def test_ivfpq_index_empty_merge_and_probe(spark, sf_dir, tmp_path):
     }
     assert sorted(spark.read.parquet(f"{path}/codes").inputFiles()) == before
     assert sim.ivfpq_probe_index(spark, path, empty, emb, k=3).count() == 0
+
+
+def test_ivfpq_index_compaction(spark, sf_dir, tmp_path):
+    """Compaction law: after a merge fragments cell partitions (two
+    files per touched cell), compaction restores one file per cell,
+    changes NO content, leaves probe results identical, and is
+    idempotent."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    queries = emb.filter(F.col("vec_id") < 3)
+    path = str(tmp_path / "idx")
+    sim.ivfpq_write_index(base, path)
+    sim.ivfpq_merge_index(spark, path, delta)
+
+    def snapshot():
+        codes = spark.read.parquet(f"{path}/codes")
+        rows = sorted(
+            (r.neighbor_id, int(r.cell), tuple(r.codes)) for r in codes.collect()
+        )
+        per_cell = {
+            r.cell: r.nf
+            for r in codes.withColumn("_f", F.input_file_name())
+            .groupBy("cell")
+            .agg(F.countDistinct("_f").alias("nf"))
+            .collect()
+        }
+        return rows, per_cell
+
+    before_rows, before_files = snapshot()
+    assert max(before_files.values()) > 1  # the merge really fragmented
+    probe_before = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in sim.ivfpq_probe_index(spark, path, queries, emb, k=3).collect()
+    )
+
+    stats = sim.ivfpq_compact_index(spark, path)
+    assert stats["n_cells_compacted"] == sum(
+        1 for nf in before_files.values() if nf > 1
+    )
+    after_rows, after_files = snapshot()
+    assert after_rows == before_rows            # content law: untouched
+    assert set(after_files.values()) == {1}     # one file per cell
+    probe_after = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in sim.ivfpq_probe_index(spark, path, queries, emb, k=3).collect()
+    )
+    assert probe_after == probe_before
+    # idempotence: nothing left to compact
+    assert sim.ivfpq_compact_index(spark, path) == {
+        "n_cells_compacted": 0, "n_rows_rewritten": 0,
+    }
