@@ -145,6 +145,12 @@ _GATE_FIRST = [
     # PROGRESS.jsonl at HEAD.
 ]
 assert len(_GATE_FIRST) <= 50, "driver gate checks only the first 50 queries"
+# _ordered() keeps only names present in the registry, so a typo here
+# would SILENTLY shrink the 50-slot gate instead of failing — every
+# prefix name must resolve (r8 advice item 3).
+_unknown = set(_GATE_FIRST) - set(registry.QUERIES)
+assert not _unknown, f"_GATE_FIRST names missing from registry: {sorted(_unknown)}"
+assert len(set(_GATE_FIRST)) == len(_GATE_FIRST), "duplicate _GATE_FIRST name"
 
 
 def _ordered(mapping: dict) -> dict:

@@ -107,11 +107,33 @@ def _pin(df: DataFrame, persist: bool) -> DataFrame:
     return df
 
 
+def register_pinned(df: DataFrame) -> DataFrame:
+    """Record an ALREADY-materialized frame (eager localCheckpoint /
+    persist done by the caller) in the pin registry so
+    :func:`release_pinned` / :func:`pinned_scope` can free its blocks
+    deterministically. The checkpoint-heavy index operators
+    (operators/similarity.py) route their returned pinned frames here —
+    without registration a long-lived session (gate_sim sweeps, the
+    streaming merge twin) would leave block-manager cleanup to
+    nondeterministic GC.
+
+    CAVEAT the caller owns: a ``localCheckpoint`` has its lineage
+    TRUNCATED, so unlike plain persisted frames it cannot recompute
+    after release — only call :func:`release_pinned` once every lazy
+    consumer of the registered frame has been materialized (all four
+    harness call sites — check_oracle, gate_sim, bench, scaling — do
+    exactly that, releasing after each query's output is hashed)."""
+    _PINNED.append(df)
+    return df
+
+
 def release_pinned() -> int:
     """Unpersist every frame pinned by this module's operators since
     the last call; returns how many were released. Safe to call after
     the operator's output has been materialized (written/collected) —
-    lazily-held outputs will transparently recompute instead."""
+    lazily-held outputs over PERSISTED frames transparently recompute;
+    frames registered via :func:`register_pinned` that are
+    localCheckpoints do NOT (truncated lineage), so materialize first."""
     n = 0
     while _PINNED:
         _PINNED.pop().unpersist()

@@ -1077,6 +1077,7 @@ def ivfpq_write_index(
         "cell"
     ).parquet(f"{path}/codes")
     n = enc.count()
+    enc.unpersist()  # both consumers done — free the blocks eagerly
     return {
         "n_indexed": n, "n_cells": n_cells, "m": m,
         "n_codes": n_codes, "dim": dim,
@@ -1143,6 +1144,17 @@ def ivfpq_merge_index(
     ``{"n_batch", "n_added", "n_already"}``."""
     C, books, meta = ivfpq_read_model(spark, path)
     enc = _ivfpq_encode(new_vectors, vec_col, id_col, C, books)
+    # Intra-batch id dedup BEFORE the index anti-join: the anti-join
+    # only rejects ids the INDEX already holds, so two rows with the
+    # same id inside one batch would both survive it and be appended
+    # twice, breaking the count==countDistinct completeness invariant.
+    # Encode is deterministic per (id, vector), so duplicate ids with
+    # an unchanged vector are identical rows and dropping either is
+    # exact; a batch carrying the same id with two DIFFERENT vectors is
+    # a malformed upstream (that is the delete+reembed SCD path, not
+    # merge) and keeps exactly one arbitrarily. n_batch counts the
+    # DISTINCT ids presented.
+    enc = enc.dropDuplicates(["neighbor_id"])
     enc = enc.localCheckpoint(eager=True)  # encode once: cells + dedup + write
     batch_cells = [r.cell for r in enc.select("cell").distinct().collect()]
     n_batch = enc.count()
@@ -1161,6 +1173,11 @@ def ivfpq_merge_index(
         fresh.repartition(F.col("cell")).write.mode("append").partitionBy(
             "cell"
         ).parquet(f"{path}/codes")
+    # every consumer is done — free both pinned frames eagerly rather
+    # than leaving block cleanup to GC (a long-running streaming twin
+    # would otherwise pin two frames per micro-batch)
+    enc.unpersist()
+    fresh.unpersist()
     return {
         "n_batch": n_batch,
         "n_added": n_added,
@@ -1179,12 +1196,22 @@ def ivfpq_compact_index(spark, path: str) -> dict:
     cells are already compact and their bytes are never touched), the
     fragmented subset is pinned before the overwrite (Spark refuses a
     self-overwrite plan that still reads the target files; the
-    checkpoint both satisfies that check and makes the rewrite safe),
-    and the write uses DYNAMIC partition overwrite so untouched cell
-    directories survive. Same single-writer rule as merge — do not
-    compact concurrently with a merge. Idempotent: a second compaction
-    finds nothing fragmented. Returns ``{"n_cells_compacted",
-    "n_rows_rewritten"}``."""
+    checkpoint satisfies that check), and the write uses DYNAMIC
+    partition overwrite so untouched cell directories survive.
+
+    CRASH SAFETY — be honest about what plain parquet gives you: the
+    data is staged to _temporary files before commit, but the COMMIT
+    itself (delete the old cell directory, move the staged replacement
+    in) is not atomic. A crash inside that window loses the
+    fragmented cells' rows with no on-disk recovery path — treat
+    compaction as a maintenance window on a recoverable artifact (the
+    index can always be re-merged from upstream or retrained; it is
+    derived state, never the system of record). An ACID table format
+    (Delta/Iceberg OPTIMIZE/rewrite_data_files) closes the window when
+    that risk is unacceptable. Same single-writer rule as merge — do
+    not compact concurrently with a merge. Idempotent: a second
+    compaction finds nothing fragmented. Returns
+    ``{"n_cells_compacted", "n_rows_rewritten"}``."""
     codes = spark.read.parquet(f"{path}/codes")
     fragmented = [
         r.cell
@@ -1209,6 +1236,7 @@ def ivfpq_compact_index(spark, path: str) -> dict:
         .partitionBy("cell")
         .parquet(f"{path}/codes")
     )
+    sub.unpersist()  # rewrite + count done — free the pinned subset
     return {"n_cells_compacted": len(fragmented), "n_rows_rewritten": n_rows}
 
 
@@ -1234,10 +1262,19 @@ def ivfpq_probe_index(
     re-rank only (candidate-sized equi-join, the deployed-path cost).
     The probed-cell list is a ≤ |queries|·n_probe collect — bounded
     model-build class, same as the training collect."""
+    from .dedup import register_pinned
+
     C, books, meta = ivfpq_read_model(spark, path)
-    qtab = _ivfpq_query_tables(
-        queries, vec_col, id_col, C, books, n_probe
-    ).localCheckpoint(eager=True)  # probed cells + join side + rerank qv
+    # probed cells + join side + rerank qv all consume qtab; the
+    # returned frame still references it lazily, so it cannot be freed
+    # here — registered with the dedup pin registry instead, so
+    # release_pinned()/pinned_scope() reclaims it deterministically
+    # once the caller has materialized the result.
+    qtab = register_pinned(
+        _ivfpq_query_tables(
+            queries, vec_col, id_col, C, books, n_probe
+        ).localCheckpoint(eager=True)
+    )
     probed = [r.cell for r in qtab.select("cell").distinct().collect()]
     enc = (
         spark.read.parquet(f"{path}/codes")
@@ -1494,6 +1531,11 @@ def semantic_dedup(
             )
             .localCheckpoint(eager=True)
         )
+        # the returned frame IS the checkpoint — register it so
+        # release_pinned() can free the blocks once consumed
+        from .dedup import register_pinned
+
+        register_pinned(out)
     finally:
         base.unpersist()
     return out

@@ -502,7 +502,9 @@ def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and exchange reuse is an optimizer courtesy, not a guarantee —
     # without the pin, disabled reuse or a sameResult() break would pair
     # offsets from one partitioning with row_numbers from another).
-    ranged = (
+    from ..operators.dedup import register_pinned
+
+    ranged = register_pinned(  # freed by the harness's release_pinned()
         customer.select("c_acctbal", "c_custkey")
         .repartitionByRange(n_part, F.col("c_acctbal"), F.col("c_custkey"))
         .withColumn("_pid", F.spark_partition_id())

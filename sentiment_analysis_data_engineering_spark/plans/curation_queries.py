@@ -482,6 +482,9 @@ def bpe_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reconstruct_ok",
         )
         out = out.localCheckpoint(eager=True)
+        from ..operators.dedup import register_pinned
+
+        register_pinned(out)  # freed by the harness's release_pinned()
     finally:
         words.unpersist()
     return out
@@ -651,6 +654,9 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+        from ..operators.dedup import register_pinned
+
+        register_pinned(out)  # freed by the harness's release_pinned()
     finally:
         words.unpersist()
     return out

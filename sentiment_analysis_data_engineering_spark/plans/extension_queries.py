@@ -778,6 +778,11 @@ def ann_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)  # pin before the scratch dir dies
         )
+        # `out` is eager, so `probe`'s consumers are all done — free it
+        # now; `out` itself is registered so release_pinned() reclaims
+        # it after the harness hashes the result
+        probe.unpersist()
+        dd.register_pinned(out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
@@ -837,10 +842,12 @@ def ann_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the reranked top-5 ONCE: three contract legs (jvm
     # agreement, candidate subset, recall hits) fan out from `rer`,
     # and without this the Arrow rerank + its window recompute per leg
-    rer = sim.crossencoder_rerank_topk(
-        cand, queries_df, embeddings,
-        vec_col="embedding", id_col="vec_id", k=5, dim=64,
-    ).localCheckpoint(eager=True)
+    rer = dd.register_pinned(  # returned frame references rer lazily
+        sim.crossencoder_rerank_topk(
+            cand, queries_df, embeddings,
+            vec_col="embedding", id_col="vec_id", k=5, dim=64,
+        ).localCheckpoint(eager=True)
+    )
 
     dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     qv = queries_df.select(
@@ -2465,6 +2472,10 @@ def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize candidates inside the pin scope (they're reused
         # for the id set AND the verify join below)
         cands = dd.minhash_lsh_probe(new, index, "text", "doc_id").localCheckpoint()
+    # registered OUTSIDE the scope: the returned frame still references
+    # cands lazily, so it must outlive the scope exit and be freed by
+    # the harness's post-materialization release_pinned() instead
+    dd.register_pinned(cands)
     # verify is CANDIDATE-proportional: only docs appearing in a
     # candidate pair get their shingle arrays computed — the candidate
     # id set broadcasts into a semi-style prune of the corpus scan.

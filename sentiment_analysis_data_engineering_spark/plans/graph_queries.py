@@ -425,7 +425,11 @@ def personalized_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # derivation and the operator's own persisted edge frame) —
     # materialize it once or the whole lineitem self-aggregation runs
     # twice (measured ~2x on the bench).
-    pairs = _copurchase_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    from ..operators.dedup import register_pinned
+
+    pairs = register_pinned(  # freed by the harness's release_pinned()
+        _copurchase_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    )
     edges = pairs.select(
         F.col("u").alias("s"), F.col("v").alias("t")
     ).unionByName(pairs.select(F.col("v").alias("s"), F.col("u").alias("t")))

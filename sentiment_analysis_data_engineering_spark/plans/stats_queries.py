@@ -389,7 +389,11 @@ def market_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at 100 TB that inverts brutally (14 fact scans vs one
     # basket-sized write), and the pinned plan is the only one that
     # survives the scale-up, so the pin stays.
-    b = b0.join(sized, "l_orderkey").localCheckpoint()
+    from ..operators.dedup import register_pinned
+
+    b = register_pinned(  # freed by the harness's release_pinned()
+        b0.join(sized, "l_orderkey").localCheckpoint()
+    )
     ic = b.groupBy("l_partkey").agg(F.count("*").cast("long").alias("c"))
     fi = ic.filter(F.col("c") >= _MB_MIN_ITEM)
     # keep only frequent items in the basket stream (semi join — the

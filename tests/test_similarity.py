@@ -500,6 +500,32 @@ def test_ivfpq_index_merge_idempotent_and_complete(spark, sf_dir, tmp_path):
     assert agg.n == agg.nd == emb.count()
 
 
+def test_ivfpq_index_merge_dedups_within_batch(spark, sf_dir, tmp_path):
+    """A batch carrying the SAME id twice must land exactly one index
+    row: the index anti-join alone only rejects ids the index already
+    holds, so intra-batch duplicates would both pass it and break the
+    count == countDistinct completeness invariant (r8 advice item 1)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "idx")
+    sim.ivfpq_write_index(base, path)
+    doubled = delta.unionAll(delta)  # every batch id duplicated
+    m = sim.ivfpq_merge_index(spark, path, doubled)
+    n_delta = delta.count()
+    assert m["n_batch"] == n_delta  # distinct ids presented
+    assert m["n_added"] == n_delta and m["n_already"] == 0
+    agg = (
+        spark.read.parquet(f"{path}/codes")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("neighbor_id").alias("nd"),
+        )
+        .first()
+    )
+    assert agg.n == agg.nd == emb.count()
+
+
 def test_ivfpq_index_merged_vectors_fully_reachable(spark, sf_dir, tmp_path):
     """Probing EVERY cell with full re-rank depth removes both
     approximations, so the post-merge index must return the EXACT
