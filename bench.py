@@ -177,6 +177,8 @@ HEADLINE = [
     "classifier_learned_weights_filter",
     # round 8: persisted ANN index build -> merge -> probe lifecycle
     "ann_index_lifecycle",
+    # round 9: index SCD maintenance (delete -> probe -> re-embed)
+    "ann_index_delete_reembed",
 ]
 
 

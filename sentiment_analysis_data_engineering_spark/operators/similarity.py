@@ -47,6 +47,8 @@ __all__ = [
     "ivfpq_merge_index",
     "ivfpq_compact_index",
     "ivfpq_probe_index",
+    "ivfpq_delete_ids",
+    "ivfpq_reembed",
 ]
 
 
@@ -1134,8 +1136,9 @@ def ivfpq_merge_index(
     collect, and the append touches the same partitions. Assumes ids
     are stable per vector (the encode is deterministic, so an
     unchanged vector always re-lands in its original cell and dedups);
-    re-embedding under a CHANGED vector is delete+insert maintenance,
-    the SCD path, not merge. Merges are SINGLE-WRITER: the
+    re-embedding under a CHANGED vector is delete+insert maintenance —
+    :func:`ivfpq_reembed` / :func:`ivfpq_delete_ids`, the SCD path,
+    not merge. Merges are SINGLE-WRITER: the
     dedup-then-append pair is not atomic, so two concurrent merges of
     overlapping batches could both pass the anti-join — serialize
     merges (the streaming twin's foreachBatch does exactly that), or
@@ -1238,6 +1241,132 @@ def ivfpq_compact_index(spark, path: str) -> dict:
     )
     sub.unpersist()  # rewrite + count done — free the pinned subset
     return {"n_cells_compacted": len(fragmented), "n_rows_rewritten": n_rows}
+
+
+def ivfpq_delete_ids(
+    spark,
+    path: str,
+    ids,
+    *,
+    id_col: str = "vec_id",
+) -> dict:
+    """DELETE vectors from a persisted index by id — the maintenance
+    verb merge cannot express (merge only ever adds rows the index
+    lacks). ``ids`` is a one-column DataFrame of victim ids or a plain
+    Python list. Completes the lifecycle's SCD path: re-embedding a
+    CHANGED vector is :func:`ivfpq_reembed` = this + merge.
+
+    Scale shape, stage by stage:
+
+    - LOCATE reads exactly two columns of the codes table — the id
+      (parquet column-pruned) and the cell (a partition column, free
+      from directory names) — against a broadcast of the victim ids,
+      and aggregates to a ≤ n_cells collect. No full-width scan, no
+      shuffle of the codes.
+    - REWRITE touches only the cells that actually hold victims:
+      survivors of those cells are pinned (Spark refuses a
+      self-overwrite plan that still reads the target files) and
+      written back with DYNAMIC partition overwrite, so untouched cell
+      directories keep their bytes.
+    - Cells whose every row was deleted get their DIRECTORY removed
+      via the Hadoop FileSystem API (dynamic overwrite only replaces
+      partitions PRESENT in the output — an emptied cell produces no
+      output rows, so without the explicit remove its stale files
+      would survive and resurrect the deleted ids).
+
+    Same single-writer rule and plain-parquet commit-window caveat as
+    ``ivfpq_compact_index`` (the index is derived state — recoverable
+    by re-merge or retrain). Idempotent: deleting absent ids rewrites
+    nothing. Returns ``{"n_deleted", "n_cells_rewritten",
+    "n_cells_emptied"}``."""
+    if not isinstance(ids, DataFrame):
+        id_t = (
+            spark.read.parquet(f"{path}/codes")
+            .schema["neighbor_id"].dataType.simpleString()
+        )
+        ids = spark.createDataFrame(
+            [(i,) for i in ids], f"{id_col} {id_t}"
+        )
+    victims = (
+        ids.select(F.col(ids.columns[0]).alias("neighbor_id")).distinct()
+    )
+    codes = spark.read.parquet(f"{path}/codes")
+    per_cell = (
+        codes.select("neighbor_id", "cell")
+        .join(F.broadcast(victims), "neighbor_id")
+        .groupBy("cell")
+        .agg(F.count("*").alias("_n"))
+        .collect()  # ≤ n_cells rows — bounded model-state class
+    )
+    if not per_cell:
+        return {"n_deleted": 0, "n_cells_rewritten": 0, "n_cells_emptied": 0}
+    n_deleted = sum(r._n for r in per_cell)
+    affected = [r.cell for r in per_cell]
+    survivors = (
+        codes.filter(F.col("cell").isin(affected))
+        .join(F.broadcast(victims), "neighbor_id", "left_anti")
+        .withColumn("cell", F.col("cell").cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    kept_cells = {
+        r.cell for r in survivors.select("cell").distinct().collect()
+    }
+    if kept_cells:
+        (
+            survivors.repartition(F.col("cell"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cell")
+            .parquet(f"{path}/codes")
+        )
+    survivors.unpersist()
+    emptied = [c for c in affected if c not in kept_cells]
+    if emptied:
+        # works on any Hadoop-compatible FS (local, HDFS, S3A) — not a
+        # local-filesystem shortcut
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        jpath = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+        for c in emptied:
+            p = jpath(f"{path}/codes/cell={c}")
+            p.getFileSystem(hconf).delete(p, True)
+    return {
+        "n_deleted": n_deleted,
+        "n_cells_rewritten": len(kept_cells),
+        "n_cells_emptied": len(emptied),
+    }
+
+
+def ivfpq_reembed(
+    spark,
+    path: str,
+    changed: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Re-embed under CHANGED vectors — the documented SCD maintenance
+    path (see ``ivfpq_merge_index``): merge alone would silently KEEP
+    the stale encoding (the anti-join sees the id as already indexed),
+    so a changed vector is delete + insert under the frozen model.
+
+    Convergent (state-idempotent): re-running with the same batch
+    deletes the rows the previous run inserted and re-inserts
+    identical encodings — the on-disk STATE is the same after every
+    run, though files are rewritten each time (run-idempotence needs
+    an ACID format's MERGE). Count conservation holds whenever the
+    batch ids were all present: n_deleted == n_inserted. Single-writer,
+    like every maintenance verb here. Returns ``{"n_batch",
+    "n_deleted", "n_inserted"}``."""
+    ids = changed.select(F.col(id_col)).distinct()
+    d = ivfpq_delete_ids(spark, path, ids, id_col=id_col)
+    m = ivfpq_merge_index(
+        spark, path, changed, vec_col=vec_col, id_col=id_col
+    )
+    return {
+        "n_batch": m["n_batch"],
+        "n_deleted": d["n_deleted"],
+        "n_inserted": m["n_added"],
+    }
 
 
 def ivfpq_probe_index(

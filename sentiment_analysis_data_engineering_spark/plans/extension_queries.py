@@ -788,6 +788,132 @@ def ann_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query(
+    "ann_index_delete_reembed",
+    oracle="""
+    SELECT vec_id AS query_id,
+           CAST(5 AS BIGINT) AS n_results,
+           (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+            WHERE vec_id % 7 = 3) AS n_deleted,
+           TRUE AS post_delete_excluded_ok,
+           TRUE AS delete_complete_ok,
+           TRUE AS conservation_ok,
+           TRUE AS reembed_stats_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+)
+def ann_index_delete_reembed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCD half of the persisted-index lifecycle —
+    ``ann_index_lifecycle`` covers build → merge → probe; this covers
+    DELETE → probe → RE-EMBED (operators/similarity.py::
+    ivfpq_delete_ids / ivfpq_reembed), the maintenance merge cannot
+    express (its anti-join KEEPS a stale encoding when a vector
+    changes):
+
+    1. BUILD the index over the full corpus;
+    2. DELETE the vec_id % 7 == 3 subset — locate reads only the id +
+       partition columns against a broadcast of the victims, rewrite
+       touches only the cells that held them (dynamic partition
+       overwrite; fully-emptied cell DIRECTORIES are removed so stale
+       files cannot resurrect the ids);
+    3. PROBE the standard 10 query vectors — deleted ids must be
+       unreachable;
+    4. RE-EMBED the victims under CHANGED vectors (every component
+       negated) with the frozen model — delete(0 here, already gone) +
+       encode + cell-pruned append.
+
+    Self-auditing contract row per query, all hash-gated:
+
+    - ``n_deleted`` — the victim count, from the real delete stats
+      (the oracle recomputes it from the table);
+    - ``post_delete_excluded_ok`` — the probe returned no victim id;
+    - ``delete_complete_ok`` — post-delete codes count ==
+      corpus − victims with ids still distinct;
+    - ``conservation_ok`` — post-reembed count == countDistinct ==
+      corpus count (delete+insert conserves the id set);
+    - ``reembed_stats_ok`` — the reembed inserted exactly the victim
+      batch (its delete leg found 0: the ids were already gone).
+
+    The convergence law (re-running reembed lands the byte-identical
+    on-disk state) and the new-geometry law (full-probe full-rerank
+    == exact scan over the changed corpus) are pinned in pytest
+    (tests/test_similarity.py::test_ivfpq_reembed_changed_vectors) —
+    they need state comparison across runs, not a per-query row.
+
+    Scale story: delete cost ∝ victims' cells, not index size; the
+    id-locate scan is two thin columns of the codes table (id +
+    directory-derived cell); re-embed is an Arrow encode of the batch
+    plus appends into its cells. Nothing here reads the full index
+    width. Same fixed-overhead bench shape as ann_index_lifecycle —
+    ~a dozen sequential lifecycle actions dominate at test SF."""
+    import shutil
+    import tempfile
+
+    (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    corpus = embeddings.select("vec_id", "embedding")
+    victims = corpus.filter(F.col("vec_id") % 7 == 3)
+    queries_df = corpus.filter(F.col("vec_id") < 10)
+    n_corpus = _table_rowcount(spark, sf_dir, "embeddings")
+
+    tmp = tempfile.mkdtemp(prefix="spark_graft_ivfpq_scd_")
+    path = f"{tmp}/idx"
+    try:
+        sim.ivfpq_write_index(
+            corpus, path, vec_col="embedding", id_col="vec_id"
+        )
+        d = sim.ivfpq_delete_ids(spark, path, victims.select("vec_id"))
+        n_victims = d["n_deleted"]
+        post = spark.read.parquet(f"{path}/codes").agg(
+            F.count("*").alias("_n"),
+            F.countDistinct("neighbor_id").alias("_nd"),
+        ).first()
+        delete_complete = (
+            post._n == post._nd == n_corpus - n_victims and n_victims > 0
+        )
+        probe = sim.ivfpq_probe_index(
+            spark, path, queries_df, corpus,
+            vec_col="embedding", id_col="vec_id",
+            k=5, n_probe=8, n_rerank=max(96, n_corpus // 8),
+        ).localCheckpoint(eager=True)
+        changed = victims.select(
+            "vec_id",
+            F.transform("embedding", lambda x: -x).alias("embedding"),
+        )
+        r = sim.ivfpq_reembed(
+            spark, path, changed, vec_col="embedding", id_col="vec_id"
+        )
+        reembed_stats_ok = r == {
+            "n_batch": n_victims, "n_deleted": 0, "n_inserted": n_victims,
+        }
+        final = spark.read.parquet(f"{path}/codes").agg(
+            F.count("*").alias("_n"),
+            F.countDistinct("neighbor_id").alias("_nd"),
+        ).first()
+        conservation = final._n == final._nd == n_corpus
+        excluded = (
+            probe.groupBy("query_id").agg(
+                F.count("*").alias("n_results"),
+                F.max(
+                    (F.col("neighbor_id") % 7 == 3).cast("int")
+                ).alias("_hit_victim"),
+            )
+        )
+        out = excluded.select(
+            "query_id",
+            "n_results",
+            F.lit(n_victims).cast("long").alias("n_deleted"),
+            (F.col("_hit_victim") == 0).alias("post_delete_excluded_ok"),
+            F.lit(delete_complete).alias("delete_complete_ok"),
+            F.lit(conservation).alias("conservation_ok"),
+            F.lit(reembed_stats_ok).alias("reembed_stats_ok"),
+        ).localCheckpoint(eager=True)  # pin before the scratch dir dies
+        probe.unpersist()
+        dd.register_pinned(out)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 _ANN_RERANK_ORACLE = """
 SELECT vec_id AS query_id,
        CAST(5 AS BIGINT) AS n_results,

@@ -553,6 +553,139 @@ def test_ivfpq_index_merged_vectors_fully_reachable(spark, sf_dir, tmp_path):
     assert probe == exact
 
 
+def test_ivfpq_delete_ids_removes_and_probe_excludes(spark, sf_dir, tmp_path):
+    """Post-delete, the victim ids are gone from the codes table and a
+    probe can never return them; non-victims are untouched."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "idx")
+    sim.ivfpq_write_index(emb, path)
+    victims = emb.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    n_victims = victims.count()
+    n_all = emb.count()
+    d = sim.ivfpq_delete_ids(spark, path, victims)
+    assert d["n_deleted"] == n_victims > 0
+    codes = spark.read.parquet(f"{path}/codes")
+    assert codes.count() == n_all - n_victims
+    assert (
+        codes.join(F.broadcast(victims), codes.neighbor_id == victims.vec_id)
+        .count()
+        == 0
+    )
+    queries = emb.filter(F.col("vec_id") < 3)
+    probe = sim.ivfpq_probe_index(
+        spark, path, queries, emb, k=5, n_probe=16, n_rerank=n_all
+    )
+    assert (
+        probe.join(
+            F.broadcast(victims), probe.neighbor_id == victims.vec_id
+        ).count()
+        == 0
+    )
+    # idempotent: deleting the same (now absent) ids rewrites nothing
+    d2 = sim.ivfpq_delete_ids(spark, path, victims)
+    assert d2 == {"n_deleted": 0, "n_cells_rewritten": 0, "n_cells_emptied": 0}
+
+
+def test_ivfpq_delete_ids_accepts_python_list(spark, sf_dir, tmp_path):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "idx")
+    sim.ivfpq_write_index(emb, path)
+    some = [r.vec_id for r in emb.select("vec_id").limit(4).collect()]
+    d = sim.ivfpq_delete_ids(spark, path, some)
+    assert d["n_deleted"] == 4
+    assert spark.read.parquet(f"{path}/codes").count() == emb.count() - 4
+
+
+def test_ivfpq_delete_ids_emptied_cell_directory_removed(spark, tmp_path):
+    """Deleting EVERY row of a cell must remove the cell's directory:
+    dynamic partition overwrite only replaces partitions present in
+    the output, so without the explicit remove the stale files would
+    resurrect the deleted ids."""
+    import pyspark.sql.functions as sf
+
+    rows = [(i, [float((i * 7 + d) % 13) for d in range(16)]) for i in range(64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "idx")
+    sim.ivfpq_write_index(df, path, n_cells=4, m=4, n_codes=8)
+    codes = spark.read.parquet(f"{path}/codes")
+    one_cell = codes.select("cell").first().cell
+    cell_ids = [
+        r.neighbor_id
+        for r in codes.filter(sf.col("cell") == one_cell).collect()
+    ]
+    d = sim.ivfpq_delete_ids(spark, path, cell_ids)
+    assert d["n_deleted"] == len(cell_ids) and d["n_cells_emptied"] >= 1
+    import os
+
+    assert not os.path.exists(f"{path}/codes/cell={one_cell}")
+    after = spark.read.parquet(f"{path}/codes")
+    assert after.count() == 64 - len(cell_ids)
+    assert after.filter(sf.col("cell") == one_cell).count() == 0
+
+
+def test_ivfpq_reembed_changed_vectors(spark, sf_dir, tmp_path):
+    """Re-embed = delete + insert under the frozen model: changed
+    vectors get NEW encodings (a plain merge would keep the stale
+    ones), counts are conserved, and a full-width full-rerank probe
+    ranks by the NEW geometry. Re-running converges to the same
+    state."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_all = emb.count()
+    path = str(tmp_path / "idx")
+    sim.ivfpq_write_index(emb, path)
+    # change a deterministic subset: negate every component
+    changed = emb.filter(F.col("vec_id") % 7 == 3).select(
+        "vec_id",
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    )
+    n_changed = changed.count()
+    r1 = sim.ivfpq_reembed(spark, path, changed)
+    assert r1 == {
+        "n_batch": n_changed,
+        "n_deleted": n_changed,
+        "n_inserted": n_changed,
+    }
+    codes1 = spark.read.parquet(f"{path}/codes")
+    agg = codes1.agg(
+        F.count("*").alias("n"), F.countDistinct("neighbor_id").alias("nd")
+    ).first()
+    assert agg.n == agg.nd == n_all  # count conservation
+    state1 = sorted(
+        (r.neighbor_id, r.cell, tuple(r.codes)) for r in codes1.collect()
+    )
+    # a merge of the same changed batch is a NO-OP (ids present) —
+    # proving merge alone cannot express re-embedding
+    m = sim.ivfpq_merge_index(spark, path, changed)
+    assert m["n_added"] == 0
+    # convergence: second reembed lands the identical on-disk state
+    sim.ivfpq_reembed(spark, path, changed)
+    state2 = sorted(
+        (r.neighbor_id, r.cell, tuple(r.codes))
+        for r in spark.read.parquet(f"{path}/codes").collect()
+    )
+    assert state2 == state1
+    # the index now serves the NEW geometry: full-probe full-rerank
+    # against a corpus holding the changed vectors == exact scan
+    merged_corpus = (
+        emb.select("vec_id", "embedding")
+        .filter(F.col("vec_id") % 7 != 3)
+        .unionByName(changed)
+    )
+    queries = merged_corpus.filter(F.col("vec_id") < 3)
+    exact = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in sim.cosine_topk(queries, merged_corpus, k=3).collect()
+    )
+    probe = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in sim.ivfpq_probe_index(
+            spark, path, queries, merged_corpus,
+            k=3, n_probe=16, n_rerank=n_all,
+        ).collect()
+    )
+    assert probe == exact
+
+
 def test_ivfpq_index_probe_prunes_cell_directories(spark, sf_dir, tmp_path):
     """The codes table is partitioned by cell, so a probed-cell filter
     prunes at the file-listing level: reading 2 cells touches strictly
