@@ -179,6 +179,8 @@ HEADLINE = [
     "ann_index_lifecycle",
     # round 9: index SCD maintenance (delete -> probe -> re-embed)
     "ann_index_delete_reembed",
+    # round 9: frozen-quantizer drift measurement (retrain-cadence knob)
+    "ann_index_drift_audit",
 ]
 
 

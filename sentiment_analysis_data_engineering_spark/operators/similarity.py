@@ -49,6 +49,7 @@ __all__ = [
     "ivfpq_probe_index",
     "ivfpq_delete_ids",
     "ivfpq_reembed",
+    "ivfpq_drift_audit",
 ]
 
 
@@ -1334,6 +1335,104 @@ def ivfpq_delete_ids(
         "n_cells_rewritten": len(kept_cells),
         "n_cells_emptied": len(emptied),
     }
+
+
+def ivfpq_drift_audit(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    segment_col=None,
+) -> DataFrame:
+    """Measure how far a frozen-quantizer index has DRIFTED from the
+    data it serves — the observability half of the retrain-cadence
+    knob (SCALE.md names "retrain cadence keyed to merge volume" as
+    the production lever; this operator makes that volume-vs-quality
+    trade measurable instead of guessed).
+
+    Per segment (``segment_col`` — e.g. trained-at-build vs
+    merged-later; a single ``all`` segment when None), computed from
+    the PERSISTED artifacts, never a re-encode:
+
+    - ``n_vectors``        rows the index holds for the segment;
+    - ``n_cells_occupied`` distinct coarse cells used;
+    - ``max_cell_count``   the fullest cell — occupancy skew is
+      max·n_cells vs total (a drifting distribution piles new vectors
+      into few cells, which is exactly what widens probes);
+    - ``sum_qerr_micro``   Σ round(1e6·‖unit(x) − x̂‖²) where x̂ =
+      C[cell] + concat_s books[s][code_s] — the stored encoding's
+      squared reconstruction error, integer-quantized PER ROW before
+      the sum so the aggregate is EXACT int64 arithmetic (order-free,
+      bit-stable across partitionings — the same trick the graph
+      fixed-point operators use for replayable oracles).
+
+    Auditing the STORED codes (not a fresh encode) is the point: a
+    stale encoding left behind by a skipped re-embed shows up here as
+    segment error inflation, invisible to any re-encode-based check.
+
+    Scale shape: one keyed equi-join of the codes table with the
+    corpus on id (both corpus-sized, shuffle on the join key — the
+    unavoidable cost of pairing stored codes with true vectors), one
+    Arrow decode pass (model rides the closure, same as encode), then
+    a two-level hash aggregate to segment·cell and segment rows.
+    Output is ≤ segments rows; nothing driver-sized."""
+    import numpy as np
+    import pandas as pd
+
+    C, books, meta = ivfpq_read_model(spark, path)
+    m, sub = meta["m"], meta["dim"] // meta["m"]
+    B = [np.asarray(b, dtype=np.float64) for b in books]
+    Cm = np.asarray(C, dtype=np.float64)
+
+    seg = (
+        F.lit("all") if segment_col is None else F.col(segment_col)
+    ).cast("string").alias("segment")
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("_v"),
+        seg,
+    )
+    joined = (
+        spark.read.parquet(f"{path}/codes")
+        .withColumn("cell", F.col("cell").cast("long"))
+        .join(vecs, "neighbor_id")
+    )
+
+    def qerr_gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            norms = np.sqrt((X * X).sum(axis=1, keepdims=True))
+            norms[norms == 0] = 1.0
+            X = X / norms  # the encode normalizes; the audit must too
+            cells = pdf["cell"].to_numpy().astype(np.int64)
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            Xhat = Cm[cells].copy()
+            for s in range(m):
+                Xhat[:, s * sub : (s + 1) * sub] += B[s][codes[:, s]]
+            err = ((X - Xhat) ** 2).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "segment": pdf["segment"],
+                    "cell": cells,
+                    "qerr_micro": np.rint(err * 1e6).astype(np.int64),
+                }
+            )
+
+    scored = joined.mapInPandas(
+        qerr_gen, "segment string, cell long, qerr_micro long"
+    )
+    per_cell = scored.groupBy("segment", "cell").agg(
+        F.count("*").alias("_n"), F.sum("qerr_micro").alias("_qe")
+    )
+    return per_cell.groupBy("segment").agg(
+        F.sum("_n").alias("n_vectors"),
+        F.count("*").alias("n_cells_occupied"),
+        F.max("_n").alias("max_cell_count"),
+        F.sum("_qe").alias("sum_qerr_micro"),
+    )
 
 
 def ivfpq_reembed(

@@ -914,6 +914,110 @@ def ann_index_delete_reembed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query(
+    "ann_index_drift_audit",
+    oracle="""
+    SELECT segment, n_vectors,
+           TRUE AS coverage_ok,
+           TRUE AS occupancy_skew_ok,
+           TRUE AS residual_drift_ok
+    FROM (
+        SELECT 'base' AS segment, CAST(count(*) AS BIGINT) AS n_vectors
+        FROM embeddings WHERE vec_id % 5 <> 0
+        UNION ALL
+        SELECT 'merged', CAST(count(*) AS BIGINT)
+        FROM embeddings WHERE vec_id % 5 = 0
+    ) t
+    """,
+)
+def ann_index_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantifies what serving MERGED vectors on a FROZEN quantizer
+    costs — the measurement behind ann_index_lifecycle's
+    retrain-cadence note (operators/similarity.py::ivfpq_drift_audit).
+    Build on the 80% base, merge the 20% holdout, then audit the
+    persisted artifacts per segment:
+
+    - reconstruction error from the STORED codes (never a re-encode,
+      so a stale encoding would surface here), integer-quantized per
+      row before summing — the aggregate is exact int64 arithmetic,
+      bit-stable across partitionings;
+    - per-cell occupancy (exact counts).
+
+    Hash-gated contract per segment row:
+
+    - ``n_vectors``          what the index holds (oracle recomputes
+      from the table split);
+    - ``coverage_ok``        the segment occupies ≥ half the coarse
+      cells (a collapsed assignment would funnel merges into a few);
+    - ``occupancy_skew_ok``  fullest cell ≤ 4× the segment average
+      (measured ≤ 2.1× at sf0.001/0.01/0.1) — skew is what widens
+      probes;
+    - ``residual_drift_ok``  merged-segment mean reconstruction error
+      ≤ 3× the trained segment's, compared by exact integer
+      cross-multiplication (measured ratio ≈ 1.5× at all three SFs).
+
+    The measured numbers calibrate the lifecycle's knobs: at ~1.5×
+    residual drift the frozen model still ranks well enough that
+    doubling n_probe (4→8, ann_index_lifecycle) restores recall ≥ 0.6
+    per query; the audit crossing these bounds is the signal to spend
+    a retrain instead of ever-wider probes (SCALE.md's recall ladder
+    ties the same numbers to probe cost).
+
+    Scale: one keyed codes⋈corpus join + Arrow decode + two-level
+    aggregate (operator docstring); the audit output is 2 rows, and
+    the boolean comparison consumes that bounded collect — the same
+    model-state class as the merge stats themselves."""
+    import shutil
+    import tempfile
+
+    (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    corpus = embeddings.select("vec_id", "embedding")
+    base = corpus.filter(F.col("vec_id") % 5 != 0)
+    delta = corpus.filter(F.col("vec_id") % 5 == 0)
+
+    tmp = tempfile.mkdtemp(prefix="spark_graft_ivfpq_drift_")
+    path = f"{tmp}/idx"
+    try:
+        sim.ivfpq_write_index(base, path, vec_col="embedding", id_col="vec_id")
+        sim.ivfpq_merge_index(
+            spark, path, delta, vec_col="embedding", id_col="vec_id"
+        )
+        seg = corpus.withColumn(
+            "segment",
+            F.when(F.col("vec_id") % 5 == 0, "merged").otherwise("base"),
+        )
+        audit = {
+            r.segment: r
+            for r in sim.ivfpq_drift_audit(
+                spark, path, seg,
+                vec_col="embedding", id_col="vec_id", segment_col="segment",
+            ).collect()  # 2 rows — bounded model-state class
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    b, g = audit["base"], audit["merged"]
+    n_cells = 16
+    # exact integer cross-multiplications — no float mean ever formed
+    drift_ok = (
+        g.sum_qerr_micro * b.n_vectors <= 3 * b.sum_qerr_micro * g.n_vectors
+    )
+    rows = [
+        (
+            s.segment,
+            s.n_vectors,
+            2 * s.n_cells_occupied >= n_cells,
+            s.max_cell_count * n_cells <= 4 * s.n_vectors,
+            drift_ok,
+        )
+        for s in (b, g)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "segment string, n_vectors long, coverage_ok boolean, "
+        "occupancy_skew_ok boolean, residual_drift_ok boolean",
+    )
+
+
 _ANN_RERANK_ORACLE = """
 SELECT vec_id AS query_id,
        CAST(5 AS BIGINT) AS n_results,

@@ -686,6 +686,62 @@ def test_ivfpq_reembed_changed_vectors(spark, sf_dir, tmp_path):
     assert probe == exact
 
 
+def test_ivfpq_drift_audit_exact_and_partition_invariant(spark, sf_dir, tmp_path):
+    """The audit's error sum is integer-quantized PER ROW before
+    aggregation, so it must be bit-identical across arbitrary
+    repartitionings (float means would not be)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    path = str(tmp_path / "idx")
+    sim.ivfpq_write_index(emb, path)
+    a1 = sorted(
+        tuple(r) for r in sim.ivfpq_drift_audit(spark, path, emb).collect()
+    )
+    a2 = sorted(
+        tuple(r)
+        for r in sim.ivfpq_drift_audit(
+            spark, path, emb.repartition(7, "embedding")
+        ).collect()
+    )
+    assert a1 == a2
+    (row,) = a1
+    seg, n, occ, mx, qe = row
+    assert seg == "all" and n == emb.count() and qe > 0
+    assert 1 <= occ <= 16 and mx >= 1
+
+
+def test_ivfpq_drift_audit_detects_stale_encoding(spark, sf_dir, tmp_path):
+    """Auditing the STORED codes is the point: change vectors WITHOUT
+    re-embedding and the audit's reconstruction error inflates; after
+    ivfpq_reembed it drops back. A re-encode-based check would miss
+    the stale state entirely."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    path = str(tmp_path / "idx")
+    sim.ivfpq_write_index(emb, path)
+    changed_all = emb.select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") % 3 == 0,
+            F.transform("embedding", lambda x: -x),
+        ).otherwise(F.col("embedding")).alias("embedding"),
+    )
+
+    def qerr():
+        (r,) = sim.ivfpq_drift_audit(spark, path, changed_all).collect()
+        return r.sum_qerr_micro
+
+    stale = qerr()
+    changed = changed_all.filter(F.col("vec_id") % 3 == 0)
+    sim.ivfpq_reembed(spark, path, changed)
+    fresh = qerr()
+    # a negated unit vector reconstructs at distance ~4 under the old
+    # code; re-embedding restores normal quantization error
+    assert stale > 2 * fresh > 0
+
+
 def test_ivfpq_index_probe_prunes_cell_directories(spark, sf_dir, tmp_path):
     """The codes table is partitioned by cell, so a probed-cell filter
     prunes at the file-listing level: reading 2 cells touches strictly
