@@ -181,6 +181,8 @@ HEADLINE = [
     "ann_index_delete_reembed",
     # round 9: frozen-quantizer drift measurement (retrain-cadence knob)
     "ann_index_drift_audit",
+    # round 9: in-engine-trained quality classifier (committed artifact)
+    "classifier_trained_model_filter",
 ]
 
 

@@ -29,6 +29,7 @@ __all__ = [
     "spot_price_json",
     "indicator_json",
     "company_stats",
+    "labeled_quality_docs",
     "MONTHLY_INDICATORS",
     "QUARTERLY_INDICATORS",
 ]
@@ -154,3 +155,48 @@ def company_stats(as_of: tuple[int, int, int]) -> list[dict]:
             },
         })
     return out
+
+
+# --------------------------------------------------------------------------
+# Labeled quality-classifier training fixture (extension layer)
+# --------------------------------------------------------------------------
+
+#: Disjoint vocabularies so the label is learnable from hashed
+#: bag-of-words alone; words chosen to avoid 31-polynomial hash
+#: collisions between the two sets at 4096 features (verified by the
+#: training test).
+CLEAN_VOCAB = [
+    "science", "history", "theory", "journal", "method", "data",
+    "result", "study", "model", "energy", "river", "garden",
+    "music", "novel", "poem", "light",
+]
+JUNK_VOCAB = [
+    "cheap", "winner", "click", "free", "pills", "casino",
+    "jackpot", "prize", "spam", "buy", "offer", "deal",
+    "bonus", "credit", "loan", "urgent",
+]
+
+
+def labeled_quality_docs(
+    spark: SparkSession, n_docs: int = 120, words_per_doc: int = 24
+) -> DataFrame:
+    """Deterministic labeled corpus for training the hashed quality
+    classifier (operators/text.py::train_hashed_classifier): document
+    ``i`` mixes ``i % (words_per_doc + 1)`` junk-vocabulary words with
+    clean-vocabulary fill, labeled 1 (keep) iff junk words are a
+    strict minority — a smooth quality gradient, not a two-cluster
+    toy, so ranking laws over the learned scores are meaningful. Pure
+    arithmetic word choice (no RNG), same determinism contract as the
+    Family B fixtures above."""
+    rows = []
+    for i in range(n_docs):
+        n_junk = i % (words_per_doc + 1)
+        words = []
+        for j in range(words_per_doc):
+            pick = (i * 31 + j * 17 + 7) % 97
+            if j < n_junk:
+                words.append(JUNK_VOCAB[pick % len(JUNK_VOCAB)])
+            else:
+                words.append(CLEAN_VOCAB[pick % len(CLEAN_VOCAB)])
+        rows.append((i, " ".join(words), 1 if 2 * n_junk < words_per_doc else 0))
+    return spark.createDataFrame(rows, "doc_id long, text string, label int")

@@ -41,6 +41,7 @@ __all__ = [
     "doc_spans",
     "hashed_classifier_score",
     "classifier_token_count",
+    "train_hashed_classifier",
 ]
 
 
@@ -764,6 +765,89 @@ def hashed_classifier_score_learned(
         lambda acc, t: acc
         + F.element_at(warr, (feat(t) + F.lit(1)).cast("int")),
     )
+
+
+def train_hashed_classifier(
+    df: DataFrame,
+    text_col: str,
+    label_col: str,
+    *,
+    n_features: int = _CLF_FEATURES,
+    max_iter: int = 100,
+    reg_param: float = 0.01,
+) -> dict:
+    """Fit the quality classifier IN-ENGINE — MLlib LogisticRegression
+    over hashed bag-of-words counts built with the EXACT tokenizer and
+    feature hash the inference expressions use (lowercase, non-letter
+    split, 31-polynomial char fold mod ``n_features``), so the learned
+    coefficient for feature id ``i`` is directly the weight
+    ``hashed_classifier_score_learned`` looks up for that id. Returns::
+
+        {"weights":      [int] * n_features,  # round(1000·w_i) — the
+                                              # fix-point model the
+                                              # exact-int64 scorer ships
+         "coefficients": [float] * n_features,  # raw floats, for audit
+         "intercept":    float}
+
+    Training data shape: ONE aggregate over the corpus (token ids via
+    the same HOF expressions as inference — JVM-side), then an RDD map
+    assembling per-doc sparse count vectors. The RDD hop is deliberate
+    and confined to TRAINING: ``VectorUDT`` is not an Arrow type, so
+    neither ``pandas_udf`` nor ``mapInPandas`` can emit it — and
+    training runs once over a bounded labeled corpus (thousands of
+    rows), never on the 100 TB inference path, which stays a pure
+    JVM projection (see ``hashed_classifier_score_learned``). L2 reg
+    (``reg_param``) keeps the separable-data coefficients bounded;
+    ``standardization=False`` because raw token counts ARE the scoring
+    feature scale — a standardized fit would learn weights for
+    features the int64 scorer never constructs.
+
+    Quantization contract: scoring with ``weights`` equals
+    1000·(float dot-product) up to ±0.0005 per token occurrence — the
+    ranking-equivalence law in tests/test_text.py pins that the
+    quantized ranking matches the float-model ranking on the labeled
+    fixture."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.linalg import Vectors
+
+    toks = F.filter(
+        F.split(F.lower(_c(text_col)), r"[^a-z]+"), lambda t: t != F.lit("")
+    )
+    feat = lambda t: F.aggregate(  # noqa: E731 — same fold as inference
+        F.split(t, ""),
+        F.lit(0).cast("long"),
+        lambda h, ch: (h * F.lit(31) + F.ascii(ch)) % F.lit(n_features),
+    )
+    ids = df.select(
+        F.col(label_col).cast("double").alias("label"),
+        F.transform(toks, feat).alias("_fids"),
+    )
+
+    def to_vec(row):
+        counts: dict[int, float] = {}
+        for i in row._fids:
+            counts[int(i)] = counts.get(int(i), 0.0) + 1.0
+        items = sorted(counts.items())
+        return (
+            row.label,
+            Vectors.sparse(
+                n_features, [k for k, _ in items], [v for _, v in items]
+            ),
+        )
+
+    train = ids.rdd.map(to_vec).toDF(["label", "features"])
+    model = LogisticRegression(
+        maxIter=max_iter,
+        regParam=reg_param,
+        standardization=False,
+        fitIntercept=True,
+    ).fit(train)
+    coef = model.coefficients.toArray()
+    return {
+        "weights": [int(round(1000.0 * float(w))) for w in coef],
+        "coefficients": [float(w) for w in coef],
+        "intercept": float(model.intercept),
+    }
 
 
 def classifier_token_count(col: Column | str) -> Column:

@@ -783,6 +783,80 @@ def classifier_learned_weights_filter(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+def _trained_clf_oracle() -> str:
+    """The DuckDB twin of the TRAINED model: the committed quantized
+    weight vector inlined as a SQL list literal (≈13 KB of mostly
+    zeros — the oracle is generated from the same artifact the Spark
+    plan constant-folds, so the two engines score the identical
+    model)."""
+    from ..operators.clf_model import N_FEATURES, TRAINED_WEIGHTS
+
+    w_sql = "[" + ", ".join(str(w) for w in TRAINED_WEIGHTS) + "]"
+    return f"""
+    WITH w AS (SELECT {w_sql} AS wv),
+    toks AS (
+      SELECT doc_id, lang,
+             [t FOR t IN string_split_regex(lower(text), '[^a-z]+')
+                IF t <> ''] AS ts
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+             CAST(len(ts) AS BIGINT) AS n_tokens,
+             CAST(coalesce(list_sum(
+               [wv[1 + CAST(list_reduce(
+                          [ascii(c) FOR c IN string_split(t, '')],
+                          (h, c2) -> (h * 31 + c2) % {N_FEATURES})
+                        AS BIGINT)]
+                FOR t IN ts]), 0) AS BIGINT) AS clf_score
+      FROM toks, w
+    )
+    SELECT doc_id, lang, n_tokens, clf_score,
+           clf_score > 0 AS accepted
+    FROM scored
+    """
+
+
+@query("classifier_trained_model_filter", oracle=_trained_clf_oracle())
+def classifier_trained_model_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering under weights that were actually
+    TRAINED in-engine — closing the loop the two queries above open
+    (`classifier_quality_filter` proves the scan-speed plan,
+    `classifier_learned_weights_filter` proves the plan-constant model
+    swap; this one swaps in a REAL model). The committed artifact
+    (operators/clf_model.py, regenerated by tools/train_classifier.py)
+    comes from MLlib LogisticRegression over hashed bag-of-words
+    counts built with the SAME tokenizer + 31-polynomial feature hash
+    the inference expression uses
+    (operators/text.py::train_hashed_classifier), fix-point quantized
+    round(1000·w) so scoring stays exact int64 — and the oracle inlines
+    the identical vector as a SQL literal, so both engines score the
+    same model bit-for-bit.
+
+    Training is offline-once on a bounded labeled corpus (the
+    deterministic fixture — the container has no external labeled
+    data); deployment is a committed constant, exactly how production
+    quality filters ship (fastText/CCNet methodology). The
+    quantized-vs-float ranking-equivalence law and the no-Exchange
+    plan-shape law ride in tests/test_text.py.
+
+    Plan shape: identical to both siblings — ONE narrow projection
+    over the documents scan; swapping the trained model in changed no
+    physical plan, only the 13 KB array literal riding it."""
+    from ..operators import text as tx
+    from ..operators.clf_model import TRAINED_WEIGHTS
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    score = tx.hashed_classifier_score_learned("text", TRAINED_WEIGHTS)
+    return documents.select(
+        "doc_id",
+        "lang",
+        tx.classifier_token_count("text").alias("n_tokens"),
+        score.alias("clf_score"),
+        (score > F.lit(0)).alias("accepted"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Deterministic epoch shuffle (training-order resharding)
 # --------------------------------------------------------------------------

@@ -489,3 +489,100 @@ def test_classifier_learned_weights_matches_python_model(spark):
     assert got == [py_score(t) for t in texts]
     with __import__("pytest").raises(ValueError):
         tx.hashed_classifier_score_learned("text", [])
+
+
+# ---------------------------------------------------------------------------
+# train_hashed_classifier — in-engine training laws
+# ---------------------------------------------------------------------------
+
+
+def _clf_feat(t: str, nf: int = 4096) -> int:
+    h = 0
+    for ch in t:
+        h = (h * 31 + ord(ch)) % nf
+    return h
+
+
+def test_train_classifier_quantized_ranking_equals_float(spark):
+    """The quantization theorem the verdict asked pinned: for any two
+    docs whose float-model scores are separated by more than the
+    provable rounding slack (0.5 int-units per token occurrence), the
+    quantized int64 ranking MUST agree with the float ranking — and on
+    this fixture every adjacent pair is separated, so the full
+    rankings coincide."""
+    from sentiment_analysis_data_engineering_spark import fixtures as fx
+
+    docs = fx.labeled_quality_docs(spark)
+    model = tx.train_hashed_classifier(docs, "text", "label")
+    w, coef = model["weights"], model["coefficients"]
+    rows = docs.select(
+        "doc_id", "text", "label",
+        tx.hashed_classifier_score_learned("text", w).alias("q"),
+        tx.classifier_token_count("text").alias("n"),
+    ).collect()
+    # float score replay (same tokenizer: fixture text is pure [a-z ])
+    fl = {r.doc_id: sum(coef[_clf_feat(t)] for t in r.text.split(" "))
+          for r in rows}
+    checked = 0
+    for a in rows:
+        for b in rows:
+            gap = 1000.0 * (fl[a.doc_id] - fl[b.doc_id])
+            slack = 0.5 * (a.n + b.n)
+            if gap > slack:
+                assert a.q > b.q, (a.doc_id, b.doc_id)
+                checked += 1
+    assert checked > 1000  # the law actually bit on many pairs
+    # on this fixture the float ranking is everywhere separated, so
+    # the two total orders are identical
+    by_q = [r.doc_id for r in sorted(rows, key=lambda r: (r.q, r.doc_id))]
+    by_f = [r.doc_id for r in sorted(rows, key=lambda r: (fl[r.doc_id], r.doc_id))]
+    assert by_q == by_f
+
+
+def test_train_classifier_learns_the_fixture(spark):
+    """The fit is real: disjoint vocabularies land collision-free in
+    the 4096-id space (exactly one nonzero weight per vocab word),
+    clean words weigh positive, junk negative, and the quantized
+    accept decision recovers the labels."""
+    from sentiment_analysis_data_engineering_spark import fixtures as fx
+
+    docs = fx.labeled_quality_docs(spark)
+    w = tx.train_hashed_classifier(docs, "text", "label")["weights"]
+    clean_ids = {_clf_feat(t) for t in fx.CLEAN_VOCAB}
+    junk_ids = {_clf_feat(t) for t in fx.JUNK_VOCAB}
+    assert len(clean_ids) == len(junk_ids) == 16
+    assert not clean_ids & junk_ids  # vocabularies collision-free
+    nz = {i for i, x in enumerate(w) if x}
+    assert nz == clean_ids | junk_ids
+    assert all(w[i] > 0 for i in clean_ids)
+    assert all(w[i] < 0 for i in junk_ids)
+    acc = docs.select(
+        (
+            (tx.hashed_classifier_score_learned("text", w) > 0)
+            == (F.col("label") == 1)
+        ).cast("double").alias("ok")
+    ).agg(F.avg("ok").alias("a")).first().a
+    assert acc >= 0.9
+
+
+def test_trained_artifact_scores_the_fixture(spark):
+    """The COMMITTED artifact (operators/clf_model.py, regenerated by
+    tools/train_classifier.py) is a working model, not a stale blob:
+    right width, trained sparsity, and ≥0.9 sign-accuracy on the
+    fixture it was fit to."""
+    from sentiment_analysis_data_engineering_spark import fixtures as fx
+    from sentiment_analysis_data_engineering_spark.operators.clf_model import (
+        N_FEATURES,
+        TRAINED_WEIGHTS,
+    )
+
+    assert len(TRAINED_WEIGHTS) == N_FEATURES == 4096
+    assert 0 < sum(1 for x in TRAINED_WEIGHTS if x) <= 64
+    docs = fx.labeled_quality_docs(spark)
+    acc = docs.select(
+        (
+            (tx.hashed_classifier_score_learned("text", TRAINED_WEIGHTS) > 0)
+            == (F.col("label") == 1)
+        ).cast("double").alias("ok")
+    ).agg(F.avg("ok").alias("a")).first().a
+    assert acc >= 0.9
