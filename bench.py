@@ -183,6 +183,8 @@ HEADLINE = [
     "ann_index_drift_audit",
     # round 9: in-engine-trained quality classifier (committed artifact)
     "classifier_trained_model_filter",
+    # round 9: substring-level dedup (rolling multi-width cascade)
+    "span_dedup_multiwidth",
 ]
 
 

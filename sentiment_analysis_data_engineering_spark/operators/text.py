@@ -39,6 +39,7 @@ __all__ = [
     "bigram_pmi",
     "remove_duplicate_spans",
     "doc_spans",
+    "longest_duplicated_span",
     "hashed_classifier_score",
     "classifier_token_count",
     "train_hashed_classifier",
@@ -582,6 +583,90 @@ def doc_spans(
             ),
             " ",
         ).alias("span"),
+    )
+
+
+def longest_duplicated_span(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    widths: tuple = (8, 16, 32),
+) -> DataFrame:
+    """Substring-level exact-duplication detection (the Lee et al.
+    2021 "Deduplicating Training Data Makes Language Models Better"
+    class, arXiv:2107.06499): for every document, the LARGEST width w
+    in ``widths`` such that some ROLLING w-token window of the doc
+    occurs ≥ 2 times corpus-wide (any (doc, pos) occurrence counts —
+    cross-doc copies and in-doc repetition both qualify, as in the
+    paper's suffix-array formulation). Returns (id, n_tokens,
+    max_dup_width) with 0 for clean docs.
+
+    Instead of a distributed suffix array (whose construction is a
+    multi-round sort at corpus scale), this runs a MULTI-WIDTH
+    CASCADE with EXACT pruning: if a 2w-window is duplicated, its
+    w-token prefix gives two distinct (doc, pos) occurrences of the
+    same w-window — so only docs already flagged at width w can be
+    flagged at any larger width, and each wider pass explodes windows
+    for the surviving docs only. Duplicated content is rare in a real
+    corpus, so window volume decays geometrically up the cascade; the
+    widths ladder brackets the true longest-duplicate length to a
+    factor of 2, which is what span-rewrite policies act on. Each
+    pass is explode → hash-agg on window text (map-side combining
+    count — the only corpus-keyed shuffle) → semi-join back; no
+    window function, no sort, no pairs. At 100 TB group on
+    ``xxhash64(span)`` instead of the text to shrink the shuffle
+    (kept as text here so the DuckDB oracle can replay it verbatim).
+    """
+    ws = sorted(set(int(w) for w in widths))
+    if not ws or ws[0] < 1:
+        raise ValueError(f"widths must be positive, got {widths!r}")
+    toks = df.select(
+        F.col(id_col).alias("_id"), tokens(text_col).alias("_t")
+    )
+    base = toks.select("_id", F.size("_t").alias("n_tokens"))
+    cand = toks
+    flagged = []
+    for w in ws:
+        eligible = cand.filter(F.size("_t") >= w)
+        wins = eligible.select(
+            "_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    (F.size("_t") - F.lit(w)).cast("long"),
+                )
+            ).alias("_pos"),
+            "_t",
+        ).select(
+            "_id",
+            F.array_join(
+                F.slice(F.col("_t"), (F.col("_pos") + 1).cast("int"), w), " "
+            ).alias("_span"),
+        )
+        dup = (
+            wins.groupBy("_span")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") >= 2)
+            .select("_span")
+        )
+        dup_docs = (
+            wins.join(dup, "_span", "left_semi").select("_id").distinct()
+        )
+        flagged.append(dup_docs.withColumn("_w", F.lit(w).cast("long")))
+        # exact cascade pruning: only docs duplicated at w can be
+        # duplicated at any larger width
+        cand = cand.join(dup_docs, "_id", "left_semi")
+    hits = flagged[0]
+    for f in flagged[1:]:
+        hits = hits.unionByName(f)
+    best = hits.groupBy("_id").agg(F.max("_w").alias("max_dup_width"))
+    return base.join(best, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        "n_tokens",
+        F.coalesce("max_dup_width", F.lit(0)).cast("long").alias(
+            "max_dup_width"
+        ),
     )
 
 

@@ -96,6 +96,64 @@ def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "span_dedup_multiwidth",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents
+    ),
+    wins AS (
+      SELECT w.w, doc_id,
+             array_to_string(t[g.i+1 : g.i+w.w], ' ') AS span
+      FROM toks, (VALUES (8), (16), (32)) w(w),
+           unnest(generate_series(0, len(t) - w.w)) AS g(i)
+      WHERE len(t) >= w.w
+    ),
+    dup AS (
+      SELECT w, span FROM wins GROUP BY w, span HAVING count(*) >= 2
+    ),
+    hit AS (
+      SELECT DISTINCT wins.doc_id, wins.w
+      FROM wins JOIN dup ON dup.w = wins.w AND dup.span = wins.span
+    )
+    SELECT toks.doc_id, CAST(len(toks.t) AS BIGINT) AS n_tokens,
+           CAST(coalesce(max(hit.w), 0) AS BIGINT) AS max_dup_width
+    FROM toks LEFT JOIN hit ON hit.doc_id = toks.doc_id
+    GROUP BY toks.doc_id, len(toks.t)
+    """,
+)
+def span_dedup_multiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication profiling — the Lee et al. 2021
+    generalization of the fixed-width span dedup above
+    (operators/text.py::longest_duplicated_span): per document, the
+    largest w ∈ {8, 16, 32} such that some ROLLING w-token window
+    occurs ≥ 2 times corpus-wide (rolling windows catch duplicated
+    substrings at ANY alignment — the disjoint 8-token grid of
+    span_dedup_stats misses a copied run that straddles its
+    boundaries). ``max_dup_width`` brackets each doc's longest exact
+    duplicate to a factor of 2 — the signal a rewrite policy (cut the
+    span, drop the doc, downweight) acts on.
+
+    Plan: a multi-width CASCADE with EXACT pruning — a duplicated
+    2w-window's w-prefix is itself duplicated, so each wider pass
+    explodes windows only for docs flagged at the narrower width.
+    Every pass is explode → map-side-combining count on the window
+    text → semi-join; no window function, no sort, no pairs, and the
+    exploded volume decays geometrically up the ladder (duplicated
+    content is the rare case). The DuckDB oracle brute-forces all
+    three widths with no pruning — agreement proves the cascade drops
+    nothing. At 100 TB, group on xxhash64(window) instead of text
+    (same plan, ~8-byte shuffle keys); text kept here for oracle
+    parity."""
+    from ..operators.text import longest_duplicated_span
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return longest_duplicated_span(
+        documents, "text", "doc_id", widths=(8, 16, 32)
+    )
+
+
+@query(
     "span_dedup_rewrite",
     oracle=f"""
     WITH toks AS (

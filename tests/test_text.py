@@ -586,3 +586,68 @@ def test_trained_artifact_scores_the_fixture(spark):
         ).cast("double").alias("ok")
     ).agg(F.avg("ok").alias("a")).first().a
     assert acc >= 0.9
+
+
+# ---------------------------------------------------------------------------
+# longest_duplicated_span — multi-width cascade laws
+# ---------------------------------------------------------------------------
+
+
+def test_longest_duplicated_span_planted(spark):
+    """Planted duplicates land at the right widths: a shared 16-token
+    run flags both docs at exactly 16 (rolling windows catch it at any
+    alignment, 32 stays clean); period-8 text has duplicated 16-windows
+    too (two overlapping occurrences); unique and too-short docs are
+    0."""
+    shared16 = " ".join(f"s{i}" for i in range(16))
+    docs = [
+        (0, shared16 + " " + " ".join(f"a{i}" for i in range(20))),
+        # the copy sits mid-doc: a disjoint 8-grid would straddle it
+        (1, " ".join(f"b{i}" for i in range(3)) + " " + shared16),
+        (2, " ".join(f"u{i}" for i in range(40))),
+        (3, " ".join(f"r{i % 8}" for i in range(24))),
+        (4, "short doc"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.n_tokens, r.max_dup_width)
+        for r in tx.longest_duplicated_span(df, "text", "doc_id").collect()
+    }
+    assert out == {
+        0: (36, 16),
+        1: (19, 16),
+        2: (40, 0),
+        3: (24, 16),
+        4: (2, 0),
+    }
+
+
+def test_longest_duplicated_span_cascade_drops_nothing(spark):
+    """The cascade's pruning is exact: running each width
+    INDEPENDENTLY (no pruning) gives the same per-doc max width."""
+    shared = " ".join(f"z{i}" for i in range(32))
+    docs = [
+        (i, shared + " " + " ".join(f"w{i}x{j}" for j in range(10)))
+        for i in range(4)
+    ] + [(9, " ".join(f"q{j}" for j in range(50)))]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    cascade = {
+        r.doc_id: r.max_dup_width
+        for r in tx.longest_duplicated_span(
+            df, "text", "doc_id", widths=(8, 16, 32)
+        ).collect()
+    }
+    solo = {}
+    for w in (8, 16, 32):
+        for r in tx.longest_duplicated_span(
+            df, "text", "doc_id", widths=(w,)
+        ).collect():
+            if r.max_dup_width:
+                solo[r.doc_id] = max(solo.get(r.doc_id, 0), r.max_dup_width)
+    assert cascade == {**{i: 0 for i in cascade}, **solo}
+    assert cascade[0] == 32 and cascade[9] == 0
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        tx.longest_duplicated_span(df, "text", "doc_id", widths=())
