@@ -185,6 +185,8 @@ HEADLINE = [
     "classifier_trained_model_filter",
     # round 9: substring-level dedup (rolling multi-width cascade)
     "span_dedup_multiwidth",
+    # round 9: hands-free streaming index maintenance (auto-compaction)
+    "ann_index_autocompact_stream",
 ]
 
 

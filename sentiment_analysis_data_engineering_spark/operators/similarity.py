@@ -46,6 +46,7 @@ __all__ = [
     "ivfpq_read_model",
     "ivfpq_merge_index",
     "ivfpq_compact_index",
+    "ivfpq_cell_file_counts",
     "ivfpq_probe_index",
     "ivfpq_delete_ids",
     "ivfpq_reembed",
@@ -1189,6 +1190,32 @@ def ivfpq_merge_index(
     }
 
 
+def ivfpq_cell_file_counts(spark, path: str) -> dict:
+    """Files per cell directory of a persisted index — the
+    FRAGMENTATION probe behind auto-compaction
+    (streaming/events.py::run_ivfpq_merge_stream). Pure Hadoop
+    FileSystem METADATA listing (works on local/HDFS/S3A): ~n_cells +
+    n_files driver-side operations, zero data bytes read — which is
+    what lets a streaming maintainer check fragmentation after EVERY
+    micro-batch without scanning the index. Hidden/_SUCCESS files are
+    ignored. Returns ``{cell: n_files}``."""
+    sc = spark.sparkContext
+    root = sc._jvm.org.apache.hadoop.fs.Path(f"{path}/codes")
+    fs = root.getFileSystem(sc._jsc.hadoopConfiguration())
+    counts: dict[int, int] = {}
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("cell=")):
+            continue
+        n = sum(
+            1
+            for f in fs.listStatus(st.getPath())
+            if not f.getPath().getName().startswith(("_", "."))
+        )
+        counts[int(name.split("=", 1)[1])] = n
+    return counts
+
+
 def ivfpq_compact_index(spark, path: str) -> dict:
     """Compact merge-fragmented cell partitions back to ONE file per
     cell — the ordinary parquet maintenance an append-based index
@@ -1214,19 +1241,17 @@ def ivfpq_compact_index(spark, path: str) -> dict:
     (Delta/Iceberg OPTIMIZE/rewrite_data_files) closes the window when
     that risk is unacceptable. Same single-writer rule as merge — do
     not compact concurrently with a merge. Idempotent: a second
-    compaction finds nothing fragmented. Returns
+    compaction finds nothing fragmented. Fragmented cells are found by
+    the METADATA listing (:func:`ivfpq_cell_file_counts`) — no
+    tag-every-row ``input_file_name`` scan of the index; only the
+    multi-file cells' bytes are ever read. Returns
     ``{"n_cells_compacted", "n_rows_rewritten"}``."""
-    codes = spark.read.parquet(f"{path}/codes")
     fragmented = [
-        r.cell
-        for r in codes.withColumn("_f", F.input_file_name())
-        .groupBy("cell")
-        .agg(F.countDistinct("_f").alias("_nf"))
-        .filter(F.col("_nf") > 1)
-        .collect()
+        c for c, n in ivfpq_cell_file_counts(spark, path).items() if n > 1
     ]
     if not fragmented:
         return {"n_cells_compacted": 0, "n_rows_rewritten": 0}
+    codes = spark.read.parquet(f"{path}/codes")
     sub = (
         codes.filter(F.col("cell").isin(fragmented))
         .withColumn("cell", F.col("cell").cast("long"))

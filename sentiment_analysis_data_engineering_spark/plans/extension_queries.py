@@ -1018,6 +1018,104 @@ def ann_index_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ann_index_autocompact_stream",
+    oracle="""
+    SELECT CAST(3 AS BIGINT) AS n_batches,
+           (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+            WHERE vec_id % 5 IN (0, 2, 3)) AS total_added,
+           (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_indexed,
+           TRUE AS compact_fired_ok,
+           TRUE AS fragmentation_bounded_ok,
+           TRUE AS index_complete_ok
+    """,
+)
+def ann_index_autocompact_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hands-free index maintenance, driver-gated end to end: the REAL
+    Structured Streaming maintainer
+    (streaming/events.py::run_ivfpq_merge_stream) ingests three
+    single-file micro-batches into a persisted IVF-PQ index with
+    ``auto_compact_max_files=3`` armed. Each merge appends one file to
+    every cell its batch touches, so by the second batch some cell
+    reaches 3 files — the zero-data-read metadata listing
+    (operators/similarity.py::ivfpq_cell_file_counts) sees it and the
+    trigger compacts, bounding worst-case probe file count at the
+    threshold FOREVER without an operator on call. The trigger runs
+    inside foreachBatch, so the single-writer rule holds by
+    construction; merge insert-idempotence + compaction idempotence
+    make the pair replay-safe across crashes.
+
+    Hash-gated contract (one summary row — per-batch rows would hang
+    the gate on file-source delivery order, which ties on modification
+    time):
+
+    - ``n_batches`` / ``total_added``  — the stream delivered every
+      landed file exactly once and merged exactly the delta;
+    - ``compact_fired_ok``             — auto-compaction actually ran
+      (≥ 1 cell rewritten by the trigger, not by a caller);
+    - ``fragmentation_bounded_ok``     — every batch observed ≤
+      threshold files/cell AND the final listing does too;
+    - ``index_complete_ok``            — post-stream codes hold every
+      corpus id exactly once (compaction lost nothing).
+
+    Scale story: the fragmentation probe is ~n_cells metadata calls
+    per micro-batch (never a scan), compaction rewrites only
+    multi-file cells, and the threshold turns probe IO from
+    O(merges since last manual compact) into O(1). Bench shape is
+    fixed streaming overhead (3 micro-batch round-trips + writes), not
+    data-scaled work."""
+    import shutil
+    import tempfile
+
+    from ..streaming.events import run_ivfpq_merge_stream
+
+    (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    corpus = embeddings.select("vec_id", "embedding")
+    base = corpus.filter(~(F.col("vec_id") % 5).isin([0, 2, 3]))
+    n_corpus = _table_rowcount(spark, sf_dir, "embeddings")
+
+    tmp = tempfile.mkdtemp(prefix="spark_graft_ivfpq_ac_")
+    path = f"{tmp}/idx"
+    try:
+        sim.ivfpq_write_index(base, path, vec_col="embedding", id_col="vec_id")
+        landing = f"{tmp}/landing"
+        for k in (0, 2, 3):  # three single-file micro-batches
+            corpus.filter(F.col("vec_id") % 5 == k).coalesce(1).write.parquet(
+                landing, mode="append"
+            )
+        stream = (
+            spark.readStream.schema(corpus.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        stats = run_ivfpq_merge_stream(
+            stream, path, checkpoint=f"{tmp}/ckpt",
+            vec_col="embedding", id_col="vec_id",
+            auto_compact_max_files=3,
+        )
+        frag = sim.ivfpq_cell_file_counts(spark, path)
+        final = spark.read.parquet(f"{path}/codes").agg(
+            F.count("*").alias("_n"),
+            F.countDistinct("neighbor_id").alias("_nd"),
+        ).first()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(
+            len(stats),
+            sum(s["n_added"] for s in stats),
+            final._n,
+            sum(s["n_cells_compacted"] for s in stats) > 0,
+            all(s["max_files_per_cell"] <= 3 for s in stats)
+            and max(frag.values()) <= 3,
+            final._n == final._nd == n_corpus,
+        )],
+        "n_batches long, total_added long, n_indexed long, "
+        "compact_fired_ok boolean, fragmentation_bounded_ok boolean, "
+        "index_complete_ok boolean",
+    )
+
+
 _ANN_RERANK_ORACLE = """
 SELECT vec_id AS query_id,
        CAST(5 AS BIGINT) AS n_results,

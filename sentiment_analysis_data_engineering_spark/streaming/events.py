@@ -575,6 +575,7 @@ def run_ivfpq_merge_stream(
     checkpoint: str,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    auto_compact_max_files: int | None = None,
 ) -> list[dict]:
     """Streaming maintenance of a PERSISTED IVF-PQ index: each
     micro-batch of new vectors merges into the index under the frozen
@@ -590,17 +591,47 @@ def run_ivfpq_merge_stream(
     exactly the rows the index does not already hold — the
     exactly-once effect from operator algebra instead of transactions.
 
+    AUTO-COMPACTION (``auto_compact_max_files``): every merge appends
+    one file to each cell its batch touches, so probe IO per cell
+    grows with merge count until compacted. With a threshold set, the
+    maintainer checks fragmentation after each merge via the
+    zero-data-read metadata listing
+    (operators/similarity.py::ivfpq_cell_file_counts) and runs
+    ``ivfpq_compact_index`` when any cell reaches the threshold —
+    hands-free index maintenance, bounding worst-case probe file
+    count at ``auto_compact_max_files`` forever. The trigger runs
+    INSIDE foreachBatch, so it inherits the stream's serialization —
+    the single-writer rule (never compact concurrently with a merge)
+    holds by construction. Compaction is idempotent and the merge is
+    insert-idempotent, so a crash between merge and compact replays
+    safely: the re-delivered batch adds nothing and the trigger
+    re-fires on the still-fragmented layout.
+
     Returns the per-batch merge stats (batch_id, n_batch, n_added,
-    n_already) so callers can audit what the stream did."""
-    from ..operators.similarity import ivfpq_merge_index
+    n_already, plus max_files_per_cell / n_cells_compacted /
+    n_rows_rewritten when auto-compaction is armed) so callers can
+    audit what the stream did."""
+    from ..operators.similarity import (
+        ivfpq_cell_file_counts,
+        ivfpq_compact_index,
+        ivfpq_merge_index,
+    )
 
     stats: list[dict] = []
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
         s = ivfpq_merge_index(
-            batch_df.sparkSession, index_path, batch_df,
-            vec_col=vec_col, id_col=id_col,
+            spark, index_path, batch_df, vec_col=vec_col, id_col=id_col
         )
+        if auto_compact_max_files is not None:
+            frag = ivfpq_cell_file_counts(spark, index_path)
+            worst = max(frag.values(), default=0)
+            s["max_files_per_cell"] = worst
+            if worst >= auto_compact_max_files:
+                s.update(ivfpq_compact_index(spark, index_path))
+            else:
+                s.update({"n_cells_compacted": 0, "n_rows_rewritten": 0})
         stats.append({"batch_id": batch_id, **s})
 
     q = (

@@ -751,3 +751,63 @@ def test_streaming_ivfpq_merge_matches_batch_and_replays(spark, sf_dir, tmp_path
         ).collect()
     )
     assert probe == exact
+
+
+def test_streaming_ivfpq_merge_auto_compacts(spark, sf_dir, tmp_path):
+    """With auto_compact_max_files armed, the streaming maintainer
+    bounds per-cell file count forever: four single-file micro-batches
+    would fragment every touched cell to ~5 files, but the trigger
+    compacts whenever the metadata listing sees a cell at the
+    threshold — and the compacted index stays complete and exact."""
+    from sentiment_analysis_data_engineering_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 5 == 1)
+    delta = emb.filter(F.col("vec_id") % 5 != 1)
+    path = str(tmp_path / "idx")
+    sim.ivfpq_write_index(base, path)
+
+    stream_dir = str(tmp_path / "landing")
+    for k in (0, 2, 3, 4):
+        delta.filter(F.col("vec_id") % 5 == k).coalesce(1).write.parquet(
+            stream_dir, mode="append"
+        )
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    stats = st.run_ivfpq_merge_stream(
+        stream, path, checkpoint=str(tmp_path / "ckpt"),
+        auto_compact_max_files=3,
+    )
+    assert len(stats) == 4
+    assert sum(s["n_added"] for s in stats) == delta.count()
+    # the trigger actually fired at least once...
+    assert sum(s["n_cells_compacted"] for s in stats) > 0
+    # ...and every batch observed bounded fragmentation
+    assert all(s["max_files_per_cell"] <= 3 for s in stats)
+    # post-stream: no cell above the threshold, listing agrees
+    frag = sim.ivfpq_cell_file_counts(spark, path)
+    assert max(frag.values()) <= 3
+    # completeness + exactness survive compaction
+    codes = spark.read.parquet(f"{path}/codes")
+    agg = codes.agg(
+        F.count("*").alias("n"), F.countDistinct("neighbor_id").alias("nd")
+    ).first()
+    assert agg.n == agg.nd == emb.count()
+    queries = emb.filter(F.col("vec_id") < 3)
+    n = emb.count()
+    exact = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in sim.cosine_topk(
+            queries, emb, vec_col="embedding", id_col="vec_id", k=3
+        ).collect()
+    )
+    probe = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in sim.ivfpq_probe_index(
+            spark, path, queries, emb, k=3, n_probe=16, n_rerank=n
+        ).collect()
+    )
+    assert probe == exact
