@@ -63,86 +63,85 @@ SF0001 = "/root/testdata/sf0.001"
 # into CORRECTNESS_r{N}.json; round 2's 53-name list silently dropped
 # positions 51-53). Keep this list at EXACTLY <=50 names, priority:
 # (1) queries red or never driver-checked, oldest first, (2) queries
-# whose implementation changed since their last driver entry. This
-# round those two classes fill all 50 slots, so no regression canary
-# or r1-green re-check fits; every query outside the prefix (all
-# driver-green on their current implementations in r1/r2) is instead
+# whose implementation changed since their last driver entry,
+# (3) oldest-attested age canaries. Every query outside the prefix is
 # re-verified each round by a FULL tools/check_oracle.py run over the
-# whole registry, recorded in PROGRESS.jsonl for audit.
+# whole registry (at all three SFs), recorded in PROGRESS.jsonl.
 _GATE_FIRST = [
-    # ROUND-8 ROTATION (VERDICT r7 item 1). Priority order per the
-    # standing convention: (1) queries that have NEVER had a driver
-    # row, (2) queries whose implementation changed since their last
+    # ROUND-9 ROTATION (VERDICT r8 item 1). Standing priority order:
+    # (1) never driver-checked, (2) implementation changed since last
     # driver row, (3) oldest-attested age canaries. After this
-    # rotation ZERO queries in the registry carry a pre-r3
-    # attestation (the r7 target met in full).
-    # -- (1) NEW in round 8, never driver-checked
-    "classifier_learned_weights_filter",
+    # rotation the 33 remaining r3 attestations are refreshed, so the
+    # oldest row anywhere in the registry is r6; from r10 rotate
+    # oldest-first continuously (r6 rows next, alphabetical).
+    # -- (1) NEW in round 9, never driver-checked
+    "ann_index_delete_reembed",
+    "ann_index_drift_audit",
+    "ann_index_autocompact_stream",
+    "classifier_trained_model_filter",
+    "span_dedup_multiwidth",
+    # -- (2) implementation changed this round: ivfpq_merge_index
+    #    gained intra-batch id dedup + eager unpersist (lifecycle,
+    #    delete_reembed cover it); the checkpoint-pin registry rework
+    #    touched ann_rerank_topk / dedup_incremental_probe /
+    #    customer_balance_deciles / market_basket_part_pairs /
+    #    bpe_merge_stats / bpe_encode_stats / semantic_dedup_stats
+    #    (register_pinned routing — behavior-identical by design,
+    #    re-gated to prove it)
     "ann_index_lifecycle",
-    # -- (2) implementation changed this round: epoch_shuffle gained
-    #    pmod + the enforced id-range guard, ann_rerank_topk pins the
-    #    reranked frame, pq/ivfpq had train/encode/qtab extracted
-    #    into shared helpers (bit-identical by design — re-gated to
-    #    prove it)
-    "epoch_shuffle_stats",
     "ann_rerank_topk",
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    # -- (3) all 29 queries whose latest driver row is ROUND 2 — the
-    #    oldest attestations left in the registry (the full list the
-    #    r7 verdict enumerates)
-    "asof_join_last_signup",
-    "benchmark_contamination",
-    "customers_above_nation_avg",
-    "daily_event_gapfill",
-    "dedup_survivor_selection",
-    "disjunctive_predicate_revenue",
-    "document_chunks",
-    "gopher_repetition_signals",
-    "large_orders",
-    "min_cost_supplier_per_part",
-    "mixture_weighted_sample_sources",
-    "nation_pair_volume",
-    "order_count_distribution",
-    "order_flags_by_priority",
-    "outer_join_customer_orders",
-    "price_quantity_statistics",
-    "promo_revenue_share",
-    "range_join_error_windows",
-    "rank_functions_report",
-    "region_nation_rollcall",
-    "rolling_7day_customer_revenue",
-    "sequence_packing_stats",
-    "sole_late_supplier_waitlist",
-    "string_functions_report",
-    "supplier_part_volume",
-    "text_clean_and_mask",
-    "top_revenue_supplier",
-    "top_unshipped_orders",
-    "train_val_test_split",
-    # -- remaining 15 slots: r3-attested age canaries (all r3 rows
-    #    are equally aged; alphabetical prefix, the rest rotate next
-    #    round)
-    "array_functions_report",
-    "bigram_pmi_collocations",
-    "bloom_pruned_order_revenue",
-    "bpe_merge_stats",
-    "char_entropy_report",
-    "cms_user_counts",
-    "daily_new_returning_users",
-    "daily_ohlc_bars",
-    "daily_user_value_interp",
-    "daily_user_value_locf",
-    "data_quality_report",
     "dedup_incremental_probe",
-    "embedding_kmeans_sizes",
-    "embedding_quantize_error",
-    "ewma_user_value",
-    # Every query outside this prefix is r3-or-fresher on its current
+    "customer_balance_deciles",
+    "market_basket_part_pairs",
+    "bpe_merge_stats",
+    "bpe_encode_stats",
+    "semantic_dedup_stats",
+    # -- (3) the 33 remaining r3-attested queries (alphabetically
+    #    after ewma_user_value — the final tranche of the r7/r8
+    #    freshness plan)
+    "excess_volume_suppliers",
+    "forecast_revenue_change",
+    "full_outer_daily_activity",
+    "funnel_view_click_purchase",
+    "fuzzy_part_name_pairs",
+    "idle_rich_customers",
+    "important_parts_value_share",
+    "incremental_rollup_merge",
+    "join_view_maintenance",
+    "kcore_parts",
+    "late_ship_priority_counts",
+    "monthly_revenue_mom_growth",
+    "multimodal_decode_features",
+    "nation_market_share",
+    "order_priority_exists_counts",
+    "pagerank_copurchase_parts",
+    "pareto_revenue_by_segment",
+    "parts_supplier_diversity",
+    "product_profit_by_nation_year",
+    "returned_items_by_customer",
+    "rolling_zscore_anomalies",
+    "scd2_customer_history",
+    "small_quantity_revenue",
+    "snapshot_diff_orders",
+    "source_capped_docs",
+    "span_dedup_stats",
+    "table_profile_orders",
+    "template_doc_flags",
+    "token_length_buckets",
+    "triangle_counts_parts",
+    "unigram_logprob_score",
+    "weekly_retention_cohorts",
+    "winsorized_price_stats",
+    # -- (4) remaining 4 slots: oldest-attested (r6) age canaries,
+    #    alphabetical prefix; the rest rotate from r10
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "anti_join_new_keys",
+    # Every query outside this prefix is r6-or-fresher on its current
     # implementation and is re-verified each round by the FULL
-    # tools/check_oracle.py sweep (now run at sf0.001, sf0.01 AND
-    # sf0.1 — the standing cross-SF protocol) logged to
-    # PROGRESS.jsonl at HEAD.
+    # tools/check_oracle.py sweep (run at sf0.001, sf0.01 AND sf0.1 -
+    # the standing cross-SF protocol) logged to PROGRESS.jsonl at HEAD.
 ]
 assert len(_GATE_FIRST) <= 50, "driver gate checks only the first 50 queries"
 # _ordered() keeps only names present in the registry, so a typo here
