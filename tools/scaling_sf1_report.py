@@ -141,7 +141,7 @@ def render(times: dict[str, dict[str, float]]) -> str:
         "never to the surviving-edge recount, so total work ∝ m + "
         "rounds·|V| with an early fixed-point exit (the pre-r5 model "
         "\"rounds × surviving edges\" is obsolete); SemDeDup "
-        "(similarity.py:941,1097) fits k-means on a hash-ordered "
+        "(similarity.py:1547,1668) fits k-means on a hash-ordered "
         "max(8192, 32·k) TakeOrdered sample — the fit never touches "
         "the full corpus — then pays one Θ(n·k) assignment pass and a "
         "per-cluster-LOCAL pair join that stays linear at the fixed "
