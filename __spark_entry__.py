@@ -77,6 +77,7 @@ _GATE_FIRST = [
     # -- (1) NEW in round 9, never driver-checked
     "ann_index_delete_reembed",
     "ann_index_drift_audit",
+    "ann_index_retrain_cycle",
     "ann_index_autocompact_stream",
     "classifier_trained_model_filter",
     "span_dedup_multiwidth",
@@ -132,12 +133,11 @@ _GATE_FIRST = [
     "unigram_logprob_score",
     "weekly_retention_cohorts",
     "winsorized_price_stats",
-    # -- (4) remaining 4 slots: oldest-attested (r6) age canaries,
+    # -- (4) remaining 3 slots: oldest-attested (r6) age canaries,
     #    alphabetical prefix; the rest rotate from r10
     "ann_cosine_topk",
     "ann_ivf_topk",
     "ann_lsh_topk",
-    "anti_join_new_keys",
     # Every query outside this prefix is r6-or-fresher on its current
     # implementation and is re-verified each round by the FULL
     # tools/check_oracle.py sweep (run at sf0.001, sf0.01 AND sf0.1 -

@@ -187,6 +187,8 @@ HEADLINE = [
     "span_dedup_multiwidth",
     # round 9: hands-free streaming index maintenance (auto-compaction)
     "ann_index_autocompact_stream",
+    # round 9: drift signal acted on (audit -> retrain -> measured win)
+    "ann_index_retrain_cycle",
 ]
 
 

@@ -1116,6 +1116,127 @@ def ann_index_autocompact_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ann_index_retrain_cycle",
+    oracle="""
+    SELECT vec_id AS query_id,
+           CAST(5 AS BIGINT) AS n_results,
+           TRUE AS drift_improved_ok,
+           TRUE AS retrained_drift_ok,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+)
+def ann_index_retrain_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrain-cadence signal ACTED ON — closing the loop
+    `ann_index_drift_audit` opens: build on the 80% base, merge the
+    20% holdout (the frozen-quantizer regime), audit, RETRAIN the
+    whole index from the current corpus (`ivfpq_write_index` — retrain
+    IS a rebuild: fresh centroids + codebooks + re-encoded codes,
+    overwriting in place under the same single-writer rule as every
+    maintenance verb), audit again, probe.
+
+    Hash-gated contract per query row:
+
+    - ``drift_improved_ok``   — the merged-segment drift ratio STRICTLY
+      fell across the retrain, compared by exact integer
+      cross-multiplication of the two audits' error sums (n_vectors
+      cancel: s2ₘ·s1ᵦ < s1ₘ·s2ᵦ) — measured 1.48/1.52/1.09 → ≤1.01
+      at sf0.001/0.01/0.1;
+    - ``retrained_drift_ok``  — post-retrain drift ratio ≤ 5/4 (again
+      integer cross-multiplied; a fresh model sees both segments as
+      training data, so ≈1.0 is the expected value);
+    - ``recall_ok``           — the retrained index restores per-query
+      recall ≥ 0.6 at n_probe=4 — HALF the probe width the frozen
+      model needed for the same bound (`ann_index_lifecycle` probes
+      8 of 16; at n_probe=4 the frozen model's worst query measured
+      0.2). That halving is the economics of the cadence: the audit
+      says WHEN paying one retrain buys back cheap probes.
+
+    Scale story: retraining costs one bounded-sample model fit + one
+    full re-encode + rewrite — the most expensive maintenance verb,
+    which is exactly why it wants a measured trigger (the drift audit)
+    instead of a schedule guess. Same fixed-overhead bench shape as
+    the other lifecycle queries."""
+    import shutil
+    import tempfile
+
+    (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    corpus = embeddings.select("vec_id", "embedding")
+    base = corpus.filter(F.col("vec_id") % 5 != 0)
+    delta = corpus.filter(F.col("vec_id") % 5 == 0)
+    queries_df = corpus.filter(F.col("vec_id") < 10)
+    n_corpus = _table_rowcount(spark, sf_dir, "embeddings")
+    seg = corpus.withColumn(
+        "segment",
+        F.when(F.col("vec_id") % 5 == 0, "merged").otherwise("base"),
+    )
+
+    def audit(path):
+        return {
+            r.segment: r
+            for r in sim.ivfpq_drift_audit(
+                spark, path, seg,
+                vec_col="embedding", id_col="vec_id", segment_col="segment",
+            ).collect()  # 2 rows — bounded model-state class
+        }
+
+    tmp = tempfile.mkdtemp(prefix="spark_graft_ivfpq_rt_")
+    path = f"{tmp}/idx"
+    try:
+        sim.ivfpq_write_index(base, path, vec_col="embedding", id_col="vec_id")
+        sim.ivfpq_merge_index(
+            spark, path, delta, vec_col="embedding", id_col="vec_id"
+        )
+        a1 = audit(path)
+        sim.ivfpq_write_index(  # retrain = full rebuild, fresh model
+            corpus, path, vec_col="embedding", id_col="vec_id"
+        )
+        a2 = audit(path)
+        probe = sim.ivfpq_probe_index(
+            spark, path, queries_df, corpus,
+            vec_col="embedding", id_col="vec_id",
+            k=5, n_probe=4, n_rerank=max(96, n_corpus // 8),
+        ).localCheckpoint(eager=True)
+        exact = sim.cosine_topk(
+            queries_df, corpus, vec_col="embedding", id_col="vec_id", k=5
+        )
+        hits = (
+            probe.join(exact, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count("*").alias("_hits"))
+        )
+        # all-integer drift comparisons (n_vectors identical across the
+        # two audits, so they cancel out of the ratio inequality)
+        s1m, s1b = a1["merged"].sum_qerr_micro, a1["base"].sum_qerr_micro
+        s2m, s2b = a2["merged"].sum_qerr_micro, a2["base"].sum_qerr_micro
+        drift_improved = s2m * s1b < s1m * s2b
+        retrained_ok = (
+            4 * s2m * a2["base"].n_vectors
+            <= 5 * s2b * a2["merged"].n_vectors
+        )
+        out = (
+            probe.groupBy("query_id")
+            .agg(F.count("*").alias("n_results"))
+            .join(hits, "query_id", "left")
+            .select(
+                "query_id",
+                "n_results",
+                F.lit(drift_improved).alias("drift_improved_ok"),
+                F.lit(retrained_ok).alias("retrained_drift_ok"),
+                (F.coalesce("_hits", F.lit(0)) >= F.lit(0.6) * 5).alias(
+                    "recall_ok"
+                ),
+            )
+            .localCheckpoint(eager=True)  # pin before the scratch dir dies
+        )
+        probe.unpersist()
+        dd.register_pinned(out)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 _ANN_RERANK_ORACLE = """
 SELECT vec_id AS query_id,
        CAST(5 AS BIGINT) AS n_results,
