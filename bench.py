@@ -259,6 +259,33 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     total = round(sum(timings.values()), 3)
+    # Persist the FULL per-query map to a file: the driver captures only
+    # the tail of this log, so the complete per-query breakdown of a
+    # 140+-query run never survives into BENCH_r{N}.json (round 9's tail
+    # held ~46 of 143 entries) — cross-round per-query audits need the
+    # whole map on disk. $SPARK_GRAFT_BENCH_PQ_OUT overrides the path
+    # (the closeout protocol points it at bench_per_query_r{N}.json and
+    # commits the result at final HEAD).
+    pq_out = os.environ.get(
+        "SPARK_GRAFT_BENCH_PQ_OUT",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_per_query.json"
+        ),
+    )
+    with open(pq_out, "w") as f:
+        json.dump(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "n_queries": len(timings),
+                "queries": timings,
+                "sf": sf_val,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
     # Full per-query line first...
     print(
         json.dumps(
