@@ -80,7 +80,16 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
 #: logical plan and frees it only via unpersist — a GC'd Python wrapper
 #: would leave the storage pinned AND unreachable. release_pinned() is
 #: the one cleanup path, so the refs must stay alive until it runs.
-_PINNED: list[DataFrame] = []
+#: Entries are (frame, recomputable): True for plain persists (safe to
+#: release early — consumers transparently recompute), False for
+#: registered localCheckpoints (lineage truncated — releasing before
+#: every lazy consumer materialized is unrecoverable).
+_PINNED: list[tuple[DataFrame, bool]] = []
+
+#: depth of currently-open pinned_scope() blocks — release_pinned()
+#: refuses to run inside one (it would drain frames the scope owns,
+#: see release_pinned's docstring).
+_SCOPE_DEPTH: int = 0
 
 
 def _pin(df: DataFrame, persist: bool) -> DataFrame:
@@ -103,7 +112,7 @@ def _pin(df: DataFrame, persist: bool) -> DataFrame:
     if not persist:
         return df
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _PINNED.append(df)
+    _PINNED.append((df, True))
     return df
 
 
@@ -122,8 +131,13 @@ def register_pinned(df: DataFrame) -> DataFrame:
     after release — only call :func:`release_pinned` once every lazy
     consumer of the registered frame has been materialized (all four
     harness call sites — check_oracle, gate_sim, bench, scaling — do
-    exactly that, releasing after each query's output is hashed)."""
-    _PINNED.append(df)
+    exactly that, releasing after each query's output is hashed).
+    Registered frames are TAGGED non-recomputable in the registry, and
+    :func:`release_pinned` refuses to run inside an active
+    :func:`pinned_scope` — the two misuse shapes that would turn this
+    documented contract into a distant job failure both fail loudly at
+    the release site instead."""
+    _PINNED.append((df, False))
     return df
 
 
@@ -133,10 +147,24 @@ def release_pinned() -> int:
     the operator's output has been materialized (written/collected) —
     lazily-held outputs over PERSISTED frames transparently recompute;
     frames registered via :func:`register_pinned` that are
-    localCheckpoints do NOT (truncated lineage), so materialize first."""
+    localCheckpoints do NOT (truncated lineage), so materialize first.
+
+    Raises RuntimeError when called inside an active
+    :func:`pinned_scope`: the global drain would release frames the
+    scope still owns — including lineage-truncated checkpoints whose
+    consumers have not materialized yet, an UNRECOVERABLE job failure
+    at some distant action. The misordering fails loudly here, at the
+    release site, instead (r9 advice)."""
+    if _SCOPE_DEPTH:
+        raise RuntimeError(
+            "release_pinned() called inside an active pinned_scope(): the "
+            "scope owns its frames (registered localCheckpoints cannot "
+            "recompute after release) — let the scope exit drain them, or "
+            "release after it closes"
+        )
     n = 0
     while _PINNED:
-        _PINNED.pop().unpersist()
+        _PINNED.pop()[0].unpersist()
         n += 1
     return n
 
@@ -156,13 +184,19 @@ def pinned_scope() -> Iterator[None]:
 
     Exit unpersists, so outputs must be materialized (written /
     collected) inside the block — a frame held lazily past the exit
-    recomputes its signatures from scratch on next use."""
+    recomputes its signatures from scratch on next use (true for plain
+    persists only; registered localCheckpoints cannot recompute, which
+    is why :func:`release_pinned` refuses to run while a scope is
+    open)."""
+    global _SCOPE_DEPTH
     mark = len(_PINNED)
+    _SCOPE_DEPTH += 1
     try:
         yield
     finally:
+        _SCOPE_DEPTH -= 1
         while len(_PINNED) > mark:
-            _PINNED.pop().unpersist()
+            _PINNED.pop()[0].unpersist()
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -127,6 +127,41 @@ def test_release_pinned_frees_storage(spark, weird):
     assert dd.release_pinned() == 0
 
 
+def test_release_pinned_refused_inside_scope(spark, weird):
+    """The global drain inside an active pinned_scope would release
+    frames the scope owns — including lineage-truncated checkpoints
+    that CANNOT recompute. The misordering must fail loudly at the
+    release site, not as a distant job failure (r9 advice item 3)."""
+    dd.release_pinned()
+    with dd.pinned_scope():
+        pairs = dd.ngram_jaccard_pairs(weird, "text", "doc_id")
+        pairs.count()  # materialize inside the scope, per contract
+        with pytest.raises(RuntimeError, match="active pinned_scope"):
+            dd.release_pinned()
+    # scope exit drained its own pins; the registry is usable again
+    assert dd.release_pinned() == 0
+    # nesting: the guard holds at every depth and unwinds cleanly
+    with dd.pinned_scope():
+        with dd.pinned_scope():
+            with pytest.raises(RuntimeError, match="active pinned_scope"):
+                dd.release_pinned()
+        with pytest.raises(RuntimeError, match="active pinned_scope"):
+            dd.release_pinned()
+    assert dd.release_pinned() == 0
+
+
+def test_register_pinned_tagged_and_released(spark):
+    """register_pinned tags frames non-recomputable in the registry
+    (the misuse-detection bookkeeping) and release_pinned still frees
+    them outside any scope."""
+    df = spark.range(5).localCheckpoint(eager=True)
+    dd.release_pinned()
+    out = dd.register_pinned(df)
+    assert out is df
+    assert dd._PINNED[-1] == (df, False)  # tagged: cannot recompute
+    assert dd.release_pinned() == 1
+
+
 def test_template_doc_flags_survives_nulls_and_empty(spark, weird):
     out = dd.template_doc_flags(weird, "text", "doc_id", hot_min_docs=2)
     got = {r.doc_id: r for r in out.collect()}
