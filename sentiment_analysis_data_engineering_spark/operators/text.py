@@ -670,6 +670,156 @@ def longest_duplicated_span(
     )
 
 
+def longest_duplicated_span_exact(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    widths: tuple = (8, 16, 32),
+    max_iter: int = 40,
+) -> DataFrame:
+    """EXACT longest-duplicated-span length (r9 verdict item 7): the
+    cascade above brackets each doc's longest corpus-wide exact
+    duplicate to a factor of 2; this refines the bracket to the exact
+    token length by BINARY SEARCH on window width, run only over the
+    flagged docs. Returns (id, n_tokens, max_dup_width,
+    exact_dup_len): ``exact_dup_len`` is the true maximum w such that
+    some rolling w-token window of the doc occurs ≥ 2 times
+    corpus-wide, for every doc with ``exact_dup_len >= min(widths)``;
+    0 still means "< min(widths)" (refining below the policy floor
+    would explode windows for EVERY doc — the floor is what keeps the
+    search rare-case-sized).
+
+    Why restricting window generation to flagged docs stays EXACT (the
+    cascade-pruning argument, one level up): any duplicated m-window
+    (m ≥ the ladder floor) places BOTH its occurrences in docs whose
+    true longest-dup ≥ m, and the search INVARIANT keeps every doc's
+    upper bound ``hi`` strictly above its true length — so generating
+    width-m windows from every doc with ``hi > m`` covers every
+    occurrence that could certify a duplicate, and each doc's own
+    probe at its bisection midpoint is answered exactly. Per pass:
+    one explode over the still-flagged docs (several widths per pass,
+    one per live bisection interval), one map-side-combining count on
+    (width, window text), one semi-join back — the same
+    no-sort/no-pairs shape as the cascade, O(log max_doc_tokens)
+    passes, each checkpointed like the graph fixed-points. Duplicated
+    docs are the rare case, so pass volume ∝ flagged docs only. At
+    100 TB the same xxhash64(window)-key substitution applies."""
+    ws = sorted(set(int(w) for w in widths))
+    if not ws or ws[0] < 1:
+        raise ValueError(f"widths must be positive, got {widths!r}")
+    toks = df.select(
+        F.col(id_col).alias("_id"), tokens(text_col).alias("_t")
+    )
+    ladder = longest_duplicated_span(
+        df, text_col, id_col, widths=widths
+    ).localCheckpoint(eager=True)  # referenced by the loop and the output
+
+    # bisection state over flagged docs: lo = a width the doc IS
+    # duplicated at, hi = a width it provably is NOT (n_tokens + 1 =
+    # "no window that wide exists"); ladder failures seed hi
+    nxt = F.lit(None).cast("long")
+    for lower, upper in zip(ws[:-1], ws[1:]):
+        nxt = F.when(
+            F.col("max_dup_width") == lower, F.lit(upper).cast("long")
+        ).otherwise(nxt)
+    state = (
+        ladder.filter(F.col("max_dup_width") > 0)
+        .select(
+            F.col(id_col).alias("_id"),
+            "n_tokens",
+            F.col("max_dup_width").alias("_lo"),
+            F.least(
+                F.coalesce(nxt, F.col("n_tokens") + 1),
+                F.col("n_tokens") + 1,
+            ).alias("_hi"),
+        )
+        .join(toks, "_id")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        gap = state.agg(F.max(F.col("_hi") - F.col("_lo")).alias("g")).first().g
+        if gap is None or gap <= 1:
+            break
+        live = (F.col("_hi") - F.col("_lo")) > 1
+        mid = ((F.col("_lo") + F.col("_hi")) / 2).cast("long")
+        mids = (
+            state.filter(live).select(mid.alias("_m")).distinct()
+        )  # ≤ live bisection intervals — width values, never doc-sized
+        # generators: every doc whose bound still allows a dup at _m —
+        # the exactness closure above; a tiny theta-join on broadcast
+        # width values, then one explode per (doc, width)
+        gens = state.join(
+            F.broadcast(mids),
+            (F.col("_hi") > F.col("_m"))
+            & (F.col("n_tokens") >= F.col("_m")),
+        )
+        wins = gens.select(
+            "_id",
+            "_m",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    (F.col("n_tokens") - F.col("_m")).cast("long"),
+                )
+            ).alias("_pos"),
+            "_t",
+        ).select(
+            "_id",
+            "_m",
+            F.array_join(
+                F.slice(
+                    F.col("_t"), (F.col("_pos") + 1).cast("int"),
+                    F.col("_m").cast("int"),
+                ),
+                " ",
+            ).alias("_span"),
+        )
+        dup = (
+            wins.groupBy("_m", "_span")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") >= 2)
+            .select("_m", "_span")
+        )
+        hits = (
+            wins.join(dup, ["_m", "_span"], "left_semi")
+            .select("_id", "_m")
+            .distinct()
+            .withColumn("_hit", F.lit(True))
+        )
+        probed = state.withColumn("_m", F.when(live, mid))
+        updated = probed.join(hits, ["_id", "_m"], "left").select(
+            "_id",
+            "_t",
+            "n_tokens",
+            F.when(F.col("_m").isNotNull() & F.col("_hit"), F.col("_m"))
+            .otherwise(F.col("_lo"))
+            .alias("_lo"),
+            F.when(F.col("_m").isNotNull() & F.col("_hit").isNull(), F.col("_m"))
+            .otherwise(F.col("_hi"))
+            .alias("_hi"),
+        )
+        prev = state
+        state = updated.localCheckpoint(eager=True)
+        prev.unpersist()
+    else:
+        raise RuntimeError(
+            f"longest_duplicated_span_exact did not converge in "
+            f"{max_iter} passes"
+        )
+    out = ladder.join(
+        state.select("_id", F.col("_lo").alias("_exact")),
+        ladder[id_col] == F.col("_id"),
+        "left",
+    ).select(
+        id_col,
+        "n_tokens",
+        "max_dup_width",
+        F.coalesce("_exact", F.lit(0)).cast("long").alias("exact_dup_len"),
+    )
+    return out
+
+
 def remove_duplicate_spans(
     df: DataFrame,
     text_col: str,

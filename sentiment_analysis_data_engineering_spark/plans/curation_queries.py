@@ -115,10 +115,29 @@ def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit AS (
       SELECT DISTINCT wins.doc_id, wins.w
       FROM wins JOIN dup ON dup.w = wins.w AND dup.span = wins.span
+    ),
+    flag8 AS (SELECT DISTINCT doc_id FROM hit WHERE w = 8),
+    allw AS (
+      SELECT w.w, toks.doc_id,
+             array_to_string(t[g.i+1 : g.i+w.w], ' ') AS span
+      FROM toks JOIN flag8 USING (doc_id),
+           unnest(generate_series(8, len(t))) AS w(w),
+           unnest(generate_series(0, len(t) - w.w)) AS g(i)
+    ),
+    dupw AS (
+      SELECT w, span FROM allw GROUP BY w, span HAVING count(*) >= 2
+    ),
+    exact AS (
+      SELECT allw.doc_id, max(allw.w) AS e
+      FROM allw JOIN dupw ON dupw.w = allw.w AND dupw.span = allw.span
+      GROUP BY allw.doc_id
     )
     SELECT toks.doc_id, CAST(len(toks.t) AS BIGINT) AS n_tokens,
-           CAST(coalesce(max(hit.w), 0) AS BIGINT) AS max_dup_width
-    FROM toks LEFT JOIN hit ON hit.doc_id = toks.doc_id
+           CAST(coalesce(max(hit.w), 0) AS BIGINT) AS max_dup_width,
+           CAST(coalesce(any_value(exact.e), 0) AS BIGINT) AS exact_dup_len
+    FROM toks
+    LEFT JOIN hit ON hit.doc_id = toks.doc_id
+    LEFT JOIN exact ON exact.doc_id = toks.doc_id
     GROUP BY toks.doc_id, len(toks.t)
     """,
 )
@@ -131,24 +150,31 @@ def span_dedup_multiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
     substrings at ANY alignment — the disjoint 8-token grid of
     span_dedup_stats misses a copied run that straddles its
     boundaries). ``max_dup_width`` brackets each doc's longest exact
-    duplicate to a factor of 2 — the signal a rewrite policy (cut the
-    span, drop the doc, downweight) acts on.
+    duplicate to a factor of 2; ``exact_dup_len`` (r9 verdict item 7)
+    refines the bracket to the TRUE maximum duplicated-window length
+    by binary search on width over the flagged docs only
+    (operators/text.py::longest_duplicated_span_exact) — 0 still
+    means "< 8", the policy floor.
 
     Plan: a multi-width CASCADE with EXACT pruning — a duplicated
     2w-window's w-prefix is itself duplicated, so each wider pass
-    explodes windows only for docs flagged at the narrower width.
-    Every pass is explode → map-side-combining count on the window
-    text → semi-join; no window function, no sort, no pairs, and the
-    exploded volume decays geometrically up the ladder (duplicated
-    content is the rare case). The DuckDB oracle brute-forces all
-    three widths with no pruning — agreement proves the cascade drops
-    nothing. At 100 TB, group on xxhash64(window) instead of text
-    (same plan, ~8-byte shuffle keys); text kept here for oracle
-    parity."""
-    from ..operators.text import longest_duplicated_span
+    explodes windows only for docs flagged at the narrower width; the
+    exact refinement continues the same argument down to single-token
+    resolution in O(log max_doc_tokens) bisection passes (the
+    partner-occurrence closure in the operator docstring is why
+    flagged-docs-only generation stays exact). Every pass is explode →
+    map-side-combining count on the window text → semi-join; no window
+    function, no sort, no pairs, and the exploded volume decays
+    geometrically up the ladder (duplicated content is the rare case).
+    The DuckDB oracle brute-forces all three ladder widths AND every
+    width 8..len(t) over the flagged docs with no pruning or bisection
+    — agreement proves both the cascade and the search drop nothing.
+    At 100 TB, group on xxhash64(window) instead of text (same plan,
+    ~8-byte shuffle keys); text kept here for oracle parity."""
+    from ..operators.text import longest_duplicated_span_exact
 
     (documents,) = load_tables(spark, sf_dir, "documents")
-    return longest_duplicated_span(
+    return longest_duplicated_span_exact(
         documents, "text", "doc_id", widths=(8, 16, 32)
     )
 
