@@ -546,16 +546,47 @@ def _lloyd(X, k: int, iters: int):
 
 
 def _sample_normalized(
-    corpus: DataFrame, vec_col: str, id_col: str, train_rows: int
+    corpus: DataFrame, vec_col: str, id_col: str, train_rows: int,
+    *, sample_order: str = "id",
 ):
-    """Bounded deterministic training sample: the ``train_rows``
-    smallest-id vectors, L2-normalized — the model-build collect every
-    quantizer here trains from."""
+    """Bounded deterministic training sample, L2-normalized — the
+    model-build collect every Lloyd-trained quantizer here fits from.
+
+    ``sample_order`` picks the deterministic draw:
+
+    - ``"id"`` — the ``train_rows`` smallest-id vectors. Right for the
+      AD-HOC operators (``pq_cosine_topk`` / ``ivfpq_cosine_topk``):
+      they refit from scratch on the full current corpus at every
+      call, so there is no frozen-model staleness for sample bias to
+      compound with (same stance as ``ivf_cosine_topk``'s documented
+      smallest-id centroid sample).
+    - ``"hash"`` — ``train_rows`` vectors in ``xxhash64(id)`` order
+      (id tiebreak). REQUIRED for the persisted index
+      (``ivfpq_write_index``) and therefore for every retrain (r10):
+      ids correlate with ingestion time in any real pipeline, so a
+      smallest-id sample would train every (re)build on the OLDEST
+      rows — the one subset a drift-triggered RETRAIN must not be
+      limited to (the retrain exists precisely because the NEWEST rows
+      moved; measured on the auto-retrain fixture, an id-prefix
+      rebuild left the merged distribution entirely out of the fit and
+      the drift ratio never recovered). Uniform-coverage, still
+      RNG-free and bit-replayable — the same scheme
+      ``kmeans_clusters``'s fit_sample_rows uses, for the same reason.
+
+    Cost shape identical either way: a global top-``train_rows``
+    (TakeOrdered), one bounded collect."""
     import numpy as np
 
+    if sample_order not in ("id", "hash"):
+        raise ValueError(f"sample_order must be 'id' or 'hash', got {sample_order!r}")
+    order = (
+        [F.col(id_col)]
+        if sample_order == "id"
+        else [F.xxhash64(F.col(id_col)), F.col(id_col)]
+    )
     sample = (
         corpus.select(id_col, vec_col)
-        .orderBy(F.col(id_col))
+        .orderBy(*order)
         .limit(train_rows)
         .collect()
     )
@@ -589,7 +620,9 @@ def _pq_codebooks(
     per-query recall down to 0.2; 64 Lloyd-trained codes with top-96
     re-rank hold 0.6-0.8 worst-query). Training is
     the bounded-model-build action class: collect the ``train_rows``
-    smallest-id vectors (deterministic — no RNG anywhere), L2-normalize,
+    smallest-id vectors (deterministic — no RNG anywhere; the ad-hoc
+    "id" draw of ``_sample_normalized``, fine here because PQ refits
+    per call), L2-normalize,
     slice into subspaces, run ``iters`` Lloyd iterations per subspace
     with first-``n_codes``-subvectors init; empty clusters re-seed from
     the worst-quantized points (farthest-point heuristic), ties resolve
@@ -819,14 +852,20 @@ def _ivfpq_train_model(
     n_codes: int,
     train_rows: int,
     iters: int,
+    sample_order: str = "id",
 ):
     """Deterministic IVF-PQ model fit (bounded-sample driver Lloyd):
     returns ``(C, books)`` — the (n_cells, dim) coarse centroids and
     the ``m`` per-subspace RESIDUAL codebooks (each (n_codes, dim/m)).
     Residual codebooks are shared across cells (the standard IVFPQ
     choice — per-cell books multiply model size by n_cells). No RNG
-    anywhere, so the model is bit-replayable from the same corpus."""
-    V = _sample_normalized(corpus, vec_col, id_col, train_rows)
+    anywhere, so the model is bit-replayable from the same corpus.
+    ``sample_order`` follows ``_sample_normalized``: "id" for the
+    ad-hoc one-shot operator, "hash" for the persisted/retrained
+    index."""
+    V = _sample_normalized(
+        corpus, vec_col, id_col, train_rows, sample_order=sample_order
+    )
     dim = V.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
@@ -962,6 +1001,7 @@ def ivfpq_cosine_topk(
     n_rerank: int = 96,
     train_rows: int = 256,
     iters: int = 10,
+    sample_order: str = "id",
 ) -> DataFrame:
     """IVF-PQ approximate top-k (Jégou et al., TPAMI 2011 — the FAISS
     ``IVFx,PQy`` architecture): a Lloyd-trained coarse quantizer of
@@ -984,11 +1024,15 @@ def ivfpq_cosine_topk(
     query-table stages are shared verbatim with the PERSISTED index
     lifecycle (``ivfpq_write_index`` / ``ivfpq_merge_index`` /
     ``ivfpq_probe_index``), so an ad-hoc query and an index probe are
-    the same arithmetic."""
+    the same arithmetic (pass ``sample_order="hash"`` to fit from the
+    same draw the persisted index uses — the equality law in
+    tests/test_similarity.py does; the ad-hoc default stays "id", see
+    ``_sample_normalized``)."""
     C, books = _ivfpq_train_model(
         corpus, vec_col, id_col,
         n_cells=n_cells, m=m, n_codes=n_codes,
         train_rows=train_rows, iters=iters,
+        sample_order=sample_order,
     )
     enc = _ivfpq_encode(corpus, vec_col, id_col, C, books)
     qtab = _ivfpq_query_tables(queries, vec_col, id_col, C, books, n_probe)
@@ -1045,12 +1089,18 @@ def ivfpq_write_index(
     encoding is one Arrow pass; the codes land partitioned by cell so
     probes prune directories. Model params are not stored separately —
     ``ivfpq_read_model`` derives them from the keyed centroid/codebook
-    rows. Returns ``{"n_indexed", "n_cells", "m", "n_codes", "dim"}``."""
+    rows. The fit sample is HASH-ordered (``_sample_normalized``
+    sample_order="hash"): a persisted index gets REBUILT by
+    drift-triggered retrains, and an id-prefix sample would train
+    every rebuild on the oldest rows — exactly the rows a retrain must
+    not be limited to. Returns ``{"n_indexed", "n_cells", "m",
+    "n_codes", "dim"}``."""
     spark = corpus.sparkSession
     C, books = _ivfpq_train_model(
         corpus, vec_col, id_col,
         n_cells=n_cells, m=m, n_codes=n_codes,
         train_rows=train_rows, iters=iters,
+        sample_order="hash",
     )
     dim = len(C[0])
     spark.createDataFrame(
@@ -1146,7 +1196,14 @@ def ivfpq_merge_index(
     merges (the streaming twin's foreachBatch does exactly that), or
     move the codes table to an ACID table format (Delta/Iceberg
     MERGE) when multiple writers are unavoidable. Returns
-    ``{"n_batch", "n_added", "n_already"}``."""
+    ``{"n_batch", "n_added", "n_already", "n_id_conflicts"}`` —
+    ``n_id_conflicts`` counts batch ids presented with two DIFFERENT
+    vectors (malformed upstream; resolved deterministically, see the
+    inline note)."""
+    # heal any interrupted compact/delete swap BEFORE the dedup probe:
+    # an un-recovered rolled-back cell would be invisible to the
+    # anti-join and its ids re-added, duplicating rows once recovered
+    ivfpq_recover_index(spark, path)
     C, books, meta = ivfpq_read_model(spark, path)
     enc = _ivfpq_encode(new_vectors, vec_col, id_col, C, books)
     # Intra-batch id dedup BEFORE the index anti-join: the anti-join
@@ -1155,14 +1212,32 @@ def ivfpq_merge_index(
     # twice, breaking the count==countDistinct completeness invariant.
     # Encode is deterministic per (id, vector), so duplicate ids with
     # an unchanged vector are identical rows and dropping either is
-    # exact; a batch carrying the same id with two DIFFERENT vectors is
+    # exact. A batch carrying the same id with two DIFFERENT vectors is
     # a malformed upstream (that is the delete+reembed SCD path, not
-    # merge) and keeps exactly one arbitrarily. n_batch counts the
-    # DISTINCT ids presented.
-    enc = enc.dropDuplicates(["neighbor_id"])
-    enc = enc.localCheckpoint(eager=True)  # encode once: cells + dedup + write
-    batch_cells = [r.cell for r in enc.select("cell").distinct().collect()]
+    # merge): the pick is made DETERMINISTIC (max (cell, codes) struct —
+    # arrays order lexicographically) so a replayed malformed batch
+    # still converges to one on-disk state, and the conflict is
+    # COUNTED in the returned stats (``n_id_conflicts``) so the
+    # upstream defect is observable instead of silently resolved.
+    # Same shuffle shape as the dropDuplicates it replaces (one hash
+    # agg keyed on id). n_batch counts the DISTINCT ids presented.
+    enc = (
+        enc.groupBy("neighbor_id")
+        .agg(
+            F.max(F.struct("cell", "codes")).alias("_mx"),
+            F.min(F.struct("cell", "codes")).alias("_mn"),
+        )
+        .localCheckpoint(eager=True)  # encode once: cells + stats + write
+    )
+    n_conflicts = enc.filter(F.col("_mx") != F.col("_mn")).count()
     n_batch = enc.count()
+    enc_pick = enc.select(
+        "neighbor_id", F.col("_mx.cell").alias("cell"),
+        F.col("_mx.codes").alias("codes"),
+    )
+    batch_cells = [
+        r.cell for r in enc_pick.select("cell").distinct().collect()
+    ]
     existing = (
         spark.read.parquet(f"{path}/codes")
         .filter(F.col("cell").isin(batch_cells))
@@ -1170,9 +1245,9 @@ def ivfpq_merge_index(
     )
     # pin the surviving rows once: the append write and the n_added
     # count would otherwise each recompute the anti-join
-    fresh = enc.join(existing, "neighbor_id", "left_anti").localCheckpoint(
-        eager=True
-    )
+    fresh = enc_pick.join(
+        existing, "neighbor_id", "left_anti"
+    ).localCheckpoint(eager=True)
     n_added = fresh.count()
     if n_added:  # an all-duplicate batch never touches the index files
         fresh.repartition(F.col("cell")).write.mode("append").partitionBy(
@@ -1187,6 +1262,7 @@ def ivfpq_merge_index(
         "n_batch": n_batch,
         "n_added": n_added,
         "n_already": n_batch - n_added,
+        "n_id_conflicts": n_conflicts,
     }
 
 
@@ -1216,6 +1292,89 @@ def ivfpq_cell_file_counts(spark, path: str) -> dict:
     return counts
 
 
+def _index_fs(spark, path: str):
+    """(FileSystem, Path-constructor) for an index root — every swap /
+    recovery metadata operation below goes through the Hadoop
+    FileSystem API, so the same code runs on local/HDFS/S3A."""
+    jpath = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    fs = jpath(path).getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    return fs, jpath
+
+
+def _must_rename(fs, src, dst) -> None:
+    """Hadoop rename returns False instead of raising on most
+    failures — surface that as an error, never a silent no-op."""
+    if not fs.rename(src, dst):
+        raise IOError(f"rename failed: {src} -> {dst}")
+
+
+def ivfpq_recover_index(spark, path: str) -> dict:
+    """Heal an index interrupted mid-swap: ROLL BACK any cell whose
+    live directory went missing while its previous contents sit in
+    ``codes_trash`` (the one-rename-wide crash window of
+    :func:`_swap_staged_cells`), then discard ``codes_trash`` and any
+    pre-commit ``codes_staging`` data outright. After recovery the
+    codes table is exactly a state the interrupted verb is documented
+    to leave: already-swapped cells keep their new contents (compact
+    and delete are both per-cell idempotent, so RERUNNING the verb
+    completes the remainder), un-swapped cells are back to their
+    pre-verb contents, and no staged bytes linger. Called
+    automatically at the top of every maintenance WRITER (merge /
+    compact / delete) — cost is two directory-existence checks when
+    there is nothing to heal; readers (probe) stay mutation-free and
+    may observe the pre-recovery mix until the next writer runs.
+    Returns ``{"n_cells_rolled_back", "n_staging_discarded"}``."""
+    fs, jpath = _index_fs(spark, path)
+    trash = jpath(f"{path}/codes_trash")
+    staging = jpath(f"{path}/codes_staging")
+    rolled = 0
+    if fs.exists(trash):
+        for st in fs.listStatus(trash):
+            name = st.getPath().getName()
+            if not (st.isDirectory() and name.startswith("cell=")):
+                continue
+            live = jpath(f"{path}/codes/{name}")
+            if not fs.exists(live):
+                _must_rename(fs, st.getPath(), live)
+                rolled += 1
+        fs.delete(trash, True)
+    discarded = 0
+    if fs.exists(staging):
+        fs.delete(staging, True)
+        discarded = 1
+    return {"n_cells_rolled_back": rolled, "n_staging_discarded": discarded}
+
+
+def _swap_staged_cells(spark, path: str, cells) -> None:
+    """Commit staged replacement cell directories into the live codes
+    table, cell by cell: rename the live directory into
+    ``codes_trash`` (atomic metadata op), rename the staged
+    replacement in (second atomic op; skipped when the cell has no
+    staged data — that is how a delete empties a cell), then drop
+    trash + staging remnants. The only window where a cell is neither
+    old nor new is BETWEEN its two renames — one metadata operation
+    wide, and :func:`ivfpq_recover_index` rolls exactly that cell back
+    from trash on the next maintenance call, so no crash point loses
+    data. Callers must have VALIDATED the staged rows before invoking
+    (count read back from the staging parquet == expected)."""
+    fs, jpath = _index_fs(spark, path)
+    trash_dir = jpath(f"{path}/codes_trash")
+    fs.mkdirs(trash_dir)
+    for c in cells:
+        live = jpath(f"{path}/codes/cell={c}")
+        staged = jpath(f"{path}/codes_staging/cell={c}")
+        if fs.exists(live):
+            _must_rename(fs, live, jpath(f"{path}/codes_trash/cell={c}"))
+        if fs.exists(staged):
+            _must_rename(fs, staged, live)
+    # every cell swapped — the old bytes and staging remnants
+    # (_SUCCESS markers) are now garbage
+    fs.delete(trash_dir, True)
+    fs.delete(jpath(f"{path}/codes_staging"), True)
+
+
 def ivfpq_compact_index(spark, path: str) -> dict:
     """Compact merge-fragmented cell partitions back to ONE file per
     cell — the ordinary parquet maintenance an append-based index
@@ -1224,28 +1383,31 @@ def ivfpq_compact_index(spark, path: str) -> dict:
     until compacted).
 
     Scale shape: only MULTI-file cells are rewritten (single-file
-    cells are already compact and their bytes are never touched), the
-    fragmented subset is pinned before the overwrite (Spark refuses a
-    self-overwrite plan that still reads the target files; the
-    checkpoint satisfies that check), and the write uses DYNAMIC
-    partition overwrite so untouched cell directories survive.
+    cells are already compact and their bytes are never touched), and
+    the fragmented subset is pinned once (one read feeds the staging
+    write, the expected-count check and nothing else).
 
-    CRASH SAFETY — be honest about what plain parquet gives you: the
-    data is staged to _temporary files before commit, but the COMMIT
-    itself (delete the old cell directory, move the staged replacement
-    in) is not atomic. A crash inside that window loses the
-    fragmented cells' rows with no on-disk recovery path — treat
-    compaction as a maintenance window on a recoverable artifact (the
-    index can always be re-merged from upstream or retrained; it is
-    derived state, never the system of record). An ACID table format
-    (Delta/Iceberg OPTIMIZE/rewrite_data_files) closes the window when
-    that risk is unacceptable. Same single-writer rule as merge — do
-    not compact concurrently with a merge. Idempotent: a second
-    compaction finds nothing fragmented. Fragmented cells are found by
-    the METADATA listing (:func:`ivfpq_cell_file_counts`) — no
-    tag-every-row ``input_file_name`` scan of the index; only the
+    CRASH SAFETY — atomic per cell: replacement data is written to a
+    ``codes_staging`` sibling directory (the live index is never the
+    write target), VALIDATED by reading the staged parquet back and
+    comparing row counts, and only then committed by per-cell
+    directory renames (:func:`_swap_staged_cells`). A crash before the
+    swap leaves the live index byte-identical (stale staging is
+    discarded by :func:`ivfpq_recover_index`, which every maintenance
+    writer runs first); a crash mid-swap is healed by the same
+    recovery — each cell is either fully old or fully new, and the one
+    rename-wide window per cell rolls back from ``codes_trash``.
+    Probes running DURING a swap see each cell either old or new —
+    both hold identical rows for a compaction, so reads stay correct
+    throughout. An ACID table format (Delta/Iceberg OPTIMIZE) buys
+    multi-writer coordination on top; the single-writer rule here is
+    unchanged (never compact concurrently with a merge). Idempotent: a
+    second compaction finds nothing fragmented. Fragmented cells are
+    found by the METADATA listing (:func:`ivfpq_cell_file_counts`) —
+    no tag-every-row ``input_file_name`` scan of the index; only the
     multi-file cells' bytes are ever read. Returns
     ``{"n_cells_compacted", "n_rows_rewritten"}``."""
+    ivfpq_recover_index(spark, path)
     fragmented = [
         c for c, n in ivfpq_cell_file_counts(spark, path).items() if n > 1
     ]
@@ -1258,14 +1420,24 @@ def ivfpq_compact_index(spark, path: str) -> dict:
         .localCheckpoint(eager=True)
     )
     n_rows = sub.count()
+    staging = f"{path}/codes_staging"
     (
         sub.repartition(F.col("cell"))
         .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("cell")
-        .parquet(f"{path}/codes")
+        .parquet(staging)
     )
-    sub.unpersist()  # rewrite + count done — free the pinned subset
+    sub.unpersist()  # staging write + count done — free the pinned subset
+    n_staged = spark.read.parquet(staging).count()
+    if n_staged != n_rows:
+        # live index untouched — discard the bad stage and fail loudly
+        fs, jpath = _index_fs(spark, path)
+        fs.delete(jpath(staging), True)
+        raise IOError(
+            f"compact staging validation failed: staged {n_staged} rows, "
+            f"expected {n_rows} — live index left untouched"
+        )
+    _swap_staged_cells(spark, path, fragmented)
     return {"n_cells_compacted": len(fragmented), "n_rows_rewritten": n_rows}
 
 
@@ -1290,21 +1462,24 @@ def ivfpq_delete_ids(
       and aggregates to a ≤ n_cells collect. No full-width scan, no
       shuffle of the codes.
     - REWRITE touches only the cells that actually hold victims:
-      survivors of those cells are pinned (Spark refuses a
-      self-overwrite plan that still reads the target files) and
-      written back with DYNAMIC partition overwrite, so untouched cell
-      directories keep their bytes.
-    - Cells whose every row was deleted get their DIRECTORY removed
-      via the Hadoop FileSystem API (dynamic overwrite only replaces
-      partitions PRESENT in the output — an emptied cell produces no
-      output rows, so without the explicit remove its stale files
-      would survive and resurrect the deleted ids).
+      their survivors are staged to the ``codes_staging`` sibling
+      directory (never written over the live index), VALIDATED by
+      reading the staged parquet back and comparing counts, then
+      committed by per-cell atomic renames (:func:`_swap_staged_cells`
+      — same crash story as ``ivfpq_compact_index``: a crash before
+      the swap leaves the index byte-identical, a crash mid-swap is
+      rolled back per cell by :func:`ivfpq_recover_index` on the next
+      maintenance call; a rolled-back cell temporarily resurrects its
+      victims until the delete is RERUN, which the idempotence below
+      makes safe).
+    - Cells whose every row was deleted have no staged replacement, so
+      the swap removes their live directory and installs nothing —
+      emptied cells cannot resurrect from stale files.
 
-    Same single-writer rule and plain-parquet commit-window caveat as
-    ``ivfpq_compact_index`` (the index is derived state — recoverable
-    by re-merge or retrain). Idempotent: deleting absent ids rewrites
-    nothing. Returns ``{"n_deleted", "n_cells_rewritten",
-    "n_cells_emptied"}``."""
+    Same single-writer rule as ``ivfpq_compact_index``. Idempotent:
+    deleting absent ids rewrites nothing. Returns ``{"n_deleted",
+    "n_cells_rewritten", "n_cells_emptied"}``."""
+    ivfpq_recover_index(spark, path)
     if not isinstance(ids, DataFrame):
         id_t = (
             spark.read.parquet(f"{path}/codes")
@@ -1334,31 +1509,37 @@ def ivfpq_delete_ids(
         .withColumn("cell", F.col("cell").cast("long"))
         .localCheckpoint(eager=True)
     )
-    kept_cells = {
-        r.cell for r in survivors.select("cell").distinct().collect()
-    }
-    if kept_cells:
+    n_survivors = survivors.count()
+    kept_cells: set = set()
+    staging = f"{path}/codes_staging"
+    if n_survivors:
         (
             survivors.repartition(F.col("cell"))
             .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("cell")
-            .parquet(f"{path}/codes")
+            .parquet(staging)
         )
+        staged = spark.read.parquet(staging)
+        n_staged = staged.count()
+        if n_staged != n_survivors:
+            fs, jpath = _index_fs(spark, path)
+            fs.delete(jpath(staging), True)
+            survivors.unpersist()
+            raise IOError(
+                f"delete staging validation failed: staged {n_staged} "
+                f"rows, expected {n_survivors} — live index left untouched"
+            )
+        kept_cells = {
+            r.cell for r in staged.select("cell").distinct().collect()
+        }
     survivors.unpersist()
-    emptied = [c for c in affected if c not in kept_cells]
-    if emptied:
-        # works on any Hadoop-compatible FS (local, HDFS, S3A) — not a
-        # local-filesystem shortcut
-        hconf = spark.sparkContext._jsc.hadoopConfiguration()
-        jpath = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
-        for c in emptied:
-            p = jpath(f"{path}/codes/cell={c}")
-            p.getFileSystem(hconf).delete(p, True)
+    # the swap removes every affected live cell directory and installs
+    # staged survivors where they exist; emptied cells install nothing
+    _swap_staged_cells(spark, path, affected)
     return {
         "n_deleted": n_deleted,
         "n_cells_rewritten": len(kept_cells),
-        "n_cells_emptied": len(emptied),
+        "n_cells_emptied": len(affected) - len(kept_cells),
     }
 
 
@@ -1370,6 +1551,8 @@ def ivfpq_drift_audit(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     segment_col=None,
+    sample_mod: int | None = None,
+    scope: str = "index",
 ) -> DataFrame:
     """Measure how far a frozen-quantizer index has DRIFTED from the
     data it serves — the observability half of the retrain-cadence
@@ -1381,7 +1564,15 @@ def ivfpq_drift_audit(
     merged-later; a single ``all`` segment when None), computed from
     the PERSISTED artifacts, never a re-encode:
 
-    - ``n_vectors``        rows the index holds for the segment;
+    - ``n_vectors``        index rows the supplied corpus EXPLAINS for
+      the segment (the codes⋈corpus match count — segments come from
+      the corpus, so only matched rows can carry one). Index rows
+      whose id is ABSENT from the corpus are never silently dropped:
+      they surface as their own ``__unaudited__`` segment row (count +
+      occupancy from the codes alone; ``sum_qerr_micro`` is 0 there —
+      no true vector exists to reconstruct against), so a stale or
+      incomplete corpus is visible in the output instead of vanishing
+      from it. The row is emitted only when such orphans exist;
     - ``n_cells_occupied`` distinct coarse cells used;
     - ``max_cell_count``   the fullest cell — occupancy skew is
       max·n_cells vs total (a drifting distribution piles new vectors
@@ -1402,7 +1593,30 @@ def ivfpq_drift_audit(
     unavoidable cost of pairing stored codes with true vectors), one
     Arrow decode pass (model rides the closure, same as encode), then
     a two-level hash aggregate to segment·cell and segment rows.
-    Output is ≤ segments rows; nothing driver-sized."""
+    Output is ≤ segments rows; nothing driver-sized.
+
+    ``sample_mod`` is the 100 TB economics dial: the full audit is a
+    LINEAR corpus-join job, which is the right price for the audit
+    you act on but too steep for a per-N-merged-rows TRIGGER check.
+    With ``sample_mod=k`` both join sides first filter to
+    ``pmod(xxhash64(id), k) == 0`` — the same deterministic ~1/k id
+    subsample on each side (so the join loses nothing the sample
+    kept), cutting the audit to ~1/k of the scan, shuffle and decode.
+    Deterministic by construction: the same ids are audited on every
+    run, so sampled drift RATIOS replay exactly (the contract the
+    sampled-vs-exact pytest law pins); per-cell occupancy becomes a
+    uniform ~1/k estimate. Default None = exact.
+
+    ``scope`` picks which side the audit accounts for. ``"index"``
+    (default) audits every index row — the left join + __unaudited__
+    story above, the full health check. ``"corpus"`` audits exactly
+    the SUPPLIED rows (inner join): the shape for auditing one ingest
+    batch — when the corpus frame is batch-sized Spark broadcasts it,
+    so the cost is one narrow index scan plus a batch-sized decode, no
+    shuffle, no index-sized Python — which is what lets a streaming
+    maintainer price a drift check per micro-batch."""
+    if scope not in ("index", "corpus"):
+        raise ValueError(f"scope must be 'index' or 'corpus', got {scope!r}")
     import numpy as np
     import pandas as pd
 
@@ -1418,31 +1632,56 @@ def ivfpq_drift_audit(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("_v"),
         seg,
     )
-    joined = (
-        spark.read.parquet(f"{path}/codes")
-        .withColumn("cell", F.col("cell").cast("long"))
-        .join(vecs, "neighbor_id")
+    codes = spark.read.parquet(f"{path}/codes").withColumn(
+        "cell", F.col("cell").cast("long")
+    )
+    if sample_mod is not None:
+        if sample_mod < 1:
+            raise ValueError(f"sample_mod must be >= 1, got {sample_mod}")
+        keep = lambda c: (  # noqa: E731 — shared sample predicate
+            F.pmod(F.xxhash64(c), F.lit(sample_mod)) == 0
+        )
+        codes = codes.filter(keep(F.col("neighbor_id")))
+        vecs = vecs.filter(keep(F.col("neighbor_id")))
+    # scope="index": LEFT join FROM the codes — every indexed row is
+    # accounted for; matched rows audit against their true vector,
+    # corpus-orphaned rows fall into the __unaudited__ segment below.
+    # scope="corpus": inner join — audit exactly the supplied rows.
+    joined = codes.join(
+        vecs, "neighbor_id", "left" if scope == "index" else "inner"
     )
 
     def qerr_gen(batches):
         for pdf in batches:
             if pdf.empty:
                 continue
-            X = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
-            norms = np.sqrt((X * X).sum(axis=1, keepdims=True))
-            norms[norms == 0] = 1.0
-            X = X / norms  # the encode normalizes; the audit must too
             cells = pdf["cell"].to_numpy().astype(np.int64)
-            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
-            Xhat = Cm[cells].copy()
-            for s in range(m):
-                Xhat[:, s * sub : (s + 1) * sub] += B[s][codes[:, s]]
-            err = ((X - Xhat) ** 2).sum(axis=1)
+            matched = pdf["_v"].notna().to_numpy()
+            out_seg = pdf["segment"].where(
+                matched, "__unaudited__"
+            ).to_numpy()
+            qerr = np.zeros(len(pdf), dtype=np.int64)
+            if matched.any():
+                X = np.stack(pdf["_v"].to_numpy()[matched]).astype(
+                    np.float64
+                )
+                norms = np.sqrt((X * X).sum(axis=1, keepdims=True))
+                norms[norms == 0] = 1.0
+                X = X / norms  # the encode normalizes; the audit must too
+                mc = cells[matched]
+                codes_m = np.stack(
+                    pdf["codes"].to_numpy()[matched]
+                ).astype(np.int64)
+                Xhat = Cm[mc].copy()
+                for s in range(m):
+                    Xhat[:, s * sub : (s + 1) * sub] += B[s][codes_m[:, s]]
+                err = ((X - Xhat) ** 2).sum(axis=1)
+                qerr[matched] = np.rint(err * 1e6).astype(np.int64)
             yield pd.DataFrame(
                 {
-                    "segment": pdf["segment"],
+                    "segment": out_seg,
                     "cell": cells,
-                    "qerr_micro": np.rint(err * 1e6).astype(np.int64),
+                    "qerr_micro": qerr,
                 }
             )
 

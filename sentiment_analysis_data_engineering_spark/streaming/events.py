@@ -576,6 +576,11 @@ def run_ivfpq_merge_stream(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     auto_compact_max_files: int | None = None,
+    auto_retrain_drift_ratio: float | None = None,
+    retrain_corpus: DataFrame | None = None,
+    audit_every_rows: int = 1,
+    audit_sample_mod: int | None = None,
+    retrain_train_rows: int = 256,
 ) -> list[dict]:
     """Streaming maintenance of a PERSISTED IVF-PQ index: each
     micro-batch of new vectors merges into the index under the frozen
@@ -607,17 +612,97 @@ def run_ivfpq_merge_stream(
     safely: the re-delivered batch adds nothing and the trigger
     re-fires on the still-fragmented layout.
 
+    AUTO-RETRAIN (``auto_retrain_drift_ratio``): auto-compaction keeps
+    the LAYOUT healthy; this keeps the MODEL healthy — the
+    retrain-cadence loop that `ann_index_retrain_cycle` proves pays
+    for itself, wired into the maintainer so it runs hands-free. At
+    arm time the maintainer audits the whole index against
+    ``retrain_corpus`` (operators/similarity.py::ivfpq_drift_audit)
+    and remembers the mean reconstruction error as the BASELINE — how
+    well the frozen model serves what it already holds. Then, after
+    every ``audit_every_rows`` merged rows, it audits the JUST-MERGED
+    BATCH (``scope="corpus"`` — one narrow index scan + a batch-sized
+    decode, never a corpus join, so the per-batch check is priced for
+    a stream) and — when the batch's mean exceeds
+    ``auto_retrain_drift_ratio`` × the baseline, compared by exact
+    integer cross-multiplication of the audits' int64 error sums (the
+    float knob is snapped to a rational via
+    ``Fraction.limit_denominator``; no float mean is ever formed) —
+    REBUILDS the index in place (``ivfpq_write_index``, same model
+    shape; ``retrain_train_rows`` sets the rebuild's bounded
+    fit-sample size) from the corpus rows the index currently holds (a
+    semi-join
+    of ``retrain_corpus`` on the live ids — retrain preserves
+    membership by construction, pinned eagerly so no read of the codes
+    remains when the overwrite lands), then re-audits the whole index
+    to establish the new baseline. Auditing the BATCH is the sharp
+    trigger: drift arrives with new data, and a full-index mean
+    dilutes an out-of-distribution batch by corpus/batch (measured
+    1.005× overall vs 3-9× batch-scoped on the same injected drift).
+    ``audit_sample_mod`` samples both the baseline and batch audits to
+    the same deterministic ~1/mod id subset — baseline and batch
+    ratios compare like with like, at 1/mod the scan. ``retrain_corpus``
+    must be the index's corpus of record (it is re-read at each
+    audit/retrain, so a view over the landing table stays current).
+    Retrain inherits ``ivfpq_write_index``'s overwrite semantics — the
+    rebuild is NOT atomic across centroids/codebooks/codes (a crash
+    mid-rebuild needs a fresh build; the derived-state recovery stance
+    of SCALE.md) — and runs inside foreachBatch, so the single-writer
+    rule holds by construction, exactly like compaction.
+
     Returns the per-batch merge stats (batch_id, n_batch, n_added,
-    n_already, plus max_files_per_cell / n_cells_compacted /
-    n_rows_rewritten when auto-compaction is armed) so callers can
-    audit what the stream did."""
+    n_already, n_id_conflicts, plus max_files_per_cell /
+    n_cells_compacted / n_rows_rewritten when auto-compaction is
+    armed, plus audit_checked / drift_fired / retrained /
+    audit_sum_qerr_micro / audit_n_vectors / baseline_sum_qerr_micro /
+    baseline_n_vectors / n_retrain_members when auto-retrain is armed)
+    so callers can audit what the stream did."""
+    from fractions import Fraction
+
     from ..operators.similarity import (
         ivfpq_cell_file_counts,
         ivfpq_compact_index,
+        ivfpq_drift_audit,
         ivfpq_merge_index,
+        ivfpq_read_model,
+        ivfpq_write_index,
     )
 
     stats: list[dict] = []
+
+    armed = auto_retrain_drift_ratio is not None
+    if armed and retrain_corpus is None:
+        raise ValueError(
+            "auto_retrain_drift_ratio requires retrain_corpus — the drift "
+            "audit needs the corpus of record to reconstruct against"
+        )
+    ratio = (
+        Fraction(auto_retrain_drift_ratio).limit_denominator(10**6)
+        if armed
+        else None
+    )
+
+    def audit_qerr(spark, corpus, scope) -> tuple[int, int]:
+        """(sum_qerr_micro, n_vectors) over the corpus-matched rows —
+        exact int64 sums; the __unaudited__ orphan segment (ids the
+        corpus no longer explains) is excluded from the mean."""
+        rows = {
+            r.segment: r
+            for r in ivfpq_drift_audit(
+                spark, index_path, corpus,
+                vec_col=vec_col, id_col=id_col,
+                sample_mod=audit_sample_mod, scope=scope,
+            ).collect()  # ≤ 2 bounded rows
+        }
+        hit = rows.get("all")
+        return (
+            (hit.sum_qerr_micro, hit.n_vectors) if hit is not None else (0, 0)
+        )
+
+    state = {"rows_since_audit": 0, "baseline": None}
+    if armed:
+        spark0 = stream_df.sparkSession
+        state["baseline"] = audit_qerr(spark0, retrain_corpus, "index")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -632,6 +717,63 @@ def run_ivfpq_merge_stream(
                 s.update(ivfpq_compact_index(spark, index_path))
             else:
                 s.update({"n_cells_compacted": 0, "n_rows_rewritten": 0})
+        if armed:
+            state["rows_since_audit"] += s["n_added"]
+            s.update(
+                {"audit_checked": False, "drift_fired": False,
+                 "retrained": False}
+            )
+            base_sum, base_n = state["baseline"]
+            if state["rows_since_audit"] >= audit_every_rows:
+                state["rows_since_audit"] = 0
+                # audit the BATCH, not the corpus: the sharp, cheap
+                # trigger (see docstring)
+                cur_sum, cur_n = audit_qerr(spark, batch_df, "corpus")
+                s.update(
+                    {
+                        "audit_checked": True,
+                        "audit_sum_qerr_micro": cur_sum,
+                        "audit_n_vectors": cur_n,
+                        "baseline_sum_qerr_micro": base_sum,
+                        "baseline_n_vectors": base_n,
+                    }
+                )
+                # cur_sum/cur_n > ratio * base_sum/base_n, cross-multiplied
+                fired = (
+                    cur_n > 0
+                    and cur_sum * base_n * ratio.denominator
+                    > base_sum * cur_n * ratio.numerator
+                )
+                s["drift_fired"] = bool(fired)
+                if fired:
+                    meta = ivfpq_read_model(spark, index_path)[2]
+                    held = spark.read.parquet(
+                        f"{index_path}/codes"
+                    ).select("neighbor_id")
+                    # membership-preserving rebuild: corpus rows the
+                    # index currently holds, pinned so the overwrite
+                    # never races its own input scan
+                    members = (
+                        retrain_corpus.join(
+                            held,
+                            retrain_corpus[id_col] == held["neighbor_id"],
+                            "left_semi",
+                        ).localCheckpoint(eager=True)
+                    )
+                    rebuilt = ivfpq_write_index(
+                        members, index_path,
+                        vec_col=vec_col, id_col=id_col,
+                        n_cells=meta["n_cells"], m=meta["m"],
+                        n_codes=meta["n_codes"],
+                        train_rows=retrain_train_rows,
+                    )
+                    members.unpersist()
+                    s["retrained"] = True
+                    s["n_retrain_members"] = rebuilt["n_indexed"]
+                    # new reference: full-index audit under the fresh model
+                    state["baseline"] = audit_qerr(
+                        spark, retrain_corpus, "index"
+                    )
         stats.append({"batch_id": batch_id, **s})
 
     q = (

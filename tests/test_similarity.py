@@ -439,7 +439,10 @@ def test_crossencoder_weights_deterministic_and_bounded():
 def test_ivfpq_index_probe_equals_adhoc_query(spark, sf_dir, tmp_path):
     """An index built from the corpus and probed is the SAME arithmetic
     as the ad-hoc ivfpq_cosine_topk (shared train/encode/qtab stages):
-    identical (query, neighbor, rank) sets, bit-for-bit."""
+    identical (query, neighbor, rank) sets, bit-for-bit, once both fit
+    from the same sample draw (the persisted index trains hash-ordered
+    — see _sample_normalized — so the ad-hoc side passes
+    sample_order="hash" here)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 5)
     path = str(tmp_path / "idx")
@@ -451,7 +454,9 @@ def test_ivfpq_index_probe_equals_adhoc_query(spark, sf_dir, tmp_path):
     )
     adhoc = sorted(
         (r.query_id, r.neighbor_id, r.rank, round(r.cosine, 12))
-        for r in sim.ivfpq_cosine_topk(queries, emb, k=3).collect()
+        for r in sim.ivfpq_cosine_topk(
+            queries, emb, k=3, sample_order="hash"
+        ).collect()
     )
     assert probe == adhoc and probe
 
@@ -774,7 +779,7 @@ def test_ivfpq_index_empty_merge_and_probe(spark, sf_dir, tmp_path):
     before = sorted(spark.read.parquet(f"{path}/codes").inputFiles())
     empty = emb.filter(F.col("vec_id") < 0)
     assert sim.ivfpq_merge_index(spark, path, empty) == {
-        "n_batch": 0, "n_added": 0, "n_already": 0,
+        "n_batch": 0, "n_added": 0, "n_already": 0, "n_id_conflicts": 0,
     }
     assert sorted(spark.read.parquet(f"{path}/codes").inputFiles()) == before
     assert sim.ivfpq_probe_index(spark, path, empty, emb, k=3).count() == 0
@@ -830,3 +835,281 @@ def test_ivfpq_index_compaction(spark, sf_dir, tmp_path):
     assert sim.ivfpq_compact_index(spark, path) == {
         "n_cells_compacted": 0, "n_rows_rewritten": 0,
     }
+
+
+def test_ivfpq_merge_conflicting_ids_deterministic_and_counted(
+    spark, sf_dir, tmp_path
+):
+    """A batch carrying the same id with two DIFFERENT vectors is a
+    malformed upstream (r9 advice item 4): the merge must (a) COUNT it
+    in n_id_conflicts so the defect is observable, and (b) resolve it
+    DETERMINISTICALLY — two merges of the same malformed batch under
+    different partitionings land bit-identical codes."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    flipped = delta.select(
+        "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
+    )
+    malformed = delta.unionByName(flipped)  # every delta id conflicts
+    n_delta = delta.count()
+
+    def build_and_merge(path, batch):
+        sim.ivfpq_write_index(base, path)
+        return sim.ivfpq_merge_index(spark, path, batch)
+
+    m1 = build_and_merge(str(tmp_path / "a"), malformed)
+    assert m1["n_id_conflicts"] == n_delta
+    assert m1["n_batch"] == m1["n_added"] == n_delta
+    # same malformed batch, scrambled partitioning: identical pick
+    m2 = build_and_merge(
+        str(tmp_path / "b"), malformed.repartition(7, "embedding")
+    )
+    assert m2["n_id_conflicts"] == n_delta
+
+    def codes_of(path):
+        return sorted(
+            (r.neighbor_id, int(r.cell), tuple(r.codes))
+            for r in spark.read.parquet(f"{path}/codes").collect()
+        )
+
+    assert codes_of(str(tmp_path / "a")) == codes_of(str(tmp_path / "b"))
+    # a well-formed batch reports zero conflicts
+    m3 = build_and_merge(str(tmp_path / "c"), delta)
+    assert m3["n_id_conflicts"] == 0
+
+
+def test_ivfpq_compact_crash_before_swap_preserves_index(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Crash-injection law (r9 verdict item 2): kill compaction AFTER
+    the staging write but BEFORE the swap — the live index must serve
+    the OLD cells byte-intact, and the next maintenance verb heals the
+    leftover staging so a rerun completes cleanly."""
+    import os
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    queries = emb.filter(F.col("vec_id") < 3)
+    path = str(tmp_path / "idx")
+    sim.ivfpq_write_index(base, path)
+    sim.ivfpq_merge_index(spark, path, delta)
+
+    def snapshot():
+        return sorted(
+            (r.neighbor_id, int(r.cell), tuple(r.codes))
+            for r in spark.read.parquet(f"{path}/codes").collect()
+        )
+
+    before = snapshot()
+    probe_before = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in sim.ivfpq_probe_index(spark, path, queries, emb, k=3).collect()
+    )
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash between stage and swap")
+
+    monkeypatch.setattr(sim, "_swap_staged_cells", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        sim.ivfpq_compact_index(spark, path)
+    monkeypatch.undo()
+
+    # live index byte-identical; staged bytes are sitting unswapped
+    assert snapshot() == before
+    assert os.path.exists(f"{path}/codes_staging")
+    probe_mid = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in sim.ivfpq_probe_index(spark, path, queries, emb, k=3).collect()
+    )
+    assert probe_mid == probe_before
+
+    # rerun: recovery discards the stale staging, compaction completes
+    stats = sim.ivfpq_compact_index(spark, path)
+    assert stats["n_cells_compacted"] > 0
+    assert snapshot() == before
+    assert not os.path.exists(f"{path}/codes_staging")
+    assert not os.path.exists(f"{path}/codes_trash")
+
+
+def test_ivfpq_recover_rolls_back_mid_swap_cell(spark, sf_dir, tmp_path):
+    """Crash INSIDE the per-cell swap window (live renamed to trash,
+    replacement not yet installed): recovery must roll that cell back
+    from codes_trash, restoring the pre-verb state exactly — no crash
+    point loses rows."""
+    import os
+    import shutil as sh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "idx")
+    sim.ivfpq_write_index(emb, path)
+
+    def snapshot():
+        return sorted(
+            (r.neighbor_id, int(r.cell), tuple(r.codes))
+            for r in spark.read.parquet(f"{path}/codes").collect()
+        )
+
+    before = snapshot()
+    cell = int(
+        spark.read.parquet(f"{path}/codes").select("cell").first().cell
+    )
+    # hand-craft the one-rename-wide crash state
+    os.makedirs(f"{path}/codes_trash", exist_ok=True)
+    sh.move(f"{path}/codes/cell={cell}", f"{path}/codes_trash/cell={cell}")
+    os.makedirs(f"{path}/codes_staging/cell={cell}", exist_ok=True)
+    assert len(snapshot()) < len(before)  # the cell really is missing
+
+    rec = sim.ivfpq_recover_index(spark, path)
+    assert rec["n_cells_rolled_back"] == 1
+    assert rec["n_staging_discarded"] == 1
+    assert snapshot() == before
+    assert not os.path.exists(f"{path}/codes_trash")
+    assert not os.path.exists(f"{path}/codes_staging")
+
+
+def test_ivfpq_merge_heals_interrupted_swap_before_dedup(
+    spark, sf_dir, tmp_path
+):
+    """Merge must recover an interrupted swap BEFORE its anti-join: a
+    rolled-back-able missing cell would otherwise be invisible to the
+    dedup probe and its ids re-appended — duplicated once healed."""
+    import os
+    import shutil as sh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "idx")
+    sim.ivfpq_write_index(emb, path)
+    cell = int(
+        spark.read.parquet(f"{path}/codes").select("cell").first().cell
+    )
+    os.makedirs(f"{path}/codes_trash", exist_ok=True)
+    sh.move(f"{path}/codes/cell={cell}", f"{path}/codes_trash/cell={cell}")
+
+    # re-merge the WHOLE corpus against the damaged index: with the
+    # heal in place every id is already present, so nothing is added
+    m = sim.ivfpq_merge_index(spark, path, emb.select("vec_id", "embedding"))
+    assert m["n_added"] == 0 and m["n_already"] == emb.count()
+    agg = spark.read.parquet(f"{path}/codes").agg(
+        F.count("*").alias("n"), F.countDistinct("neighbor_id").alias("nd")
+    ).first()
+    assert agg.n == agg.nd == emb.count()
+
+
+def test_ivfpq_delete_crash_before_swap_preserves_index(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Same crash-injection law for delete: a kill between the staging
+    write and the swap leaves every victim still served; the rerun
+    completes the delete."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "idx")
+    sim.ivfpq_write_index(emb, path)
+    victims = emb.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    n_victims = victims.count()
+    n_all = emb.count()
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash between stage and swap")
+
+    monkeypatch.setattr(sim, "_swap_staged_cells", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        sim.ivfpq_delete_ids(spark, path, victims)
+    monkeypatch.undo()
+    assert spark.read.parquet(f"{path}/codes").count() == n_all  # intact
+
+    d = sim.ivfpq_delete_ids(spark, path, victims)  # rerun completes
+    assert d["n_deleted"] == n_victims
+    codes = spark.read.parquet(f"{path}/codes")
+    assert codes.count() == n_all - n_victims
+    assert codes.join(
+        F.broadcast(victims), codes.neighbor_id == victims.vec_id
+    ).count() == 0
+
+
+def test_ivfpq_drift_audit_surfaces_unaudited_rows(spark, sf_dir, tmp_path):
+    """Index rows whose id is missing from the supplied corpus must
+    surface as the __unaudited__ segment (exact count, zero error) —
+    never silently vanish from the audit (r9 advice item 1). A corpus
+    that covers the index emits no such row."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    path = str(tmp_path / "idx")
+    sim.ivfpq_write_index(emb, path)
+
+    full = {r.segment: r for r in sim.ivfpq_drift_audit(spark, path, emb).collect()}
+    assert set(full) == {"all"} and full["all"].n_vectors == emb.count()
+
+    partial_corpus = emb.filter(F.col("vec_id") % 3 != 0)
+    n_missing = emb.count() - partial_corpus.count()
+    part = {
+        r.segment: r
+        for r in sim.ivfpq_drift_audit(spark, path, partial_corpus).collect()
+    }
+    assert set(part) == {"all", "__unaudited__"}
+    assert part["all"].n_vectors == partial_corpus.count()
+    assert part["__unaudited__"].n_vectors == n_missing
+    assert part["__unaudited__"].sum_qerr_micro == 0
+    # matched-row error sums are unaffected by the orphans' presence:
+    # the full audit restricted to the partial ids must equal the
+    # partial audit's matched segment
+    sub = {
+        r.segment: r
+        for r in sim.ivfpq_drift_audit(
+            spark, path,
+            emb.withColumn(
+                "segment",
+                F.when(F.col("vec_id") % 3 != 0, "all").otherwise("other"),
+            ),
+            segment_col="segment",
+        ).collect()
+    }
+    assert sub["all"].sum_qerr_micro == part["all"].sum_qerr_micro
+
+
+def test_ivfpq_drift_audit_sample_mod_replays_exact_subsample(
+    spark, sf_dir, tmp_path
+):
+    """The sampled audit IS the exact audit over the deterministic
+    xxhash64(id)%mod==0 subsample — bit-identical, every run (the law
+    behind using it as the cheap streaming retrain-trigger check)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    path = str(tmp_path / "idx")
+    sim.ivfpq_write_index(emb, path)
+    mod = 3
+    sampled = sorted(
+        tuple(r)
+        for r in sim.ivfpq_drift_audit(
+            spark, path, emb, sample_mod=mod
+        ).collect()
+    )
+    # independent replay: filter the corpus to the sampled ids, audit
+    # exactly, and drop index rows outside the sample the same way
+    keep = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(mod)) == 0
+    subset = emb.filter(keep)
+    n_sample = subset.count()
+    assert 0 < n_sample < emb.count()
+    exact_on_subset = {
+        r.segment: r
+        for r in sim.ivfpq_drift_audit(spark, path, subset).collect()
+    }["all"]  # the full audit of a partial corpus also reports orphans
+    by_seg = {t[0]: t for t in sampled}
+    assert by_seg["all"][1] == n_sample
+    assert by_seg["all"][4] == exact_on_subset.sum_qerr_micro
+    # unmatched index rows were excluded by the codes-side filter, not
+    # dumped into __unaudited__ — the sample is symmetric on both sides
+    assert set(by_seg) == {"all"}
+    # determinism: a second run is bit-identical
+    again = sorted(
+        tuple(r)
+        for r in sim.ivfpq_drift_audit(
+            spark, path, emb, sample_mod=mod
+        ).collect()
+    )
+    assert again == sampled
