@@ -68,78 +68,80 @@ SF0001 = "/root/testdata/sf0.001"
 # re-verified each round by a FULL tools/check_oracle.py run over the
 # whole registry (at all three SFs), recorded in PROGRESS.jsonl.
 _GATE_FIRST = [
-    # ROUND-9 ROTATION (VERDICT r8 item 1). Standing priority order:
+    # ROUND-10 ROTATION (VERDICT r9 item 1). Standing priority order:
     # (1) never driver-checked, (2) implementation changed since last
-    # driver row, (3) oldest-attested age canaries. After this
-    # rotation the 33 remaining r3 attestations are refreshed, so the
-    # oldest row anywhere in the registry is r6; from r10 rotate
-    # oldest-first continuously (r6 rows next, alphabetical).
-    # -- (1) NEW in round 9, never driver-checked
+    # driver row, (3) oldest-attested age canaries (r6 tranche,
+    # alphabetical).
+    # -- (1) NEW in round 10, never driver-checked
+    "ann_index_autoretrain_stream",
+    # -- (2) implementation changed this round: the atomic staging-
+    #    swap rewrite of ivfpq_compact_index/ivfpq_delete_ids, the
+    #    deterministic-conflict merge, the drift audit's __unaudited__
+    #    left-join + sample_mod/scope, and the hash-ordered persisted-
+    #    index fit sample (recall contracts re-measured and re-gated
+    #    on mean recall) touch every persisted-index query; the
+    #    sampling plumb-through touches the ad-hoc PQ/IVF-PQ pair
+    #    (default unchanged, re-gated to prove it); the retrained
+    #    held-out-eval artifact changes classifier_trained_model_filter;
+    #    longest_duplicated_span_exact extends span_dedup_multiwidth.
+    "ann_index_lifecycle",
     "ann_index_delete_reembed",
     "ann_index_drift_audit",
     "ann_index_retrain_cycle",
     "ann_index_autocompact_stream",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
     "classifier_trained_model_filter",
     "span_dedup_multiwidth",
-    # -- (2) implementation changed this round: ivfpq_merge_index
-    #    gained intra-batch id dedup + eager unpersist (lifecycle,
-    #    delete_reembed cover it); the checkpoint-pin registry rework
-    #    touched ann_rerank_topk / dedup_incremental_probe /
-    #    customer_balance_deciles / market_basket_part_pairs /
-    #    bpe_merge_stats / bpe_encode_stats / semantic_dedup_stats
-    #    (register_pinned routing — behavior-identical by design,
-    #    re-gated to prove it)
-    "ann_index_lifecycle",
-    "ann_rerank_topk",
-    "dedup_incremental_probe",
-    "customer_balance_deciles",
-    "market_basket_part_pairs",
-    "bpe_merge_stats",
-    "bpe_encode_stats",
-    "semantic_dedup_stats",
-    # -- (3) the 33 remaining r3-attested queries (alphabetically
-    #    after ewma_user_value — the final tranche of the r7/r8
-    #    freshness plan)
-    "excess_volume_suppliers",
-    "forecast_revenue_change",
-    "full_outer_daily_activity",
-    "funnel_view_click_purchase",
-    "fuzzy_part_name_pairs",
-    "idle_rich_customers",
-    "important_parts_value_share",
-    "incremental_rollup_merge",
-    "join_view_maintenance",
-    "kcore_parts",
-    "late_ship_priority_counts",
-    "monthly_revenue_mom_growth",
-    "multimodal_decode_features",
-    "nation_market_share",
-    "order_priority_exists_counts",
-    "pagerank_copurchase_parts",
-    "pareto_revenue_by_segment",
-    "parts_supplier_diversity",
-    "product_profit_by_nation_year",
-    "returned_items_by_customer",
-    "rolling_zscore_anomalies",
-    "scd2_customer_history",
-    "small_quantity_revenue",
-    "snapshot_diff_orders",
-    "source_capped_docs",
-    "span_dedup_stats",
-    "table_profile_orders",
-    "template_doc_flags",
-    "token_length_buckets",
-    "triangle_counts_parts",
-    "unigram_logprob_score",
-    "weekly_retention_cohorts",
-    "winsorized_price_stats",
-    # -- (4) remaining 3 slots: oldest-attested (r6) age canaries,
-    #    alphabetical prefix; the rest rotate from r10
-    "ann_cosine_topk",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    # Every query outside this prefix is r6-or-fresher on its current
-    # implementation and is re-verified each round by the FULL
+    # -- (3) the 40 alphabetically-first of the 42 r6-attested rows —
+    #    the oldest attestations in the registry (the r10
+    #    oldest-first tranche). The 2 that do not fit this 50-slot
+    #    prefix (video_frame_features, zipf_token_rank_slope) lead the
+    #    r11 rotation and are re-verified this round by the full
+    #    triple-SF check_oracle sweep like every off-prefix query.
+    "anti_join_new_keys",
+    "audio_decode_features",
+    "bigram_logprob_score",
+    "brown_forecast_user_value",
+    "casts_and_coalesce",
+    "chi_square_segment_priority",
+    "cohort_ltv_curves",
+    "corpus_curation",
+    "correlation_matrix_lineitem",
+    "custom_source_events_report",
+    "customer_order_gap_stats",
+    "daily_returns_volatility",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dow_seasonality_index",
+    "event_sequence_patterns",
+    "gini_revenue_concentration",
+    "heavy_hitter_users",
+    "ks_drift_purchase_view",
+    "local_supplier_volume",
+    "mad_outlier_prices",
+    "markov_event_transitions",
+    "max_drawdown_per_user",
+    "nway_inner_join",
+    "pagerank_weighted_copurchase",
+    "personalized_pagerank_parts",
+    "predicate_scan",
+    "readability_report",
+    "regr_price_quantity",
+    "rfm_customer_segments",
+    "seasonal_adjusted_anomalies",
+    "skew_salted_join_agg",
+    "span_dedup_rewrite",
+    "star_join_revenue",
+    "top_session_paths",
+    "unnest_tokens",
+    "user_value_trend",
+    # Every query outside this prefix is r7-or-fresher on its current
+    # implementation (sole exceptions: the two r6 rows named above,
+    # queued first for r11) and is re-verified each round by the FULL
     # tools/check_oracle.py sweep (run at sf0.001, sf0.01 AND sf0.1 -
     # the standing cross-SF protocol) logged to PROGRESS.jsonl at HEAD.
 ]

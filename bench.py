@@ -189,6 +189,8 @@ HEADLINE = [
     "ann_index_autocompact_stream",
     # round 9: drift signal acted on (audit -> retrain -> measured win)
     "ann_index_retrain_cycle",
+    # round 10: drift audit wired into the maintainer (auto-retrain)
+    "ann_index_autoretrain_stream",
 ]
 
 
