@@ -1093,9 +1093,26 @@ def ivfpq_write_index(
     sample_order="hash"): a persisted index gets REBUILT by
     drift-triggered retrains, and an id-prefix sample would train
     every rebuild on the oldest rows — exactly the rows a retrain must
-    not be limited to. Returns ``{"n_indexed", "n_cells", "m",
-    "n_codes", "dim"}``."""
+    not be limited to.
+
+    CRASH SAFETY on a REBUILD (r10): when ``path`` already holds an
+    index, the three artifacts are written to a ``_rebuild_staging``
+    sibling (the live model keeps serving, byte-identical, through the
+    whole train + encode), the staged codes are count-validated by
+    read-back, and only then does :func:`_swap_rebuild` commit — so a
+    retrain can never leave new centroids serving old codes. A fresh
+    build writes in place. The caller must ensure ``corpus`` does not
+    lazily read the live codes (the streaming maintainer eagerly
+    checkpoints its membership semi-join for exactly this reason).
+    Returns ``{"n_indexed", "n_cells", "m", "n_codes", "dim"}``."""
     spark = corpus.sparkSession
+    fs, jpath = _index_fs(spark, path)
+    rebuild = fs.exists(jpath(f"{path}/codes"))
+    if rebuild:
+        # heal any interrupted maintenance before measuring what exists
+        ivfpq_recover_index(spark, path)
+        rebuild = fs.exists(jpath(f"{path}/codes"))
+    base = f"{path}/_rebuild_staging" if rebuild else path
     C, books = _ivfpq_train_model(
         corpus, vec_col, id_col,
         n_cells=n_cells, m=m, n_codes=n_codes,
@@ -1106,7 +1123,7 @@ def ivfpq_write_index(
     spark.createDataFrame(
         [(i, [float(x) for x in row]) for i, row in enumerate(C)],
         "cell long, vec array<double>",
-    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    ).write.mode("overwrite").parquet(f"{base}/centroids")
     spark.createDataFrame(
         [
             (s, c, [float(x) for x in row])
@@ -1114,7 +1131,7 @@ def ivfpq_write_index(
             for c, row in enumerate(book)
         ],
         "subspace int, code int, vec array<double>",
-    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+    ).write.mode("overwrite").parquet(f"{base}/codebooks")
     # encode exactly once: the clustered write and the n_indexed count
     # both consume the pinned result (a read-back count would cost a
     # second listing+scan job)
@@ -1129,9 +1146,18 @@ def ivfpq_write_index(
     # n_cells keeps write parallelism while preserving the clustering.
     enc.repartition(F.col("cell")).write.mode("overwrite").partitionBy(
         "cell"
-    ).parquet(f"{path}/codes")
+    ).parquet(f"{base}/codes")
     n = enc.count()
     enc.unpersist()  # both consumers done — free the blocks eagerly
+    if rebuild:
+        n_staged = spark.read.parquet(f"{base}/codes").count()
+        if n_staged != n:
+            fs.delete(jpath(base), True)
+            raise IOError(
+                f"rebuild staging validation failed: staged {n_staged} "
+                f"rows, expected {n} — live index left untouched"
+            )
+        _swap_rebuild(spark, path)
     return {
         "n_indexed": n, "n_cells": n_cells, "m": m,
         "n_codes": n_codes, "dim": dim,
@@ -1310,6 +1336,37 @@ def _must_rename(fs, src, dst) -> None:
         raise IOError(f"rename failed: {src} -> {dst}")
 
 
+_INDEX_ARTIFACTS = ("centroids", "codebooks", "codes")
+
+
+def _swap_rebuild(spark, path: str) -> None:
+    """Commit a staged REBUILD (all three artifacts under
+    ``_rebuild_staging``) into the live index: move each live artifact
+    into ``_rebuild_trash``, rename the staged one in, then mark the
+    swap complete by atomically renaming the trash to
+    ``_rebuild_trash_done`` BEFORE deleting it. That marker is the
+    commit point: :func:`ivfpq_recover_index` rolls an un-renamed
+    ``_rebuild_trash`` back WHOLESALE (every artifact it holds — a
+    crash mid-swap can never leave new centroids serving old
+    codebooks), while a ``_rebuild_trash_done`` is just garbage from a
+    completed swap. Callers must have validated the staged codes
+    first."""
+    fs, jpath = _index_fs(spark, path)
+    trash = jpath(f"{path}/_rebuild_trash")
+    fs.mkdirs(trash)
+    for art in _INDEX_ARTIFACTS:
+        live = jpath(f"{path}/{art}")
+        staged = jpath(f"{path}/_rebuild_staging/{art}")
+        if fs.exists(live):
+            _must_rename(fs, live, jpath(f"{path}/_rebuild_trash/{art}"))
+        if fs.exists(staged):
+            _must_rename(fs, staged, live)
+    done = jpath(f"{path}/_rebuild_trash_done")
+    _must_rename(fs, trash, done)  # atomic commit point
+    fs.delete(done, True)
+    fs.delete(jpath(f"{path}/_rebuild_staging"), True)
+
+
 def ivfpq_recover_index(spark, path: str) -> dict:
     """Heal an index interrupted mid-swap: ROLL BACK any cell whose
     live directory went missing while its previous contents sit in
@@ -1322,11 +1379,40 @@ def ivfpq_recover_index(spark, path: str) -> dict:
     completes the remainder), un-swapped cells are back to their
     pre-verb contents, and no staged bytes linger. Called
     automatically at the top of every maintenance WRITER (merge /
-    compact / delete) — cost is two directory-existence checks when
-    there is nothing to heal; readers (probe) stay mutation-free and
-    may observe the pre-recovery mix until the next writer runs.
-    Returns ``{"n_cells_rolled_back", "n_staging_discarded"}``."""
+    compact / delete / rebuild) — cost is a few directory-existence
+    checks when there is nothing to heal; readers (probe) stay
+    mutation-free and may observe the pre-recovery mix until the next
+    writer runs.
+
+    Also heals interrupted REBUILDS (:func:`_swap_rebuild`): an
+    un-committed ``_rebuild_trash`` rolls back WHOLESALE — every
+    artifact it holds replaces whatever is live, so the restored model
+    is the complete pre-rebuild one, never a centroids/codebooks mix —
+    while a ``_rebuild_trash_done`` marker (the swap completed, only
+    its cleanup was interrupted) is simply deleted, keeping the new
+    model. Stale ``_rebuild_staging`` data is discarded either way.
+    Returns ``{"n_cells_rolled_back", "n_staging_discarded",
+    "n_rebuild_rolled_back"}``."""
     fs, jpath = _index_fs(spark, path)
+    # rebuild swap first: it moves whole artifacts, so any cell-level
+    # trash inside a rolled-back codes directory comes back with it
+    n_rebuild = 0
+    done = jpath(f"{path}/_rebuild_trash_done")
+    if fs.exists(done):  # swap committed; only its cleanup crashed
+        fs.delete(done, True)
+    rb_trash = jpath(f"{path}/_rebuild_trash")
+    if fs.exists(rb_trash):
+        for st in fs.listStatus(rb_trash):
+            name = st.getPath().getName()
+            live = jpath(f"{path}/{name}")
+            if fs.exists(live):
+                fs.delete(live, True)  # discard the half-installed new
+            _must_rename(fs, st.getPath(), live)
+            n_rebuild += 1
+        fs.delete(rb_trash, True)
+    rb_staging = jpath(f"{path}/_rebuild_staging")
+    if fs.exists(rb_staging):
+        fs.delete(rb_staging, True)
     trash = jpath(f"{path}/codes_trash")
     staging = jpath(f"{path}/codes_staging")
     rolled = 0
@@ -1344,7 +1430,11 @@ def ivfpq_recover_index(spark, path: str) -> dict:
     if fs.exists(staging):
         fs.delete(staging, True)
         discarded = 1
-    return {"n_cells_rolled_back": rolled, "n_staging_discarded": discarded}
+    return {
+        "n_cells_rolled_back": rolled,
+        "n_staging_discarded": discarded,
+        "n_rebuild_rolled_back": n_rebuild,
+    }
 
 
 def _swap_staged_cells(spark, path: str, cells) -> None:

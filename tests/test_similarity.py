@@ -1113,3 +1113,92 @@ def test_ivfpq_drift_audit_sample_mod_replays_exact_subsample(
         ).collect()
     )
     assert again == sampled
+
+
+def test_ivfpq_rebuild_crash_before_swap_preserves_model(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Retraining over an EXISTING index is staged + swapped like the
+    cell maintenance verbs (r10): a kill after the staged rebuild but
+    before the swap leaves the OLD model and codes serving
+    byte-identically, and the rerun completes."""
+    import os
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    queries = emb.filter(F.col("vec_id") < 3)
+    path = str(tmp_path / "idx")
+    sim.ivfpq_write_index(base, path)
+
+    def model_snapshot():
+        C, books, meta = sim.ivfpq_read_model(spark, path)
+        return C.tolist(), [b.tolist() for b in books], meta
+
+    def probe():
+        return sorted(
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in sim.ivfpq_probe_index(
+                spark, path, queries, emb, k=3
+            ).collect()
+        )
+
+    old_model = model_snapshot()
+    old_probe = probe()
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash between rebuild stage and swap")
+
+    monkeypatch.setattr(sim, "_swap_rebuild", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        sim.ivfpq_write_index(emb, path)  # retrain over the live index
+    monkeypatch.undo()
+
+    assert model_snapshot() == old_model  # old model fully intact
+    assert probe() == old_probe
+    assert os.path.exists(f"{path}/_rebuild_staging")
+
+    # rerun: recovery discards the stale stage, the rebuild completes
+    stats = sim.ivfpq_write_index(emb, path)
+    assert stats["n_indexed"] == emb.count()
+    assert not os.path.exists(f"{path}/_rebuild_staging")
+    assert not os.path.exists(f"{path}/_rebuild_trash")
+    codes = spark.read.parquet(f"{path}/codes")
+    assert codes.count() == emb.count()
+
+
+def test_ivfpq_rebuild_mid_swap_rolls_back_whole_model(
+    spark, sf_dir, tmp_path
+):
+    """A crash INSIDE the rebuild swap (some artifacts moved to trash,
+    some not) must roll back to the COMPLETE old model — never a mix
+    of new centroids with old codebooks."""
+    import os
+    import shutil as sh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    path = str(tmp_path / "idx")
+    sim.ivfpq_write_index(base, path)
+    C0, B0, meta0 = sim.ivfpq_read_model(spark, path)
+
+    # hand-craft the mid-swap state: centroids moved to trash, a
+    # different staged centroids installed live, codes untouched
+    os.makedirs(f"{path}/_rebuild_trash", exist_ok=True)
+    sh.move(f"{path}/centroids", f"{path}/_rebuild_trash/centroids")
+    os.makedirs(f"{path}/_rebuild_staging", exist_ok=True)
+    spark.createDataFrame(
+        [(i, [0.0] * meta0["dim"]) for i in range(meta0["n_cells"])],
+        "cell long, vec array<double>",
+    ).write.parquet(f"{path}/centroids")
+
+    rec = sim.ivfpq_recover_index(spark, path)
+    assert rec["n_rebuild_rolled_back"] >= 1
+    C1, B1, meta1 = sim.ivfpq_read_model(spark, path)
+    assert C1.tolist() == C0.tolist() and meta1 == meta0
+    assert [b.tolist() for b in B1] == [b.tolist() for b in B0]
+    assert not os.path.exists(f"{path}/_rebuild_trash")
+    assert not os.path.exists(f"{path}/_rebuild_staging")
