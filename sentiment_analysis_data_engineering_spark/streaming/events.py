@@ -644,11 +644,13 @@ def run_ivfpq_merge_stream(
     ratios compare like with like, at 1/mod the scan. ``retrain_corpus``
     must be the index's corpus of record (it is re-read at each
     audit/retrain, so a view over the landing table stays current).
-    Retrain inherits ``ivfpq_write_index``'s overwrite semantics — the
-    rebuild is NOT atomic across centroids/codebooks/codes (a crash
-    mid-rebuild needs a fresh build; the derived-state recovery stance
-    of SCALE.md) — and runs inside foreachBatch, so the single-writer
-    rule holds by construction, exactly like compaction.
+    The rebuild is STAGED and atomically swapped
+    (``ivfpq_write_index`` over a live index writes all three
+    artifacts to ``_rebuild_staging`` and commits them by rename — the
+    old model keeps serving until the swap, and recovery rolls an
+    interrupted swap back wholesale), and it runs inside foreachBatch,
+    so the single-writer rule holds by construction, exactly like
+    compaction.
 
     Returns the per-batch merge stats (batch_id, n_batch, n_added,
     n_already, n_id_conflicts, plus max_files_per_cell /
