@@ -737,21 +737,15 @@ def longest_duplicated_span_exact(
         .join(toks, "_id")
         .localCheckpoint(eager=True)
     )
-    spark = df.sparkSession
     for _ in range(max_iter):
+        gap = state.agg(F.max(F.col("_hi") - F.col("_lo")).alias("g")).first().g
+        if gap is None or gap <= 1:
+            break
         live = (F.col("_hi") - F.col("_lo")) > 1
         mid = ((F.col("_lo") + F.col("_hi")) / 2).cast("long")
-        # ONE driver round-trip per pass: the distinct mids are both
-        # the convergence probe (empty = every interval closed) and
-        # the width list — ≤ live bisection intervals, never doc-sized
-        mid_vals = sorted(
-            r._m
-            for r in state.filter(live).select(mid.alias("_m"))
-            .distinct().collect()
-        )
-        if not mid_vals:
-            break
-        mids = spark.createDataFrame([(m,) for m in mid_vals], "_m long")
+        mids = (
+            state.filter(live).select(mid.alias("_m")).distinct()
+        )  # ≤ live bisection intervals — width values, never doc-sized
         # generators: every doc whose bound still allows a dup at _m —
         # the exactness closure above; a tiny theta-join on broadcast
         # width values, then one explode per (doc, width)
