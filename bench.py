@@ -274,7 +274,11 @@ def main() -> None:
             os.path.dirname(os.path.abspath(__file__)), "bench_per_query.json"
         ),
     )
-    with open(pq_out, "w") as f:
+    # write-temp-then-rename: a crash mid-dump must never leave a
+    # truncated file at the final path (the closeout protocol commits
+    # this artifact verbatim as the per-query record)
+    pq_tmp = f"{pq_out}.tmp"
+    with open(pq_tmp, "w") as f:
         json.dump(
             {
                 "metric": "headline_queries_total",
@@ -288,6 +292,7 @@ def main() -> None:
             indent=1,
             sort_keys=True,
         )
+    os.replace(pq_tmp, pq_out)
     # Full per-query line first...
     print(
         json.dumps(

@@ -24,6 +24,8 @@ deterministic planes, staying in pure DataFrame expressions.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame
@@ -1071,6 +1073,25 @@ def ivfpq_cosine_topk(
 # the partitions its batch lands in.
 
 
+def _locked_verb(fn):
+    """Enforce the single-writer lock (:func:`index_write_lock`, r10
+    verdict item 1) around a maintenance verb. Every wrapped verb has
+    the ``(spark_or_frame, path, ...)`` shape; the session comes from
+    the frame when the first argument is one. The lock is reentrant
+    in-process, so composed verbs (reembed = delete + merge) still
+    take it exactly once."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(a, path, *args, **kwargs):
+        spark = a.sparkSession if isinstance(a, DataFrame) else a
+        with index_write_lock(spark, path):
+            return fn(a, path, *args, **kwargs)
+
+    return wrapper
+
+
+@_locked_verb
 def ivfpq_write_index(
     corpus: DataFrame,
     path: str,
@@ -1164,7 +1185,33 @@ def ivfpq_write_index(
     }
 
 
-def ivfpq_read_model(spark, path: str):
+#: driver-side memo of persisted models, keyed by index path; the
+#: value pairs an on-disk FINGERPRINT (per-file name/mtime/length of
+#: the centroids + codebooks artifacts) with the decoded model, so any
+#: rebuild — in this process or another — invalidates by changing the
+#: fingerprint. Bounded: one model-sized entry per index path served.
+_MODEL_CACHE: dict[str, tuple[tuple, tuple]] = {}
+MODEL_CACHE_STATS = {"hits": 0, "misses": 0}
+
+
+def _model_fingerprint(spark, path: str) -> tuple:
+    """(artifact, file, mtime, length) tuples for the two MODEL
+    artifacts — metadata listing only, no data bytes. A staged rebuild
+    swap renames freshly-written directories in, so its files carry
+    new mtimes and the fingerprint changes; merge/compact/delete touch
+    only ``codes`` and leave it alone."""
+    fs, jpath = _index_fs(spark, path)
+    fp = []
+    for art in ("centroids", "codebooks"):
+        for st in fs.listStatus(jpath(f"{path}/{art}")):
+            name = st.getPath().getName()
+            if name.startswith(("_", ".")):
+                continue
+            fp.append((art, name, st.getModificationTime(), st.getLen()))
+    return tuple(sorted(fp))
+
+
+def ivfpq_read_model(spark, path: str, *, use_cache: bool = True):
     """Reload the persisted model: ``(C, books, meta)`` exactly as
     trained — centroid/codebook rows are keyed, so reconstruction is
     order-independent, and every model parameter (n_cells, m, n_codes,
@@ -1172,9 +1219,27 @@ def ivfpq_read_model(spark, path: str):
     beside them (no separate metadata file to drift out of sync, and
     one fewer read job per maintenance operation). A bounded
     model-sized collect (n_cells + m·n_codes rows), the same class as
-    the training collect itself."""
+    the training collect itself.
+
+    SERVING-PATH CACHE (r10 verdict item 5): repeated probes against
+    the same index no longer pay two scan jobs each — the decoded
+    model is memoized per path against an mtime/length fingerprint of
+    the artifacts (:func:`_model_fingerprint`, a metadata listing), so
+    a retrain's staged swap invalidates it on the next read while an
+    unchanged index costs zero jobs after the first. Callers must
+    treat the returned arrays as READ-ONLY (every in-repo consumer
+    already does — encode/audit copy before mutating). Self-heals a
+    crashed writer's interrupted swap first
+    (:func:`_maybe_heal_for_read`)."""
     import numpy as np
 
+    _maybe_heal_for_read(spark, path)
+    fp = _model_fingerprint(spark, path) if use_cache else None
+    if use_cache:
+        hit = _MODEL_CACHE.get(path)
+        if hit is not None and hit[0] == fp:
+            MODEL_CACHE_STATS["hits"] += 1
+            return hit[1]
     cent = spark.read.parquet(f"{path}/centroids").collect()
     n_cells = len(cent)
     dim = len(cent[0].vec)
@@ -1190,9 +1255,14 @@ def ivfpq_read_model(spark, path: str):
     for r in book_rows:
         books[r.subspace][r.code] = r.vec
     meta = {"n_cells": n_cells, "m": m, "n_codes": n_codes, "dim": dim}
-    return C, books, meta
+    model = (C, books, meta)
+    if use_cache:
+        MODEL_CACHE_STATS["misses"] += 1
+        _MODEL_CACHE[path] = (fp, model)
+    return model
 
 
+@_locked_verb
 def ivfpq_merge_index(
     spark,
     path: str,
@@ -1336,6 +1406,161 @@ def _must_rename(fs, src, dst) -> None:
         raise IOError(f"rename failed: {src} -> {dst}")
 
 
+#: lock lease: a writer crash leaves its lock file behind; a second
+#: writer (or a reader-side heal) may BREAK the lock once it is older
+#: than this. Set well above the longest maintenance verb at the
+#: deployment's scale — a broken lease under a still-live writer is the
+#: one hole this file-based lock cannot close (that is Delta/Iceberg
+#: territory); the default is generous for the test corpus and is a
+#: module constant so deployments (and the crash-recovery pytest laws)
+#: can tune it.
+INDEX_LOCK_LEASE_SEC = 900.0
+_LOCK_FILE = "_index_write_lock"
+#: index paths whose lock THIS driver process currently holds —
+#: same-process reentrancy (ivfpq_reembed = delete + merge under one
+#: lock) and the signal that lets ivfpq_read_model skip the read-side
+#: heal while its own writer is mid-verb.
+_HELD_LOCKS: set[str] = set()
+
+
+class IndexWriteLockError(RuntimeError):
+    """A maintenance verb found another writer's LIVE lock on the
+    index. The caller raced a concurrent writer — rerun after it
+    finishes (every verb is idempotent/convergent), or investigate a
+    crashed writer if the lock never clears (it self-expires after
+    ``INDEX_LOCK_LEASE_SEC``)."""
+
+
+def _try_acquire_index_lock(spark, path: str, *, lease_sec=None) -> bool:
+    """Best-effort create-exclusive lock under the index root. True =
+    acquired (caller must release via the context manager / finally).
+    False = a LIVE lock exists (younger than the lease). A lock older
+    than the lease is presumed a crashed writer's and is broken.
+
+    Semantics by filesystem: Hadoop ``FileSystem.create(path,
+    overwrite=false)`` is atomic on HDFS and local disk — exactly one
+    of two racing creators wins. On S3A it is check-then-create
+    (best-effort); true multi-writer isolation there needs an ACID
+    table format, which SCALE.md already names as the upgrade path.
+    The residual race — two writers breaking the SAME stale lock in
+    the same instant — is accepted and documented: the lock is cheap
+    insurance against the common failure (two schedulers launching
+    overlapping maintenance), not a consensus protocol."""
+    import time
+
+    if lease_sec is None:
+        lease_sec = INDEX_LOCK_LEASE_SEC
+    fs, jpath = _index_fs(spark, path)
+    lock = jpath(f"{path}/{_LOCK_FILE}")
+    if fs.exists(lock):
+        try:
+            age_ms = time.time() * 1000.0 - fs.getFileStatus(
+                lock
+            ).getModificationTime()
+        except Exception:  # lock vanished between exists and stat:
+            age_ms = None  # its holder just released — contend fresh
+        if age_ms is not None and age_ms < lease_sec * 1000.0:
+            return False
+        fs.delete(lock, False)  # stale lease — break a crashed writer's lock
+    try:
+        out = fs.create(lock, False)  # create-exclusive: one winner
+    except Exception:
+        return False  # lost the creation race to a concurrent writer
+    try:
+        import json as _json
+        import os as _os
+        import socket as _socket
+
+        out.write(bytearray(_json.dumps({
+            "host": _socket.gethostname(),
+            "pid": _os.getpid(),
+            "acquired_unix": time.time(),
+        }).encode("utf-8")))
+    finally:
+        out.close()
+    _HELD_LOCKS.add(path)
+    return True
+
+
+def _release_index_lock(spark, path: str) -> None:
+    _HELD_LOCKS.discard(path)
+    fs, jpath = _index_fs(spark, path)
+    fs.delete(jpath(f"{path}/{_LOCK_FILE}"), False)
+
+
+@contextmanager
+def index_write_lock(spark, path: str, *, lease_sec=None):
+    """SINGLE-WRITER enforcement for every persisted-index maintenance
+    verb (r10 verdict item 1): the documented invariant — two
+    concurrent maintenance calls would interleave recover/stage/swap
+    into silent corruption — becomes a loud failure instead. Entry
+    acquires a create-exclusive ``_index_write_lock`` file under the
+    index root (raising :class:`IndexWriteLockError` when another
+    writer's lock is live); exit always releases it, including on
+    error. REENTRANT within this driver process, so composed verbs
+    (``ivfpq_reembed`` = delete + merge) run under ONE lock. A crashed
+    writer's lock self-expires after ``lease_sec`` (default
+    ``INDEX_LOCK_LEASE_SEC``) — the next writer breaks it, and its
+    entry recovery (:func:`ivfpq_recover_index`) heals whatever the
+    crash left."""
+    if path in _HELD_LOCKS:  # reentrant: the outer verb owns the lock
+        yield
+        return
+    if not _try_acquire_index_lock(spark, path, lease_sec=lease_sec):
+        raise IndexWriteLockError(
+            f"another writer holds the live lock {path}/{_LOCK_FILE} — "
+            f"persisted-index maintenance is single-writer; rerun after "
+            f"it finishes (a crashed writer's lock self-expires after "
+            f"{INDEX_LOCK_LEASE_SEC if lease_sec is None else lease_sec}s)"
+        )
+    try:
+        yield
+    finally:
+        _release_index_lock(spark, path)
+
+
+#: every on-disk remnant an interrupted maintenance verb can leave —
+#: the read-side heal probes exactly these (cheap driver-side
+#: existence checks, no data bytes).
+_RECOVERY_MARKERS = (
+    "_rebuild_trash",
+    "_rebuild_trash_done",
+    "_rebuild_staging",
+    "codes_trash",
+    "codes_staging",
+)
+
+
+def _maybe_heal_for_read(spark, path: str) -> bool:
+    """Let READ paths self-heal a crashed writer's interrupted swap
+    (r10 advice item 1): without this, ``ivfpq_probe_index`` /
+    ``ivfpq_read_model`` would serve a mid-swap mix until the NEXT
+    maintenance writer happens to run — which may never come. Probes
+    five marker paths (metadata existence checks only — the no-crash
+    fast path costs no data IO); when a remnant exists, takes the
+    WRITE lock (recovery mutates) and runs
+    :func:`ivfpq_recover_index`. A live writer's lock means the
+    remnant is a swap IN PROGRESS, not a crash — the reader backs off
+    and reads as-is, exactly the pre-r11 behavior, bounded by the
+    writer's own commit. A crashed writer's still-live lease delays
+    the heal by at most ``INDEX_LOCK_LEASE_SEC``. Returns True when a
+    recovery ran."""
+    if path in _HELD_LOCKS:
+        return False  # we ARE the writer — it already ran recovery
+    fs, jpath = _index_fs(spark, path)
+    if not any(
+        fs.exists(jpath(f"{path}/{m}")) for m in _RECOVERY_MARKERS
+    ):
+        return False
+    if not _try_acquire_index_lock(spark, path):
+        return False  # live writer mid-swap (or fresh crash lease) — read as-is
+    try:
+        ivfpq_recover_index(spark, path)
+    finally:
+        _release_index_lock(spark, path)
+    return True
+
+
 _INDEX_ARTIFACTS = ("centroids", "codebooks", "codes")
 
 
@@ -1367,6 +1592,7 @@ def _swap_rebuild(spark, path: str) -> None:
     fs.delete(jpath(f"{path}/_rebuild_staging"), True)
 
 
+@_locked_verb
 def ivfpq_recover_index(spark, path: str) -> dict:
     """Heal an index interrupted mid-swap: ROLL BACK any cell whose
     live directory went missing while its previous contents sit in
@@ -1465,6 +1691,7 @@ def _swap_staged_cells(spark, path: str, cells) -> None:
     fs.delete(jpath(f"{path}/codes_staging"), True)
 
 
+@_locked_verb
 def ivfpq_compact_index(spark, path: str) -> dict:
     """Compact merge-fragmented cell partitions back to ONE file per
     cell — the ordinary parquet maintenance an append-based index
@@ -1531,6 +1758,7 @@ def ivfpq_compact_index(spark, path: str) -> dict:
     return {"n_cells_compacted": len(fragmented), "n_rows_rewritten": n_rows}
 
 
+@_locked_verb
 def ivfpq_delete_ids(
     spark,
     path: str,
@@ -1789,6 +2017,7 @@ def ivfpq_drift_audit(
     )
 
 
+@_locked_verb
 def ivfpq_reembed(
     spark,
     path: str,

@@ -708,12 +708,20 @@ def longest_duplicated_span_exact(
     ws = sorted(set(int(w) for w in widths))
     if not ws or ws[0] < 1:
         raise ValueError(f"widths must be positive, got {widths!r}")
+    from .dedup import register_pinned
+
     toks = df.select(
         F.col(id_col).alias("_id"), tokens(text_col).alias("_t")
     )
-    ladder = longest_duplicated_span(
-        df, text_col, id_col, widths=widths
-    ).localCheckpoint(eager=True)  # referenced by the loop and the output
+    # referenced by the loop AND lazily by the returned frame — pinned
+    # through the dedup registry so the harness's release_pinned()
+    # frees its blocks after materialization (r10 advice item 4; the
+    # final bisection state below gets the same treatment)
+    ladder = register_pinned(
+        longest_duplicated_span(
+            df, text_col, id_col, widths=widths
+        ).localCheckpoint(eager=True)
+    )
 
     # bisection state over flagged docs: lo = a width the doc IS
     # duplicated at, hi = a width it provably is NOT (n_tokens + 1 =
@@ -807,6 +815,7 @@ def longest_duplicated_span_exact(
             f"longest_duplicated_span_exact did not converge in "
             f"{max_iter} passes"
         )
+    register_pinned(state)  # the returned frame references it lazily
     out = ladder.join(
         state.select("_id", F.col("_lo").alias("_exact")),
         ladder[id_col] == F.col("_id"),

@@ -641,7 +641,15 @@ def run_ivfpq_merge_stream(
     1.005× overall vs 3-9× batch-scoped on the same injected drift).
     ``audit_sample_mod`` samples both the baseline and batch audits to
     the same deterministic ~1/mod id subset — baseline and batch
-    ratios compare like with like, at 1/mod the scan. ``retrain_corpus``
+    ratios compare like with like, at 1/mod the scan; a batch the
+    sample misses entirely falls back to an exact batch audit
+    (``audit_sample_fallback`` in its stats row) so small batches
+    cannot silently no-op the trigger. Arming FAILS LOUDLY when the
+    baseline audit matches zero vectors (a corpus that explains no
+    index row, or a sample_mod that empties the index sample) — a
+    zero baseline would make the cross-multiplied trigger 0 > 0
+    forever, drift detection dead with no visible symptom.
+    ``retrain_corpus``
     must be the index's corpus of record (it is re-read at each
     audit/retrain, so a view over the landing table stays current).
     The rebuild is STAGED and atomically swapped
@@ -684,16 +692,22 @@ def run_ivfpq_merge_stream(
         else None
     )
 
-    def audit_qerr(spark, corpus, scope) -> tuple[int, int]:
+    def audit_qerr(spark, corpus, scope, *, sample_mod=...) -> tuple[int, int]:
         """(sum_qerr_micro, n_vectors) over the corpus-matched rows —
         exact int64 sums; the __unaudited__ orphan segment (ids the
-        corpus no longer explains) is excluded from the mean."""
+        corpus no longer explains) is excluded from the mean.
+        ``sample_mod`` defaults to the stream's ``audit_sample_mod``;
+        pass ``None`` explicitly for an exact audit (the small-batch
+        fallback below)."""
         rows = {
             r.segment: r
             for r in ivfpq_drift_audit(
                 spark, index_path, corpus,
                 vec_col=vec_col, id_col=id_col,
-                sample_mod=audit_sample_mod, scope=scope,
+                sample_mod=(
+                    audit_sample_mod if sample_mod is ... else sample_mod
+                ),
+                scope=scope,
             ).collect()  # ≤ 2 bounded rows
         }
         hit = rows.get("all")
@@ -705,6 +719,24 @@ def run_ivfpq_merge_stream(
     if armed:
         spark0 = stream_df.sparkSession
         state["baseline"] = audit_qerr(spark0, retrain_corpus, "index")
+        if state["baseline"][1] == 0:
+            # A zero-vector baseline makes the cross-multiplied trigger
+            # 0 > 0 forever — drift detection would be silently dead
+            # and the baseline never refreshes (it only recomputes
+            # after a retrain the dead trigger can never fire). Either
+            # retrain_corpus explains no index row, or audit_sample_mod
+            # sampled the index to nothing — both are arming mistakes;
+            # fail at arm time, mirroring the retrain_corpus None check.
+            raise ValueError(
+                "auto-retrain baseline audit matched ZERO index vectors — "
+                "retrain_corpus must be the index's corpus of record"
+                + (
+                    f" and audit_sample_mod={audit_sample_mod} must leave a "
+                    "non-empty index sample"
+                    if audit_sample_mod is not None
+                    else ""
+                )
+            )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -731,6 +763,22 @@ def run_ivfpq_merge_stream(
                 # audit the BATCH, not the corpus: the sharp, cheap
                 # trigger (see docstring)
                 cur_sum, cur_n = audit_qerr(spark, batch_df, "corpus")
+                fallback = False
+                if audit_sample_mod is not None and cur_n == 0:
+                    # Small-batch escape hatch: a batch whose ids all
+                    # hash outside the 1/mod sample would audit as
+                    # (0, 0) and the cur_n > 0 guard would make the
+                    # check a silent no-op — drift arriving in small
+                    # batches could never fire despite
+                    # audit_checked=True. Fall back to an EXACT audit
+                    # of this batch (batch-sized decode — affordable by
+                    # definition when the sample missed everything);
+                    # its mean compares against the sampled baseline
+                    # mean, which estimates the same exact quantity.
+                    cur_sum, cur_n = audit_qerr(
+                        spark, batch_df, "corpus", sample_mod=None
+                    )
+                    fallback = True
                 s.update(
                     {
                         "audit_checked": True,
@@ -738,6 +786,11 @@ def run_ivfpq_merge_stream(
                         "audit_n_vectors": cur_n,
                         "baseline_sum_qerr_micro": base_sum,
                         "baseline_n_vectors": base_n,
+                        **(
+                            {"audit_sample_fallback": True}
+                            if fallback
+                            else {}
+                        ),
                     }
                 )
                 # cur_sum/cur_n > ratio * base_sum/base_n, cross-multiplied

@@ -1155,11 +1155,15 @@ def test_ivfpq_rebuild_crash_before_swap_preserves_model(
         sim.ivfpq_write_index(emb, path)  # retrain over the live index
     monkeypatch.undo()
 
+    # the staged bytes sit unswapped — until the first read arrives
+    assert os.path.exists(f"{path}/_rebuild_staging")
     assert model_snapshot() == old_model  # old model fully intact
     assert probe() == old_probe
-    assert os.path.exists(f"{path}/_rebuild_staging")
+    # r11: the read itself healed the crash — stale staging discarded
+    # (reads no longer wait for the next maintenance writer)
+    assert not os.path.exists(f"{path}/_rebuild_staging")
 
-    # rerun: recovery discards the stale stage, the rebuild completes
+    # rerun: recovery discards any stale stage, the rebuild completes
     stats = sim.ivfpq_write_index(emb, path)
     assert stats["n_indexed"] == emb.count()
     assert not os.path.exists(f"{path}/_rebuild_staging")
@@ -1202,3 +1206,227 @@ def test_ivfpq_rebuild_mid_swap_rolls_back_whole_model(
     assert [b.tolist() for b in B1] == [b.tolist() for b in B0]
     assert not os.path.exists(f"{path}/_rebuild_trash")
     assert not os.path.exists(f"{path}/_rebuild_staging")
+
+
+# ---------------------------------------------------------------------------
+# Single-writer lock (r10 verdict item 1) + read-side heal + model cache
+# ---------------------------------------------------------------------------
+
+
+def _make_lock(path: str, *, age_sec: float = 0.0) -> str:
+    """Fabricate ANOTHER process's lock file (bypassing _HELD_LOCKS),
+    optionally back-dated so the lease logic sees it as stale."""
+    import json
+    import os
+    import time
+
+    lock = f"{path}/_index_write_lock"
+    os.makedirs(path, exist_ok=True)
+    with open(lock, "w") as f:
+        json.dump({"host": "other-host", "pid": 99999}, f)
+    if age_sec:
+        t = time.time() - age_sec
+        os.utime(lock, (t, t))
+    return lock
+
+
+def test_index_lock_blocks_second_writer(spark, sf_dir, tmp_path):
+    """The single-writer invariant is ENFORCED, not documented: every
+    maintenance verb fails loudly when another writer's live lock is
+    present — two concurrent maintainers can no longer interleave
+    recover/stage/swap into silent corruption."""
+    import os
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    path = str(tmp_path / "idx")
+    sim.ivfpq_write_index(emb.filter(F.col("vec_id") % 5 != 0), path)
+    assert not os.path.exists(f"{path}/_index_write_lock")  # released
+
+    _make_lock(path)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    with pytest.raises(sim.IndexWriteLockError, match="single-writer"):
+        sim.ivfpq_merge_index(spark, path, delta)
+    with pytest.raises(sim.IndexWriteLockError):
+        sim.ivfpq_compact_index(spark, path)
+    with pytest.raises(sim.IndexWriteLockError):
+        sim.ivfpq_delete_ids(spark, path, [0])
+    with pytest.raises(sim.IndexWriteLockError):
+        sim.ivfpq_write_index(emb, path)  # rebuild is a writer too
+    # the blocked verbs changed nothing — the foreign lock is intact
+    # and the index still serves the base rows only
+    assert os.path.exists(f"{path}/_index_write_lock")
+    n = spark.read.parquet(f"{path}/codes").count()
+    assert n == emb.filter(F.col("vec_id") % 5 != 0).count()
+
+
+def test_index_lock_stale_lease_is_broken_and_healed(
+    spark, sf_dir, tmp_path
+):
+    """Crash-with-held-lock recovers via the lease: a lock older than
+    INDEX_LOCK_LEASE_SEC is presumed a crashed writer's — the next
+    verb breaks it, heals the crash remnants on entry, completes, and
+    releases cleanly."""
+    import os
+    import shutil as sh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    path = str(tmp_path / "idx")
+    sim.ivfpq_write_index(emb, path)
+    before = sorted(
+        (r.neighbor_id, int(r.cell), tuple(r.codes))
+        for r in spark.read.parquet(f"{path}/codes").collect()
+    )
+    # crashed writer: mid-swap cell in trash + a held (but stale) lock
+    cell = int(
+        spark.read.parquet(f"{path}/codes").select("cell").first().cell
+    )
+    os.makedirs(f"{path}/codes_trash", exist_ok=True)
+    sh.move(f"{path}/codes/cell={cell}", f"{path}/codes_trash/cell={cell}")
+    _make_lock(path, age_sec=sim.INDEX_LOCK_LEASE_SEC + 60)
+
+    m = sim.ivfpq_merge_index(spark, path, emb)  # breaks the stale lease
+    assert m["n_added"] == 0  # entry recovery restored the cell first
+    after = sorted(
+        (r.neighbor_id, int(r.cell), tuple(r.codes))
+        for r in spark.read.parquet(f"{path}/codes").collect()
+    )
+    assert after == before
+    assert not os.path.exists(f"{path}/codes_trash")
+    assert not os.path.exists(f"{path}/_index_write_lock")
+
+
+def test_index_lock_released_on_error_and_reentrant(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The lock must release on ANY exit — including a crash inside
+    the verb — and composed verbs (reembed = delete + merge) must run
+    under ONE reentrant lock instead of deadlocking on themselves."""
+    import os
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    path = str(tmp_path / "idx")
+    sim.ivfpq_write_index(emb.filter(F.col("vec_id") % 5 != 0), path)
+    sim.ivfpq_merge_index(
+        spark, path, emb.filter(F.col("vec_id") % 5 == 0)
+    )
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash inside the locked verb")
+
+    monkeypatch.setattr(sim, "_swap_staged_cells", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        sim.ivfpq_compact_index(spark, path)
+    monkeypatch.undo()
+    assert not os.path.exists(f"{path}/_index_write_lock")  # released
+    assert path not in sim._HELD_LOCKS
+
+    # reentrancy: reembed (delete + merge under one lock) completes
+    changed = emb.filter(F.col("vec_id") % 7 == 1)
+    r = sim.ivfpq_reembed(spark, path, changed)
+    assert r["n_deleted"] == r["n_inserted"] == changed.count()
+    assert not os.path.exists(f"{path}/_index_write_lock")
+
+
+def test_reader_heals_interrupted_swap(spark, sf_dir, tmp_path):
+    """Read paths self-heal a CRASHED writer's interrupted swap (r10
+    advice item 1): a probe arriving after the crash — with no further
+    maintenance writer ever scheduled — restores the rolled-back cell
+    instead of silently serving the mid-swap mix forever."""
+    import os
+    import shutil as sh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    path = str(tmp_path / "idx")
+    sim.ivfpq_write_index(emb, path)
+    n_all = emb.count()
+    cell = int(
+        spark.read.parquet(f"{path}/codes").select("cell").first().cell
+    )
+    os.makedirs(f"{path}/codes_trash", exist_ok=True)
+    sh.move(f"{path}/codes/cell={cell}", f"{path}/codes_trash/cell={cell}")
+    assert spark.read.parquet(f"{path}/codes").count() < n_all
+
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = sim.ivfpq_probe_index(spark, path, queries, emb, k=3)
+    assert out.count() > 0  # the read itself succeeded...
+    # ...and healed the index as a side effect: cell restored, trash
+    # gone, no lock left behind
+    assert spark.read.parquet(f"{path}/codes").count() == n_all
+    assert not os.path.exists(f"{path}/codes_trash")
+    assert not os.path.exists(f"{path}/_index_write_lock")
+
+
+def test_reader_backs_off_under_live_writer_lock(spark, sf_dir, tmp_path):
+    """A LIVE lock means the swap remnants belong to a writer mid-verb,
+    not a crash — readers must NOT 'heal' (that would race the writer's
+    own renames); they read as-is, bounded by the writer's commit."""
+    import os
+    import shutil as sh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    path = str(tmp_path / "idx")
+    sim.ivfpq_write_index(emb, path)
+    cell = int(
+        spark.read.parquet(f"{path}/codes").select("cell").first().cell
+    )
+    os.makedirs(f"{path}/codes_trash", exist_ok=True)
+    sh.move(f"{path}/codes/cell={cell}", f"{path}/codes_trash/cell={cell}")
+    _make_lock(path)  # fresh: a live writer owns these remnants
+
+    sim.ivfpq_read_model(spark, path)  # must not mutate
+    assert os.path.exists(f"{path}/codes_trash/cell={cell}")
+    assert os.path.exists(f"{path}/_index_write_lock")
+    # once the 'writer' dies and its lease expires, the next read heals
+    _make_lock(path, age_sec=sim.INDEX_LOCK_LEASE_SEC + 60)
+    sim.ivfpq_read_model(spark, path)
+    assert not os.path.exists(f"{path}/codes_trash")
+    assert spark.read.parquet(f"{path}/codes").count() == emb.count()
+
+
+def test_probe_model_cache_hits_and_invalidates(spark, sf_dir, tmp_path):
+    """Serving-path model cache (r10 verdict item 5): the second probe
+    against an unchanged index reads NO model parquet (cache hit on
+    the mtime/length fingerprint) and returns identical results; a
+    rebuild invalidates — the next read decodes the NEW model."""
+    from sentiment_analysis_data_engineering_spark.operators.dedup import release_pinned
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    path = str(tmp_path / "idx")
+    sim.ivfpq_write_index(emb, path, n_cells=16)
+    queries = emb.filter(F.col("vec_id") < 3)
+
+    h0, m0 = sim.MODEL_CACHE_STATS["hits"], sim.MODEL_CACHE_STATS["misses"]
+    r1 = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in sim.ivfpq_probe_index(spark, path, queries, emb, k=3).collect()
+    )
+    release_pinned()
+    assert sim.MODEL_CACHE_STATS["misses"] == m0 + 1  # first read decodes
+    r2 = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in sim.ivfpq_probe_index(spark, path, queries, emb, k=3).collect()
+    )
+    release_pinned()
+    assert sim.MODEL_CACHE_STATS["hits"] == h0 + 1  # second probe: no jobs
+    assert sim.MODEL_CACHE_STATS["misses"] == m0 + 1
+    assert r1 == r2
+
+    # a retrain (staged rebuild + swap) must invalidate: the fingerprint
+    # changes with the swapped-in files, and the next read sees the new
+    # model shape
+    sim.ivfpq_write_index(emb, path, n_cells=8)
+    _, _, meta = sim.ivfpq_read_model(spark, path)
+    assert meta["n_cells"] == 8
+    assert sim.MODEL_CACHE_STATS["misses"] == m0 + 2
