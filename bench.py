@@ -191,6 +191,8 @@ HEADLINE = [
     "ann_index_retrain_cycle",
     # round 10: drift audit wired into the maintainer (auto-retrain)
     "ann_index_autoretrain_stream",
+    # round 11: discriminative recall gate on the planted-cluster fixture
+    "ann_clustered_recall",
 ]
 
 
