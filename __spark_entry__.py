@@ -68,80 +68,77 @@ SF0001 = "/root/testdata/sf0.001"
 # re-verified each round by a FULL tools/check_oracle.py run over the
 # whole registry (at all three SFs), recorded in PROGRESS.jsonl.
 _GATE_FIRST = [
-    # ROUND-10 ROTATION (VERDICT r9 item 1). Standing priority order:
+    # ROUND-11 ROTATION (VERDICT r10 item 2). Standing priority order:
     # (1) never driver-checked, (2) implementation changed since last
-    # driver row, (3) oldest-attested age canaries (r6 tranche,
-    # alphabetical).
-    # -- (1) NEW in round 10, never driver-checked
-    "ann_index_autoretrain_stream",
-    # -- (2) implementation changed this round: the atomic staging-
-    #    swap rewrite of ivfpq_compact_index/ivfpq_delete_ids, the
-    #    deterministic-conflict merge, the drift audit's __unaudited__
-    #    left-join + sample_mod/scope, and the hash-ordered persisted-
-    #    index fit sample (recall contracts re-measured and re-gated
-    #    on mean recall) touch every persisted-index query; the
-    #    sampling plumb-through touches the ad-hoc PQ/IVF-PQ pair
-    #    (default unchanged, re-gated to prove it); the retrained
-    #    held-out-eval artifact changes classifier_trained_model_filter;
-    #    longest_duplicated_span_exact extends span_dedup_multiwidth.
+    # driver row, (3) oldest-attested age canaries.
+    # -- (1) NEW in round 11, never driver-checked
+    "ann_clustered_recall",
+    # -- (2) implementation changed this round: the single-writer lock
+    #    wraps every persisted-index maintenance verb, read paths heal
+    #    interrupted swaps and memoize the model read, and the streaming
+    #    maintainer gained the zero-baseline arm guard + sampled-miss
+    #    fallback - every persisted-index query re-gates; the exact-span
+    #    pin registration touches span_dedup_multiwidth.
     "ann_index_lifecycle",
     "ann_index_delete_reembed",
     "ann_index_drift_audit",
     "ann_index_retrain_cycle",
     "ann_index_autocompact_stream",
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    "classifier_trained_model_filter",
+    "ann_index_autoretrain_stream",
     "span_dedup_multiwidth",
-    # -- (3) the 40 alphabetically-first of the 42 r6-attested rows —
-    #    the oldest attestations in the registry (the r10
-    #    oldest-first tranche). The 2 that do not fit this 50-slot
-    #    prefix (video_frame_features, zipf_token_rank_slope) lead the
-    #    r11 rotation and are re-verified this round by the full
+    # -- (3) the two r6 rows that did not fit the r10 prefix (the oldest
+    #    attestations in the registry - the r10 verdict queued them first)
+    "video_frame_features",
+    "zipf_token_rank_slope",
+    # -- (3 cont.) the 40 alphabetically-first of the 47 r7-attested rows.
+    #    The 7 that do not fit this 50-slot prefix (topk_per_group,
+    #    union_all_branches, unit_suffix_parse, unpivot_event_counts,
+    #    window_moving_avg, window_sliding_6h, window_tumbling_daily) lead
+    #    the r12 rotation and are re-verified this round by the full
     #    triple-SF check_oracle sweep like every off-prefix query.
-    "anti_join_new_keys",
-    "audio_decode_features",
-    "bigram_logprob_score",
-    "brown_forecast_user_value",
-    "casts_and_coalesce",
-    "chi_square_segment_priority",
-    "cohort_ltv_curves",
-    "corpus_curation",
-    "correlation_matrix_lineitem",
-    "custom_source_events_report",
-    "customer_order_gap_stats",
-    "daily_returns_volatility",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dow_seasonality_index",
-    "event_sequence_patterns",
-    "gini_revenue_concentration",
-    "heavy_hitter_users",
-    "ks_drift_purchase_view",
-    "local_supplier_volume",
-    "mad_outlier_prices",
-    "markov_event_transitions",
-    "max_drawdown_per_user",
-    "nway_inner_join",
-    "pagerank_weighted_copurchase",
-    "personalized_pagerank_parts",
-    "predicate_scan",
-    "readability_report",
-    "regr_price_quantity",
-    "rfm_customer_segments",
-    "seasonal_adjusted_anomalies",
-    "skew_salted_join_agg",
-    "span_dedup_rewrite",
-    "star_join_revenue",
-    "top_session_paths",
-    "unnest_tokens",
-    "user_value_trend",
+    "approx_distinct_parts",
+    "approx_percentiles_by_segment",
+    "classifier_quality_filter",
+    "cluster_aware_split_stats",
+    "count_existence_probe",
+    "cube_order_stats",
+    "date_decomposition",
+    "date_functions_report",
+    "dedup_clusters",
+    "doc_fingerprint",
+    "exact_distinct_parts",
+    "except_all_part_multiset",
+    "except_non_building_buyers",
+    "global_sort",
+    "groupby_agg_pricing_summary",
+    "grouping_sets_revenue",
+    "intersect_buyer_suppliers_nations",
+    "json_path_scalar",
+    "multiset_equality",
+    "null_safe_join_props",
+    "nway_same_key_join",
+    "pca_embedding_variance",
+    "percentiles_by_segment",
+    "pivot_event_counts",
+    "projection_rename_literal",
+    "props_map_report",
+    "quality_percentile_prune",
+    "range_filter",
+    "robust_stats_by_priority",
+    "rollup_revenue",
+    "semi_join_existing_keys",
+    "sessionize_events",
+    "skew_salted_agg",
+    "stratified_sample_langs",
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_count",
+    "tfidf_top_terms",
+    "today_parts",
+    "topk_global",
     # Every query outside this prefix is r7-or-fresher on its current
-    # implementation (sole exceptions: the two r6 rows named above,
-    # queued first for r11) and is re-verified each round by the FULL
+    # implementation (sole exceptions: the 7 r7 rows named above, queued
+    # first for r12) and is re-verified each round by the FULL
     # tools/check_oracle.py sweep (run at sf0.001, sf0.01 AND sf0.1 -
     # the standing cross-SF protocol) logged to PROGRESS.jsonl at HEAD.
 ]
