@@ -68,77 +68,83 @@ SF0001 = "/root/testdata/sf0.001"
 # re-verified each round by a FULL tools/check_oracle.py run over the
 # whole registry (at all three SFs), recorded in PROGRESS.jsonl.
 _GATE_FIRST = [
-    # ROUND-11 ROTATION (VERDICT r10 item 2). Standing priority order:
+    # ROUND-12 ROTATION (VERDICT r11 items 1-2). Standing priority order:
     # (1) never driver-checked, (2) implementation changed since last
     # driver row, (3) oldest-attested age canaries.
-    # -- (1) NEW in round 11, never driver-checked
+    # -- (1) NEW in round 12, never driver-checked: the discriminative
+    #    recall gate extended to LSH / IVF-Flat / PQ on the planted
+    #    fixture (verdict item 2)
+    "ann_clustered_recall_families",
+    # -- (2) implementation changed this round: lock ownership is now
+    #    per-thread with payload-token-verified release and atomic
+    #    tombstone stale-breaks; the probe-path model cache is an LRU
+    #    with a legible missing-index error (advice medium + all three
+    #    lows) - every query exercising the persisted-index verbs or
+    #    ivfpq_read_model re-gates.
     "ann_clustered_recall",
-    # -- (2) implementation changed this round: the single-writer lock
-    #    wraps every persisted-index maintenance verb, read paths heal
-    #    interrupted swaps and memoize the model read, and the streaming
-    #    maintainer gained the zero-baseline arm guard + sampled-miss
-    #    fallback - every persisted-index query re-gates; the exact-span
-    #    pin registration touches span_dedup_multiwidth.
     "ann_index_lifecycle",
     "ann_index_delete_reembed",
     "ann_index_drift_audit",
     "ann_index_retrain_cycle",
     "ann_index_autocompact_stream",
     "ann_index_autoretrain_stream",
-    "span_dedup_multiwidth",
-    # -- (3) the two r6 rows that did not fit the r10 prefix (the oldest
-    #    attestations in the registry - the r10 verdict queued them first)
-    "video_frame_features",
-    "zipf_token_rank_slope",
-    # -- (3 cont.) the 40 alphabetically-first of the 47 r7-attested rows.
-    #    The 7 that do not fit this 50-slot prefix (topk_per_group,
-    #    union_all_branches, unit_suffix_parse, unpivot_event_counts,
-    #    window_moving_avg, window_sliding_6h, window_tumbling_daily) lead
-    #    the r12 rotation and are re-verified this round by the full
-    #    triple-SF check_oracle sweep like every off-prefix query.
-    "approx_distinct_parts",
-    "approx_percentiles_by_segment",
-    "classifier_quality_filter",
-    "cluster_aware_split_stats",
-    "count_existence_probe",
-    "cube_order_stats",
-    "date_decomposition",
-    "date_functions_report",
-    "dedup_clusters",
-    "doc_fingerprint",
-    "exact_distinct_parts",
-    "except_all_part_multiset",
-    "except_non_building_buyers",
-    "global_sort",
-    "groupby_agg_pricing_summary",
-    "grouping_sets_revenue",
-    "intersect_buyer_suppliers_nations",
-    "json_path_scalar",
-    "multiset_equality",
-    "null_safe_join_props",
-    "nway_same_key_join",
-    "pca_embedding_variance",
-    "percentiles_by_segment",
-    "pivot_event_counts",
-    "projection_rename_literal",
-    "props_map_report",
-    "quality_percentile_prune",
-    "range_filter",
-    "robust_stats_by_priority",
-    "rollup_revenue",
-    "semi_join_existing_keys",
-    "sessionize_events",
-    "skew_salted_agg",
-    "stratified_sample_langs",
-    "text_lang_id",
-    "text_quality_score",
-    "text_token_count",
-    "tfidf_top_terms",
-    "today_parts",
-    "topk_global",
-    # Every query outside this prefix is r7-or-fresher on its current
-    # implementation (sole exceptions: the 7 r7 rows named above, queued
-    # first for r12) and is re-verified each round by the FULL
+    # -- (3) the 7 r7-attested rows that did not fit the r11 prefix
+    #    (the oldest attestations in the registry - the r11 verdict
+    #    queued them first; after this gate no row is older than r8)
+    "topk_per_group",
+    "union_all_branches",
+    "unit_suffix_parse",
+    "unpivot_event_counts",
+    "window_moving_avg",
+    "window_sliding_6h",
+    "window_tumbling_daily",
+    # -- (3 cont.) the 35 alphabetically-first of the 44 r8-attested
+    #    rows. The 9 that do not fit this 50-slot prefix
+    #    (rolling_7day_customer_revenue, sequence_packing_stats,
+    #    sole_late_supplier_waitlist, string_functions_report,
+    #    supplier_part_volume, text_clean_and_mask,
+    #    top_revenue_supplier, top_unshipped_orders,
+    #    train_val_test_split) lead the r13 rotation and are
+    #    re-verified this round by the full triple-SF check_oracle
+    #    sweep like every off-prefix query.
+    "array_functions_report",
+    "asof_join_last_signup",
+    "benchmark_contamination",
+    "bigram_pmi_collocations",
+    "bloom_pruned_order_revenue",
+    "char_entropy_report",
+    "classifier_learned_weights_filter",
+    "cms_user_counts",
+    "customers_above_nation_avg",
+    "daily_event_gapfill",
+    "daily_new_returning_users",
+    "daily_ohlc_bars",
+    "daily_user_value_interp",
+    "daily_user_value_locf",
+    "data_quality_report",
+    "dedup_survivor_selection",
+    "disjunctive_predicate_revenue",
+    "document_chunks",
+    "embedding_kmeans_sizes",
+    "embedding_quantize_error",
+    "epoch_shuffle_stats",
+    "ewma_user_value",
+    "gopher_repetition_signals",
+    "large_orders",
+    "min_cost_supplier_per_part",
+    "mixture_weighted_sample_sources",
+    "nation_pair_volume",
+    "order_count_distribution",
+    "order_flags_by_priority",
+    "outer_join_customer_orders",
+    "price_quantity_statistics",
+    "promo_revenue_share",
+    "range_join_error_windows",
+    "rank_functions_report",
+    "region_nation_rollcall",
+    # Every query outside this prefix is r8-or-fresher on its current
+    # implementation (sole exceptions: the 9 r8 rows named above, queued
+    # first for r13) and is re-verified each round by the FULL
     # tools/check_oracle.py sweep (run at sf0.001, sf0.01 AND sf0.1 -
     # the standing cross-SF protocol) logged to PROGRESS.jsonl at HEAD.
 ]

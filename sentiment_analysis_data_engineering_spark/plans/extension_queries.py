@@ -790,6 +790,7 @@ def ann_clustered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_results8, hits8 = probe_hits(8)
         _, hits2 = probe_hits(2)
     finally:
+        sim.evict_model_cache(path)  # temp-dir index: no stale cache entry
         shutil.rmtree(tmp, ignore_errors=True)
     planted.unpersist()
     exact.unpersist()
@@ -803,6 +804,104 @@ def ann_clustered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )],
         "n_queries long, n_results long, structure_found_ok boolean, "
         "pruning_informative_ok boolean, recall_floor_ok boolean",
+    )
+
+
+@query(
+    "ann_clustered_recall_families",
+    oracle="""
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+            WHERE vec_id < 10) AS n_queries,
+           (SELECT CAST(5 * count(*) AS BIGINT) FROM embeddings
+            WHERE vec_id < 10) AS n_exact,
+           TRUE AS lsh_recall_ok,
+           TRUE AS ivf_recall_ok,
+           TRUE AS pq_recall_ok
+    """,
+)
+def ann_clustered_recall_families(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The discriminative recall gate EXTENDED to the other ANN
+    families (r11 verdict item 2): ``ann_clustered_recall`` proves
+    IVF-PQ pays off on structured data, but the LSH / IVF-Flat / PQ
+    contract rows still measure only the near-random driver fixture —
+    the regime where cell pruning and banding are close to
+    uninformative, so their 0.6–0.8 floors are graceful-degradation
+    bounds, not proof the structures help. This row runs all three
+    remaining families against the SAME planted-cluster fixture
+    (:func:`_planted_cluster_embeddings`) at their STANDARD registry
+    parameters (LSH 12 planes / 6 bands; IVF 16 cells / 4 probes; PQ
+    m=8, 64 codes, corpus-scaled re-rank) and gates mean recall@5
+    ≥ 0.9 for EACH — by exact integer cross-multiplication
+    (``10·hits ≥ 9·total``) over |queries|·k-bounded join counts, the
+    same arithmetic as the IVF-PQ gate (measured 1.0 / 1.0 / 1.0 at
+    sf0.001, sf0.01 and sf0.1 for all three families).
+
+    Why it holds by construction, family by family: same-cluster
+    vectors sit ≈20° apart (unit center + ‖noise‖≈0.26), so a 2-plane
+    LSH band agrees with p≈0.8 and six bands miss with p≈6e-5; the
+    16-cell coarse quantizer recovers the 16 planted directions, so a
+    query's true top-5 (always same-cluster) lands in its own probed
+    cell; PQ's codebooks quantize residuals an order tighter than the
+    inter-center gaps, so ADC ranks same-cluster candidates ahead of
+    everything the re-rank then orders exactly. The exact baseline is
+    computed ONCE and both pins release before return — the fixture
+    synthesis, the three approximate operators and the exact scan are
+    each already gated elsewhere; this row isolates one new claim per
+    family: the structure HELPS when structure exists."""
+    planted = _planted_cluster_embeddings(spark, sf_dir).localCheckpoint(
+        eager=True
+    )
+    queries_df = planted.filter(F.col("vec_id") < 10)
+    exact = (
+        sim.cosine_topk(
+            queries_df, planted, vec_col="embedding", id_col="vec_id", k=5
+        )
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)  # consumed by three hit-joins
+    )
+    n_exact = exact.count()
+    n_queries = queries_df.count()
+    n_corpus = _table_rowcount(spark, sf_dir, "embeddings")
+
+    def hits(approx: DataFrame) -> int:
+        return (
+            approx.select("query_id", "neighbor_id")
+            .join(exact, ["query_id", "neighbor_id"])
+            .count()  # ≤ |queries|·k — bounded
+        )
+
+    lsh_hits = hits(
+        sim.lsh_cosine_topk(
+            queries_df, planted, vec_col="embedding", id_col="vec_id",
+            k=5, num_planes=12, bands=6, dim=_CLUSTERED_DIM,
+        )
+    )
+    ivf_hits = hits(
+        sim.ivf_cosine_topk(
+            queries_df, planted, vec_col="embedding", id_col="vec_id",
+            k=5, n_centroids=16, n_probe=4,
+        )
+    )
+    pq_hits = hits(
+        sim.pq_cosine_topk(
+            queries_df, planted, vec_col="embedding", id_col="vec_id",
+            k=5, m=8, n_codes=64, n_rerank=max(96, n_corpus // 8),
+        )
+    )
+    planted.unpersist()
+    exact.unpersist()
+    return spark.createDataFrame(
+        [(
+            n_queries,
+            n_exact,
+            10 * lsh_hits >= 9 * n_exact,
+            10 * ivf_hits >= 9 * n_exact,
+            10 * pq_hits >= 9 * n_exact,
+        )],
+        "n_queries long, n_exact long, lsh_recall_ok boolean, "
+        "ivf_recall_ok boolean, pq_recall_ok boolean",
     )
 
 
@@ -939,6 +1038,7 @@ def ann_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe.unpersist()
         dd.register_pinned(out)
     finally:
+        sim.evict_model_cache(path)  # temp-dir index: no stale cache entry
         shutil.rmtree(tmp, ignore_errors=True)
     return out
 
@@ -1065,6 +1165,7 @@ def ann_index_delete_reembed(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe.unpersist()
         dd.register_pinned(out)
     finally:
+        sim.evict_model_cache(path)  # temp-dir index: no stale cache entry
         shutil.rmtree(tmp, ignore_errors=True)
     return out
 
@@ -1151,6 +1252,7 @@ def ann_index_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).collect()  # 2 rows — bounded model-state class
         }
     finally:
+        sim.evict_model_cache(path)  # temp-dir index: no stale cache entry
         shutil.rmtree(tmp, ignore_errors=True)
     b, g = audit["base"], audit["merged"]
     # from the build's own stats (== the persisted artifacts'
@@ -1258,6 +1360,7 @@ def ann_index_autocompact_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("neighbor_id").alias("_nd"),
         ).first()
     finally:
+        sim.evict_model_cache(path)  # temp-dir index: no stale cache entry
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(
         [(
@@ -1396,6 +1499,7 @@ def ann_index_retrain_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe.unpersist()
         dd.register_pinned(out)
     finally:
+        sim.evict_model_cache(path)  # temp-dir index: no stale cache entry
         shutil.rmtree(tmp, ignore_errors=True)
     return out
 
@@ -1535,6 +1639,7 @@ def ann_index_autoretrain_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("neighbor_id").alias("_nd"),
         ).first()
     finally:
+        sim.evict_model_cache(path)  # temp-dir index: no stale cache entry
         shutil.rmtree(tmp, ignore_errors=True)
     n_total = n_corpus + n_copies + n_ood
     return spark.createDataFrame(

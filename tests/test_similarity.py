@@ -1324,7 +1324,7 @@ def test_index_lock_released_on_error_and_reentrant(
         sim.ivfpq_compact_index(spark, path)
     monkeypatch.undo()
     assert not os.path.exists(f"{path}/_index_write_lock")  # released
-    assert path not in sim._HELD_LOCKS
+    assert not any(p == path for (_, p) in sim._HELD_LOCKS)
 
     # reentrancy: reembed (delete + merge under one lock) completes
     changed = emb.filter(F.col("vec_id") % 7 == 1)
@@ -1448,3 +1448,149 @@ def test_clustered_fixture_recall_gates(spark, sf_dir):
     assert row.pruning_informative_ok
     assert row.recall_floor_ok
     assert row.n_results == 5 * row.n_queries
+
+
+def test_index_lock_ownership_is_per_thread(spark, sf_dir, tmp_path):
+    """Lock ownership is keyed by THREAD, not just path (r11 advice
+    medium): while one driver thread holds the write lock — exactly
+    the foreachBatch-merge-on-the-stream-thread shape — a maintenance
+    verb on ANOTHER thread must contend and raise, never alias the
+    holder's ownership 'reentrantly'. The holder itself stays
+    reentrant."""
+    import os
+    import threading
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    path = str(tmp_path / "idx")
+    sim.ivfpq_write_index(emb, path)
+
+    assert sim._try_acquire_index_lock(spark, path)  # this thread holds
+    try:
+        # same thread: reentrant — the composed-verb contract
+        with sim.index_write_lock(spark, path):
+            pass
+        assert os.path.exists(f"{path}/_index_write_lock")  # still held
+
+        errs: list[BaseException] = []
+
+        def contender():
+            try:
+                with sim.index_write_lock(spark, path):
+                    errs.append(AssertionError("second thread aliased the lock"))
+            except sim.IndexWriteLockError as e:
+                errs.append(e)
+
+        t = threading.Thread(target=contender)
+        t.start()
+        t.join(30)
+        assert len(errs) == 1 and isinstance(errs[0], sim.IndexWriteLockError)
+        # the contender's failed attempt must not have released our lock
+        assert os.path.exists(f"{path}/_index_write_lock")
+        assert sim._this_thread_holds(path)
+    finally:
+        sim._release_index_lock(spark, path)
+    assert not os.path.exists(f"{path}/_index_write_lock")
+
+
+def test_index_lock_release_verifies_token(spark, sf_dir, tmp_path):
+    """A verb that outlived its lease must not delete its SUCCESSOR's
+    lock on release (r11 advice low 2): release compares the on-disk
+    payload token against the one written at acquire time and leaves a
+    mismatched (foreign) lock untouched."""
+    import json
+    import os
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    path = str(tmp_path / "idx")
+    sim.ivfpq_write_index(emb, path)
+
+    assert sim._try_acquire_index_lock(spark, path)
+    # simulate: our lease expired, a successor broke it and installed
+    # its own lock (different token) while we were still running
+    lock = f"{path}/_index_write_lock"
+    with open(lock, "w") as f:
+        json.dump({"host": "successor", "pid": 4242, "token": "theirs"}, f)
+
+    sim._release_index_lock(spark, path)  # must be a no-op on disk
+    assert os.path.exists(lock)
+    with open(lock) as f:
+        assert json.load(f)["token"] == "theirs"
+    assert not sim._this_thread_holds(path)  # our in-memory claim is gone
+    os.remove(lock)
+
+
+def test_model_cache_lru_cap_and_eviction(spark, sf_dir, tmp_path, monkeypatch):
+    """The serving-path model cache is a bounded LRU (r11 verdict item
+    3): one entry past the cap evicts the least-recently-served path;
+    re-reading the evicted path is a fresh miss; a survivor still
+    hits. evict_model_cache drops a named entry outright (temp-dir
+    fixtures call it on teardown)."""
+    import shutil as sh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    p0 = str(tmp_path / "idx0")
+    sim.ivfpq_write_index(emb, p0, n_cells=4)
+    # identical artifact copies under distinct paths — distinct cache keys
+    paths = [p0]
+    for i in (1, 2, 3):
+        p = str(tmp_path / f"idx{i}")
+        sh.copytree(p0, p)
+        paths.append(p)
+
+    monkeypatch.setattr(sim, "MODEL_CACHE_MAX", 3)
+    sim._MODEL_CACHE.clear()
+    e0 = sim.MODEL_CACHE_STATS["evictions"]
+
+    for p in paths[:3]:
+        sim.ivfpq_read_model(spark, p)
+    assert [k for k in sim._MODEL_CACHE] == paths[:3]
+    sim.ivfpq_read_model(spark, paths[0])  # hit: idx0 becomes most-recent
+    assert [k for k in sim._MODEL_CACHE][-1] == paths[0]
+
+    sim.ivfpq_read_model(spark, paths[3])  # 4th distinct path: evicts idx1
+    assert sim.MODEL_CACHE_STATS["evictions"] == e0 + 1
+    assert paths[1] not in sim._MODEL_CACHE
+    assert len(sim._MODEL_CACHE) == 3
+
+    m0 = sim.MODEL_CACHE_STATS["misses"]
+    h0 = sim.MODEL_CACHE_STATS["hits"]
+    sim.ivfpq_read_model(spark, paths[1])  # evicted: a fresh miss
+    assert sim.MODEL_CACHE_STATS["misses"] == m0 + 1
+    sim.ivfpq_read_model(spark, paths[0])  # survivor: still a hit
+    assert sim.MODEL_CACHE_STATS["hits"] == h0 + 1
+
+    sim.evict_model_cache(paths[0])
+    assert paths[0] not in sim._MODEL_CACHE
+    sim._MODEL_CACHE.clear()
+
+
+def test_read_model_missing_index_is_legible(spark, tmp_path):
+    """ivfpq_read_model on a path with no index fails with a clear
+    'no IVF-PQ index at …' error naming the expected layout (r11
+    advice low 4), not a raw Py4J listing exception."""
+    with pytest.raises(FileNotFoundError, match="no IVF-PQ index at"):
+        sim.ivfpq_read_model(spark, str(tmp_path / "nowhere"))
+
+
+def test_clustered_fixture_recall_all_families(spark, sf_dir):
+    """The discriminative recall law for the non-persisted ANN
+    families (r11 verdict item 2): on the planted-cluster fixture,
+    LSH / IVF-Flat / PQ at their standard registry parameters must
+    each reach mean recall@5 >= 0.9 vs the exact scan (measured 1.0
+    at all three SFs). The registered driver row computes the same
+    gates; this law pins them at the pytest SF too."""
+    from sentiment_analysis_data_engineering_spark.plans.extension_queries import (
+        ann_clustered_recall_families,
+    )
+
+    row = ann_clustered_recall_families(spark, sf_dir).first()
+    assert row.lsh_recall_ok
+    assert row.ivf_recall_ok
+    assert row.pq_recall_ok
+    assert row.n_exact == 5 * row.n_queries
