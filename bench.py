@@ -193,6 +193,8 @@ HEADLINE = [
     "ann_index_autoretrain_stream",
     # round 11: discriminative recall gate on the planted-cluster fixture
     "ann_clustered_recall",
+    # round 12: the same gate extended to LSH / IVF-Flat / PQ
+    "ann_clustered_recall_families",
 ]
 
 
