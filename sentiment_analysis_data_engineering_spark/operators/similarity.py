@@ -1495,10 +1495,19 @@ def _read_lock_token(spark, fs, jpath, path: str):
     try:
         stream = fs.open(jpath(f"{path}/{_LOCK_FILE}"))
         try:
-            raw = bytes(
-                spark.sparkContext._jvm.org.apache.commons.io.IOUtils
-                .toByteArray(stream)
-            )
+            try:  # commons-io ships with every Spark distribution...
+                raw = bytes(
+                    spark.sparkContext._jvm.org.apache.commons.io.IOUtils
+                    .toByteArray(stream)
+                )
+            except Exception:  # ...but the payload is ~150 bytes, so a
+                buf = []       # per-byte fallback keeps release working
+                for _ in range(4096):  # even without it
+                    b = stream.read()
+                    if b < 0:
+                        break
+                    buf.append(b)
+                raw = bytes(buf)
         finally:
             stream.close()
         return json.loads(raw.decode("utf-8")).get("token")
