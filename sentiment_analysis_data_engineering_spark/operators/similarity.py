@@ -1201,13 +1201,19 @@ def ivfpq_write_index(
 MODEL_CACHE_MAX = 16
 _MODEL_CACHE: OrderedDict[str, tuple[tuple, tuple]] = OrderedDict()
 MODEL_CACHE_STATS = {"hits": 0, "misses": 0, "evictions": 0}
+#: serializes the get→move_to_end and insert→evict compound ops — a
+#: probe on the stream-execution thread and one on the main thread
+#: must not interleave an eviction between a hit's lookup and its
+#: LRU touch (move_to_end raises KeyError on a just-evicted key).
+_MODEL_CACHE_MUTEX = threading.Lock()
 
 
 def evict_model_cache(path: str) -> None:
     """Drop a path's cached model, if present — temp-dir index builds
     (gate fixtures, tests) call this on teardown so a deleted
     directory never lingers as a cache entry."""
-    _MODEL_CACHE.pop(path, None)
+    with _MODEL_CACHE_MUTEX:
+        _MODEL_CACHE.pop(path, None)
 
 
 def _model_fingerprint(spark, path: str) -> tuple:
@@ -1266,11 +1272,12 @@ def ivfpq_read_model(spark, path: str, *, use_cache: bool = True):
     _maybe_heal_for_read(spark, path)
     fp = _model_fingerprint(spark, path) if use_cache else None
     if use_cache:
-        hit = _MODEL_CACHE.get(path)
-        if hit is not None and hit[0] == fp:
-            _MODEL_CACHE.move_to_end(path)  # LRU: freshly served
-            MODEL_CACHE_STATS["hits"] += 1
-            return hit[1]
+        with _MODEL_CACHE_MUTEX:
+            hit = _MODEL_CACHE.get(path)
+            if hit is not None and hit[0] == fp:
+                _MODEL_CACHE.move_to_end(path)  # LRU: freshly served
+                MODEL_CACHE_STATS["hits"] += 1
+                return hit[1]
     cent = spark.read.parquet(f"{path}/centroids").collect()
     n_cells = len(cent)
     dim = len(cent[0].vec)
@@ -1288,12 +1295,13 @@ def ivfpq_read_model(spark, path: str, *, use_cache: bool = True):
     meta = {"n_cells": n_cells, "m": m, "n_codes": n_codes, "dim": dim}
     model = (C, books, meta)
     if use_cache:
-        MODEL_CACHE_STATS["misses"] += 1
-        _MODEL_CACHE[path] = (fp, model)
-        _MODEL_CACHE.move_to_end(path)
-        while len(_MODEL_CACHE) > MODEL_CACHE_MAX:  # LRU cap
-            _MODEL_CACHE.popitem(last=False)
-            MODEL_CACHE_STATS["evictions"] += 1
+        with _MODEL_CACHE_MUTEX:
+            MODEL_CACHE_STATS["misses"] += 1
+            _MODEL_CACHE[path] = (fp, model)
+            _MODEL_CACHE.move_to_end(path)
+            while len(_MODEL_CACHE) > MODEL_CACHE_MAX:  # LRU cap
+                _MODEL_CACHE.popitem(last=False)
+                MODEL_CACHE_STATS["evictions"] += 1
     return model
 
 

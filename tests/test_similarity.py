@@ -1594,3 +1594,48 @@ def test_clustered_fixture_recall_all_families(spark, sf_dir):
     assert row.ivf_recall_ok
     assert row.pq_recall_ok
     assert row.n_exact == 5 * row.n_queries
+
+
+def test_model_cache_concurrent_readers_survive_eviction(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The cache's get→LRU-touch and insert→evict compound ops are
+    atomic under concurrency: with the cap forced to 1 so every other
+    read evicts, parallel reader threads over two paths must never
+    crash (an unguarded move_to_end after a cross-thread eviction
+    raises KeyError) and every thread must decode the same model."""
+    import shutil as sh
+    import threading
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    p0 = str(tmp_path / "idx0")
+    sim.ivfpq_write_index(emb, p0, n_cells=4)
+    p1 = str(tmp_path / "idx1")
+    sh.copytree(p0, p1)
+
+    monkeypatch.setattr(sim, "MODEL_CACHE_MAX", 1)
+    sim._MODEL_CACHE.clear()
+    base = sim.ivfpq_read_model(spark, p0)[2]  # meta dict
+    errs: list[BaseException] = []
+
+    def reader(path):
+        try:
+            for _ in range(8):
+                _, _, meta = sim.ivfpq_read_model(spark, path)
+                assert meta == base
+        except BaseException as e:  # noqa: BLE001 — collected for the main thread
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=reader, args=(p,))
+        for p in (p0, p1, p0, p1)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(120)
+    assert not errs, errs
+    assert len(sim._MODEL_CACHE) <= 1
+    sim._MODEL_CACHE.clear()
