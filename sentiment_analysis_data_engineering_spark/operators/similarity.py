@@ -1143,6 +1143,10 @@ def ivfpq_write_index(
         sample_order="hash",
     )
     dim = len(C[0])
+    # a lease-broken zombie build aborts before its first artifact
+    # write (fresh build writes IN PLACE; a rebuild is re-fenced at
+    # _swap_rebuild's commit point anyway)
+    _fence_commit(spark, path)
     spark.createDataFrame(
         [(i, [float(x) for x in row]) for i, row in enumerate(C)],
         "cell long, vec array<double>",
@@ -1230,7 +1234,16 @@ def _model_fingerprint(spark, path: str) -> tuple:
         except Exception as e:
             # the common "wrong path" mistake must fail legibly, not
             # as a raw Py4J FileNotFoundException out of the listing
-            # (r11 advice low 4)
+            # (r11 advice low 4) — but ONLY the genuinely-missing case
+            # translates (r12 advice low 2): this fingerprint runs on
+            # every cached read, so a transient RPC/permission failure
+            # on a HEALTHY index must propagate as itself, never be
+            # misreported as a missing index.
+            if (
+                "FileNotFoundException" not in str(e)
+                and not isinstance(e, FileNotFoundError)
+            ):
+                raise
             raise FileNotFoundError(
                 f"no IVF-PQ index at '{path}': cannot list the "
                 f"'{art}' artifact — expected the centroids/ "
@@ -1389,6 +1402,7 @@ def ivfpq_merge_index(
     ).localCheckpoint(eager=True)
     n_added = fresh.count()
     if n_added:  # an all-duplicate batch never touches the index files
+        _fence_commit(spark, path)  # zombie merge aborts before appending
         fresh.repartition(F.col("cell")).write.mode("append").partitionBy(
             "cell"
         ).parquet(f"{path}/codes")
@@ -1452,11 +1466,14 @@ def _must_rename(fs, src, dst) -> None:
 #: lock lease: a writer crash leaves its lock file behind; a second
 #: writer (or a reader-side heal) may BREAK the lock once it is older
 #: than this. Set well above the longest maintenance verb at the
-#: deployment's scale — a broken lease under a still-live writer is the
-#: one hole this file-based lock cannot close (that is Delta/Iceberg
-#: territory); the default is generous for the test corpus and is a
-#: module constant so deployments (and the crash-recovery pytest laws)
-#: can tune it.
+#: deployment's scale — a broken lease under a still-LIVE writer turns
+#: that writer into a zombie, which since r13 ABORTS loudly at its
+#: next commit point (:func:`_fence_commit` re-reads the lock token
+#: before every mutation batch) instead of interleaving renames with
+#: its successor; an undersized lease therefore costs wasted work and
+#: a loud IndexWriteLockError, never corruption. The default is
+#: generous for the test corpus and is a module constant so
+#: deployments (and the crash-recovery pytest laws) can tune it.
 #:
 #: CLOCK ASSUMPTION (r11 verdict item 4): staleness is judged by
 #: comparing THIS host's ``time.time()`` against the lock file's
@@ -1482,8 +1499,24 @@ _HELD_LOCKS: dict[tuple[int, str], str] = {}
 #: serializes this process's lock-file acquire/release metadata ops so
 #: two in-process threads can't interleave the exists→stat→create
 #: window — cross-process contenders are handled by the
-#: create-exclusive file semantics themselves.
-_LOCKS_MUTEX = threading.Lock()
+#: create-exclusive file semantics themselves. Keyed PER INDEX PATH
+#: (r12 advice low 3): acquire/release hold the mutex across remote
+#: filesystem RPCs, so one slow storage call on one index must not
+#: block lock traffic for every OTHER index on every other driver
+#: thread. The registry itself is guarded by a tiny in-memory lock
+#: held only for the dict lookup; entries are one ~50-byte Lock per
+#: distinct index path this driver ever maintains — bounded by the
+#: deployment's index count, not by call volume.
+_PATH_MUTEXES: dict[str, threading.Lock] = {}
+_PATH_MUTEXES_GUARD = threading.Lock()
+
+
+def _path_mutex(path: str) -> threading.Lock:
+    with _PATH_MUTEXES_GUARD:
+        mutex = _PATH_MUTEXES.get(path)
+        if mutex is None:
+            mutex = _PATH_MUTEXES[path] = threading.Lock()
+        return mutex
 
 
 def _lock_key(path: str) -> tuple[int, str]:
@@ -1494,33 +1527,69 @@ def _this_thread_holds(path: str) -> bool:
     return _lock_key(path) in _HELD_LOCKS
 
 
-def _read_lock_token(spark, fs, jpath, path: str):
-    """The ``token`` field of the lock file's JSON payload, or None
-    when the file is missing/unreadable/tokenless (a vanished lock, a
-    torn write, or another engine's lock format)."""
+class _LockPayloadTooLargeError(IOError):
+    """A lock payload exceeded the 1 MiB sanity bound — corrupt or
+    foreign; raised loudly instead of parsing a truncated token."""
+
+
+def _read_token_file(spark, fs, file_jpath):
+    """The ``token`` field of a lock-payload file's JSON, or None when
+    the file is missing/unreadable/tokenless (a vanished lock, a torn
+    write, or another engine's lock format). The no-commons-io
+    fallback reads to EOF with no fixed byte cap (r12 advice low 4: a
+    4096-byte cap would silently truncate an oversized payload,
+    json.loads would fail, and the token would resolve to None —
+    turning every release into a silent leak until lease expiry); the
+    payload is writer-controlled and ~150 bytes, so the 1 MiB sanity
+    guard only trips on a corrupt/foreign file, and it FAILS LOUDLY
+    rather than truncating."""
     import json
 
     try:
-        stream = fs.open(jpath(f"{path}/{_LOCK_FILE}"))
+        stream = fs.open(file_jpath)
+    except Exception:
+        return None  # vanished between the caller's check and here
+    try:
         try:
             try:  # commons-io ships with every Spark distribution...
                 raw = bytes(
                     spark.sparkContext._jvm.org.apache.commons.io.IOUtils
                     .toByteArray(stream)
                 )
-            except Exception:  # ...but the payload is ~150 bytes, so a
-                buf = []       # per-byte fallback keeps release working
-                for _ in range(4096):  # even without it
+            except _LockPayloadTooLargeError:
+                raise
+            except Exception:  # ...but a per-byte fallback keeps
+                buf = []       # release working even without it
+                while True:
                     b = stream.read()
-                    if b < 0:
+                    if b < 0:  # EOF is the ONLY loop exit
                         break
                     buf.append(b)
+                    if len(buf) > (1 << 20):
+                        raise _LockPayloadTooLargeError(
+                            f"lock payload at {file_jpath} exceeds 1 MiB"
+                            f" — refusing to parse a truncated token"
+                        )
                 raw = bytes(buf)
-        finally:
-            stream.close()
+        except _LockPayloadTooLargeError:
+            raise  # never silently truncate — the one loud case
+        except Exception:
+            # a FAILED read (torn file, checksum error, transient RPC)
+            # resolves to "not ours": release then leaves the lock in
+            # place (it self-expires) and the commit fence aborts —
+            # both conservative
+            return None
+    finally:
+        stream.close()
+    try:
         return json.loads(raw.decode("utf-8")).get("token")
     except Exception:
-        return None
+        return None  # torn write or another engine's lock format
+
+
+def _read_lock_token(spark, fs, jpath, path: str):
+    """Token of the live lock file under ``path``, or None."""
+    return _read_token_file(spark, fs, jpath(f"{path}/{_LOCK_FILE}"))
 
 
 class IndexWriteLockError(RuntimeError):
@@ -1529,6 +1598,42 @@ class IndexWriteLockError(RuntimeError):
     finishes (every verb is idempotent/convergent), or investigate a
     crashed writer if the lock never clears (it self-expires after
     ``INDEX_LOCK_LEASE_SEC``)."""
+
+
+def _fence_commit(spark, path: str) -> None:
+    """COMMIT-POINT FENCE against lease-broken zombie writers (r12
+    verdict item 1). A live verb that outruns ``INDEX_LOCK_LEASE_SEC``
+    has its lock legitimately broken by a successor; token-verified
+    release already stops the zombie deleting the successor's lock,
+    but nothing stopped its still-running job from committing staged
+    renames CONCURRENTLY with the successor's. So every mutation batch
+    re-reads the on-disk lock token immediately before committing and
+    aborts with :class:`IndexWriteLockError` when it is no longer this
+    writer's — the zombie dies loudly at its commit point, its staged
+    bytes are garbage the successor's entry recovery (or the next
+    verb's) discards, and the live index is never touched by two
+    writers' renames interleaved. Called at the head of
+    :func:`_swap_staged_cells`, :func:`_swap_rebuild`,
+    :func:`ivfpq_recover_index`'s mutation pass, the merge append and
+    the fresh-build artifact writes — one small-file read each, on
+    maintenance verbs only (probe/read paths never pay it). A missing
+    held-token entry means the caller is not running under a lease
+    (crash-injection tests drive the swap helpers directly) — there is
+    no lease to have lost, so the fence passes."""
+    token = _HELD_LOCKS.get(_lock_key(path))
+    if token is None:
+        return
+    fs, jpath = _index_fs(spark, path)
+    if _read_lock_token(spark, fs, jpath, path) != token:
+        raise IndexWriteLockError(
+            f"write lease lost mid-verb on {path}: the on-disk lock "
+            f"token no longer matches this writer's — the verb outran "
+            f"INDEX_LOCK_LEASE_SEC and a successor broke the lease. "
+            f"Aborting before the commit point; staged data is "
+            f"discarded by the next maintenance verb's recovery. Size "
+            f"the lease above the longest verb at this deployment's "
+            f"scale."
+        )
 
 
 def _try_acquire_index_lock(spark, path: str, *, lease_sec=None) -> bool:
@@ -1547,7 +1652,9 @@ def _try_acquire_index_lock(spark, path: str, *, lease_sec=None) -> bool:
     succeeds, so a breaker can never delete the fresh lock a faster
     breaker already installed; the loser simply reports contention.
     In-process threads additionally serialize the whole
-    check→break→create window under ``_LOCKS_MUTEX``."""
+    check→break→create window under this path's mutex
+    (:func:`_path_mutex` — per index path, so a slow storage call on
+    one index never stalls lock traffic on another)."""
     import time
     import uuid
 
@@ -1555,7 +1662,7 @@ def _try_acquire_index_lock(spark, path: str, *, lease_sec=None) -> bool:
         lease_sec = INDEX_LOCK_LEASE_SEC
     fs, jpath = _index_fs(spark, path)
     lock = jpath(f"{path}/{_LOCK_FILE}")
-    with _LOCKS_MUTEX:
+    with _path_mutex(path):
         if fs.exists(lock):
             try:
                 age_ms = time.time() * 1000.0 - fs.getFileStatus(
@@ -1605,16 +1712,48 @@ def _release_index_lock(spark, path: str) -> None:
     """Release THIS thread's lock — but only if the on-disk lock is
     still ours (r11 advice low 2): a verb that outlived its lease and
     had its lock broken must not delete the successor's lock on the
-    way out. The payload token written at acquire time is the identity
-    check; an unreadable/mismatched payload means the lock is no
-    longer ours and stays untouched."""
-    with _LOCKS_MUTEX:
+    way out.
+
+    ATOMIC CLAIM (r12 advice low 1): the old read-token-then-delete
+    pair left a window — a breaker could tombstone our expired lock
+    and install the successor's BETWEEN our token read and our delete,
+    and we would then delete the successor's fresh lock. Release now
+    CLAIMS the lock file first by an atomic rename to a unique
+    tombstone (the same one-winner pattern the stale-break uses) and
+    only then inspects the payload: a matching token means the claimed
+    file was ours and the tombstone is simply dropped; a mismatch
+    means we claimed a successor's lock by accident and it is renamed
+    straight back. The one residual: if a third acquirer slips in
+    during that claim window, the rename-back fails and the displaced
+    successor loses its lock — but it then ABORTS at its next commit
+    fence (:func:`_fence_commit`) instead of corrupting anything, and
+    every party in that scenario has already outlived its lease."""
+    import uuid
+
+    with _path_mutex(path):
         token = _HELD_LOCKS.pop(_lock_key(path), None)
         if token is None:
             return  # this thread holds nothing here — never delete blind
         fs, jpath = _index_fs(spark, path)
-        if _read_lock_token(spark, fs, jpath, path) == token:
-            fs.delete(jpath(f"{path}/{_LOCK_FILE}"), False)
+        lock = jpath(f"{path}/{_LOCK_FILE}")
+        tomb = jpath(f"{path}/{_LOCK_FILE}.release-{uuid.uuid4().hex}")
+        try:
+            claimed = fs.rename(lock, tomb)
+        except Exception:
+            claimed = False
+        if not claimed:
+            return  # lock already gone (broken + released) — nothing ours
+        if _read_token_file(spark, fs, tomb) == token:
+            fs.delete(tomb, False)  # it was ours — released
+            return
+        # we claimed a SUCCESSOR's lock: restore it in place
+        try:
+            _must_rename(fs, tomb, lock)
+        except Exception:
+            # a third acquirer created a fresh lock during the claim
+            # window; the displaced successor fence-aborts at its next
+            # commit point — drop the orphaned tombstone
+            fs.delete(tomb, False)
 
 
 @contextmanager
@@ -1707,7 +1846,9 @@ def _swap_rebuild(spark, path: str) -> None:
     crash mid-swap can never leave new centroids serving old
     codebooks), while a ``_rebuild_trash_done`` is just garbage from a
     completed swap. Callers must have validated the staged codes
-    first."""
+    first. A lease-broken zombie rebuild aborts at the fence HERE,
+    before any artifact rename (r12 verdict item 1)."""
+    _fence_commit(spark, path)
     fs, jpath = _index_fs(spark, path)
     trash = jpath(f"{path}/_rebuild_trash")
     fs.mkdirs(trash)
@@ -1751,6 +1892,7 @@ def ivfpq_recover_index(spark, path: str) -> dict:
     model. Stale ``_rebuild_staging`` data is discarded either way.
     Returns ``{"n_cells_rolled_back", "n_staging_discarded",
     "n_rebuild_rolled_back"}``."""
+    _fence_commit(spark, path)  # recovery mutates — zombies abort first
     fs, jpath = _index_fs(spark, path)
     # rebuild swap first: it moves whole artifacts, so any cell-level
     # trash inside a rolled-back codes directory comes back with it
@@ -1806,7 +1948,10 @@ def _swap_staged_cells(spark, path: str, cells) -> None:
     wide, and :func:`ivfpq_recover_index` rolls exactly that cell back
     from trash on the next maintenance call, so no crash point loses
     data. Callers must have VALIDATED the staged rows before invoking
-    (count read back from the staging parquet == expected)."""
+    (count read back from the staging parquet == expected). A
+    lease-broken zombie writer aborts at the fence HERE, before any
+    rename (r12 verdict item 1)."""
+    _fence_commit(spark, path)
     fs, jpath = _index_fs(spark, path)
     trash_dir = jpath(f"{path}/codes_trash")
     fs.mkdirs(trash_dir)

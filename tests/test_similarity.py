@@ -1639,3 +1639,153 @@ def test_model_cache_concurrent_readers_survive_eviction(
     assert not errs, errs
     assert len(sim._MODEL_CACHE) <= 1
     sim._MODEL_CACHE.clear()
+
+
+def test_zombie_writer_fenced_at_commit_point(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Commit-point fence law (r12 verdict item 1): a writer whose
+    lock is forcibly broken MID-VERB (its lease expired and a
+    successor installed its own lock while the verb was still
+    running) must raise IndexWriteLockError at its next commit point
+    — BEFORE any live-index rename — and leave the index recoverable:
+    the live codes are byte-identical, the orphaned staging is
+    discarded by the next verb's recovery, and a rerun completes."""
+    import json
+    import os
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "idx")
+    sim.ivfpq_write_index(base, path)
+    sim.ivfpq_merge_index(spark, path, delta)  # fragment cells
+
+    lock = f"{path}/_index_write_lock"
+    real_counts = sim.ivfpq_cell_file_counts
+    successor_token: list[str] = []
+
+    def break_lease_then_count(spark_, p):
+        # the successor: a second writer on ANOTHER thread treats the
+        # running verb's lease as expired (lease_sec=0), breaks its
+        # lock through the real tombstone path and installs its own —
+        # exactly the zombie scenario
+        import threading
+
+        def successor():
+            assert sim._try_acquire_index_lock(spark_, p, lease_sec=0.0)
+            successor_token.append(
+                sim._HELD_LOCKS.pop((threading.get_ident(), p))
+            )
+
+        t = threading.Thread(target=successor)
+        t.start()
+        t.join(60)
+        return real_counts(spark_, p)
+
+    monkeypatch.setattr(sim, "ivfpq_cell_file_counts", break_lease_then_count)
+    before = sorted(
+        (r.neighbor_id, int(r.cell))
+        for r in spark.read.parquet(f"{path}/codes").collect()
+    )
+    with pytest.raises(sim.IndexWriteLockError, match="lease lost mid-verb"):
+        sim.ivfpq_compact_index(spark, path)
+    monkeypatch.setattr(sim, "ivfpq_cell_file_counts", real_counts)
+
+    # the zombie aborted BEFORE any rename: live codes untouched, the
+    # successor's lock intact (token-verified release left it alone)
+    after = sorted(
+        (r.neighbor_id, int(r.cell))
+        for r in spark.read.parquet(f"{path}/codes").collect()
+    )
+    assert after == before
+    with open(lock) as f:
+        assert json.load(f)["token"] == successor_token[0]
+    assert not sim._this_thread_holds(path)
+
+    # recoverable: once the successor is done (lock gone), a rerun
+    # discards the zombie's staging and compacts to one file per cell
+    fs, jpath = sim._index_fs(spark, path)
+    fs.delete(jpath(lock), False)
+    stats = sim.ivfpq_compact_index(spark, path)
+    assert stats["n_cells_compacted"] > 0
+    assert not os.path.exists(f"{path}/codes_staging")
+    assert set(
+        sim.ivfpq_cell_file_counts(spark, path).values()
+    ) == {1}
+    assert sorted(
+        (r.neighbor_id, int(r.cell))
+        for r in spark.read.parquet(f"{path}/codes").collect()
+    ) == before
+
+
+def test_release_claims_lock_atomically_and_restores_foreign(
+    spark, sf_dir, tmp_path
+):
+    """Release claims the lock file by ATOMIC RENAME before inspecting
+    it (r12 advice low 1 — the read-token-then-delete pair had a
+    window where a breaker could install a successor's lock between
+    the two steps): a matching token drops the claimed tombstone, a
+    foreign token is renamed straight back, and no `.release-*`
+    tombstone ever lingers on either path."""
+    import json
+    import os
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    path = str(tmp_path / "idx")
+    sim.ivfpq_write_index(emb, path)
+    lock = f"{path}/_index_write_lock"
+
+    def tombstones():
+        return [
+            n for n in os.listdir(path)
+            if n.startswith("_index_write_lock.release-")
+        ]
+
+    # ours: claim → match → gone, no tombstone left
+    assert sim._try_acquire_index_lock(spark, path)
+    sim._release_index_lock(spark, path)
+    assert not os.path.exists(lock)
+    assert tombstones() == []
+
+    # foreign: claim → mismatch → restored in place, no tombstone left
+    import threading
+
+    assert sim._try_acquire_index_lock(spark, path)
+    successor_token: list[str] = []
+
+    def successor():  # breaks our lease and installs its own lock
+        assert sim._try_acquire_index_lock(spark, path, lease_sec=0.0)
+        successor_token.append(
+            sim._HELD_LOCKS.pop((threading.get_ident(), path))
+        )
+
+    t = threading.Thread(target=successor)
+    t.start()
+    t.join(60)
+    sim._release_index_lock(spark, path)
+    assert os.path.exists(lock)
+    with open(lock) as f:
+        assert json.load(f)["token"] == successor_token[0]
+    assert tombstones() == []
+    fs, jpath = sim._index_fs(spark, path)
+    fs.delete(jpath(lock), False)
+
+
+def test_lock_mutexes_are_per_index_path():
+    """The in-process acquire/release serialization is keyed per index
+    path (r12 advice low 3): a slow storage RPC under one index's
+    mutex must not block lock traffic on another index, so distinct
+    paths must get distinct mutex objects — and repeat lookups the
+    SAME object, or the mutex would not serialize anything."""
+    a1 = sim._path_mutex("/idx/a")
+    a2 = sim._path_mutex("/idx/a")
+    b = sim._path_mutex("/idx/b")
+    assert a1 is a2
+    assert a1 is not b
+    # and one path's held mutex leaves the other's acquirable
+    with a1:
+        assert b.acquire(timeout=1)
+        b.release()
