@@ -68,19 +68,21 @@ SF0001 = "/root/testdata/sf0.001"
 # re-verified each round by a FULL tools/check_oracle.py run over the
 # whole registry (at all three SFs), recorded in PROGRESS.jsonl.
 _GATE_FIRST = [
-    # ROUND-12 ROTATION (VERDICT r11 items 1-2). Standing priority order:
+    # ROUND-13 ROTATION (VERDICT r12 items 1-2). Standing priority order:
     # (1) never driver-checked, (2) implementation changed since last
     # driver row, (3) oldest-attested age canaries.
-    # -- (1) NEW in round 12, never driver-checked: the discriminative
-    #    recall gate extended to LSH / IVF-Flat / PQ on the planted
-    #    fixture (verdict item 2)
-    "ann_clustered_recall_families",
-    # -- (2) implementation changed this round: lock ownership is now
-    #    per-thread with payload-token-verified release and atomic
-    #    tombstone stale-breaks; the probe-path model cache is an LRU
-    #    with a legible missing-index error (advice medium + all three
-    #    lows) - every query exercising the persisted-index verbs or
-    #    ivfpq_read_model re-gates.
+    # -- (1) none: no new query this round (the r12 verdict judged the
+    #    surface complete; r13 is lock hardening + rotation).
+    # -- (2) implementation changed this round: every persisted-index
+    #    maintenance verb gained a commit-point FENCE against
+    #    lease-broken zombie writers (token re-read before each rename
+    #    batch / merge append / fresh-build write), release now CLAIMS
+    #    the lock file by atomic rename before inspecting its token,
+    #    the lock-metadata mutex is keyed per index path, the token
+    #    read is EOF-bounded instead of 4096-byte-capped, and
+    #    ivfpq_read_model's missing-index translation no longer
+    #    swallows transient listing failures — every row exercising
+    #    the persisted-index verbs or ivfpq_read_model re-gates.
     "ann_clustered_recall",
     "ann_index_lifecycle",
     "ann_index_delete_reembed",
@@ -88,63 +90,60 @@ _GATE_FIRST = [
     "ann_index_retrain_cycle",
     "ann_index_autocompact_stream",
     "ann_index_autoretrain_stream",
-    # -- (3) the 7 r7-attested rows that did not fit the r11 prefix
-    #    (the oldest attestations in the registry - the r11 verdict
-    #    queued them first; after this gate no row is older than r8)
-    "topk_per_group",
-    "union_all_branches",
-    "unit_suffix_parse",
-    "unpivot_event_counts",
-    "window_moving_avg",
-    "window_sliding_6h",
-    "window_tumbling_daily",
-    # -- (3 cont.) the 35 alphabetically-first of the 44 r8-attested
+    # -- (3) the 9 r8-attested rows that did not fit the r12 prefix
+    #    (the oldest attestations in the registry - the r12 verdict
+    #    queued them first; after this gate no row is older than r9)
+    "rolling_7day_customer_revenue",
+    "sequence_packing_stats",
+    "sole_late_supplier_waitlist",
+    "string_functions_report",
+    "supplier_part_volume",
+    "text_clean_and_mask",
+    "top_revenue_supplier",
+    "top_unshipped_orders",
+    "train_val_test_split",
+    # -- (3 cont.) the 34 alphabetically-first of the 43 r9-attested
     #    rows. The 9 that do not fit this 50-slot prefix
-    #    (rolling_7day_customer_revenue, sequence_packing_stats,
-    #    sole_late_supplier_waitlist, string_functions_report,
-    #    supplier_part_volume, text_clean_and_mask,
-    #    top_revenue_supplier, top_unshipped_orders,
-    #    train_val_test_split) lead the r13 rotation and are
-    #    re-verified this round by the full triple-SF check_oracle
-    #    sweep like every off-prefix query.
-    "array_functions_report",
-    "asof_join_last_signup",
-    "benchmark_contamination",
-    "bigram_pmi_collocations",
-    "bloom_pruned_order_revenue",
-    "char_entropy_report",
-    "classifier_learned_weights_filter",
-    "cms_user_counts",
-    "customers_above_nation_avg",
-    "daily_event_gapfill",
-    "daily_new_returning_users",
-    "daily_ohlc_bars",
-    "daily_user_value_interp",
-    "daily_user_value_locf",
-    "data_quality_report",
-    "dedup_survivor_selection",
-    "disjunctive_predicate_revenue",
-    "document_chunks",
-    "embedding_kmeans_sizes",
-    "embedding_quantize_error",
-    "epoch_shuffle_stats",
-    "ewma_user_value",
-    "gopher_repetition_signals",
-    "large_orders",
-    "min_cost_supplier_per_part",
-    "mixture_weighted_sample_sources",
-    "nation_pair_volume",
-    "order_count_distribution",
-    "order_flags_by_priority",
-    "outer_join_customer_orders",
-    "price_quantity_statistics",
-    "promo_revenue_share",
-    "range_join_error_windows",
-    "rank_functions_report",
-    "region_nation_rollcall",
-    # Every query outside this prefix is r8-or-fresher on its current
-    # implementation (sole exceptions: the 9 r8 rows named above, queued
-    # first for r13) and is re-verified each round by the FULL
+    #    (source_capped_docs, span_dedup_stats, table_profile_orders, template_doc_flags, token_length_buckets, triangle_counts_parts, unigram_logprob_score, weekly_retention_cohorts, winsorized_price_stats)
+    #    lead the r14 rotation and are re-verified this round by the
+    #    full triple-SF check_oracle sweep like every off-prefix query.
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "ann_rerank_topk",
+    "bpe_encode_stats",
+    "bpe_merge_stats",
+    "customer_balance_deciles",
+    "dedup_incremental_probe",
+    "excess_volume_suppliers",
+    "forecast_revenue_change",
+    "full_outer_daily_activity",
+    "funnel_view_click_purchase",
+    "fuzzy_part_name_pairs",
+    "idle_rich_customers",
+    "important_parts_value_share",
+    "incremental_rollup_merge",
+    "join_view_maintenance",
+    "kcore_parts",
+    "late_ship_priority_counts",
+    "market_basket_part_pairs",
+    "monthly_revenue_mom_growth",
+    "multimodal_decode_features",
+    "nation_market_share",
+    "order_priority_exists_counts",
+    "pagerank_copurchase_parts",
+    "pareto_revenue_by_segment",
+    "parts_supplier_diversity",
+    "product_profit_by_nation_year",
+    "returned_items_by_customer",
+    "rolling_zscore_anomalies",
+    "scd2_customer_history",
+    "semantic_dedup_stats",
+    "small_quantity_revenue",
+    "snapshot_diff_orders",
+    # Every query outside this prefix is r9-or-fresher on its current
+    # implementation (sole exceptions: the 9 r9 rows named above,
+    # queued first for r14) and is re-verified each round by the FULL
     # tools/check_oracle.py sweep (run at sf0.001, sf0.01 AND sf0.1 -
     # the standing cross-SF protocol) logged to PROGRESS.jsonl at HEAD.
 ]
