@@ -64,6 +64,14 @@ ITERATIVE = [
     "ann_index_drift_audit",
     "ann_index_delete_reembed",
     "ann_index_retrain_cycle",
+    # r13: the all-families discriminative recall gate (verdict item
+    # 4) — its three exact brute-force baseline scans are the only
+    # part that grows with corpus size (the planted fixture is
+    # synthesized from the embeddings table's ids, so the 10x corpus
+    # means 10x synthesis + exact-scan rows against the same
+    # 10-query/k=5-bounded hit joins); one measured decade carries the
+    # fixed-overhead claim (SCALING ratio 0.8x at sf0.1) to sf1.
+    "ann_clustered_recall_families",
 ]
 
 SECTION_START = "<!-- sf1-section-start -->"
