@@ -1486,6 +1486,15 @@ def _must_rename(fs, src, dst) -> None:
 #: the worst expected clock skew PLUS the longest verb; single-host
 #: and NTP-disciplined fleets are unaffected.
 INDEX_LOCK_LEASE_SEC = 900.0
+
+#: how often :func:`_swap_staged_cells` re-reads the lock token inside
+#: its per-cell rename loop. The head-of-batch fence alone would leave
+#: a wide swap (hundreds of cells) exposed for its whole duration; a
+#: re-check every N cells bounds a zombie writer's interleave window
+#: to one interval at the cost of one small-file read per N·2 renames
+#: (~1.5% extra metadata RPCs at the default). Module constant so the
+#: mid-swap-abort pytest law can drive it to 1.
+FENCE_RECHECK_CELLS = 32
 _LOCK_FILE = "_index_write_lock"
 #: (thread_ident, index path) → the unique token written into the lock
 #: file payload by the acquiring thread. Ownership is PER-THREAD (r11
@@ -1611,12 +1620,24 @@ def _fence_commit(spark, path: str) -> None:
     aborts with :class:`IndexWriteLockError` when it is no longer this
     writer's — the zombie dies loudly at its commit point, its staged
     bytes are garbage the successor's entry recovery (or the next
-    verb's) discards, and the live index is never touched by two
-    writers' renames interleaved. Called at the head of
-    :func:`_swap_staged_cells`, :func:`_swap_rebuild`,
+    verb's) discards. Called at the head of
+    :func:`_swap_staged_cells` (and every ``FENCE_RECHECK_CELLS``
+    cells inside its loop), :func:`_swap_rebuild`,
     :func:`ivfpq_recover_index`'s mutation pass, the merge append and
     the fresh-build artifact writes — one small-file read each, on
-    maintenance verbs only (probe/read paths never pay it). A missing
+    maintenance verbs only (probe/read paths never pay it).
+
+    RESIDUAL, stated precisely: the fence is check-then-act, so a
+    lease that is broken AFTER a fence read passes but BEFORE the
+    renames it guards complete can still interleave — the fence
+    bounds that exposure to one recheck interval (a handful of
+    metadata renames, ≤ ``FENCE_RECHECK_CELLS`` cell swaps), it does
+    not make rename batches conditional on lock ownership. Zero-window
+    multi-writer safety needs a coordinating table format
+    (Delta/Iceberg) — the same boundary SCALE.md already draws for
+    S3A's non-atomic create-exclusive. In practice a lease sized above
+    the longest verb makes a mid-interval break require the clock-skew
+    pathology documented at ``INDEX_LOCK_LEASE_SEC``. A missing
     held-token entry means the caller is not running under a lease
     (crash-injection tests drive the swap helpers directly) — there is
     no lease to have lost, so the fence passes."""
@@ -1727,7 +1748,13 @@ def _release_index_lock(spark, path: str) -> None:
     during that claim window, the rename-back fails and the displaced
     successor loses its lock — but it then ABORTS at its next commit
     fence (:func:`_fence_commit`) instead of corrupting anything, and
-    every party in that scenario has already outlived its lease."""
+    every party in that scenario has already outlived its lease.
+    A second, smaller residual: a TORN READ of our own claimed
+    tombstone resolves its token to None ≠ ours, so release renames
+    our own lock back into place instead of deleting it — the lock
+    then self-expires after ``INDEX_LOCK_LEASE_SEC`` (a stale-lease
+    wait, never a stuck index, and strictly safer than deleting on a
+    read we could not verify)."""
     import uuid
 
     with _path_mutex(path):
@@ -1950,12 +1977,20 @@ def _swap_staged_cells(spark, path: str, cells) -> None:
     data. Callers must have VALIDATED the staged rows before invoking
     (count read back from the staging parquet == expected). A
     lease-broken zombie writer aborts at the fence HERE, before any
-    rename (r12 verdict item 1)."""
+    rename (r12 verdict item 1) — and the fence is RE-CHECKED every
+    ``FENCE_RECHECK_CELLS`` cells inside the loop, so for a wide swap
+    (a big compaction touching hundreds of cells) a mid-batch lease
+    break is caught within one interval instead of only at the head;
+    the partial swap it leaves behind is the same per-cell
+    old-or-new state a crash leaves, healed by
+    :func:`ivfpq_recover_index`."""
     _fence_commit(spark, path)
     fs, jpath = _index_fs(spark, path)
     trash_dir = jpath(f"{path}/codes_trash")
     fs.mkdirs(trash_dir)
-    for c in cells:
+    for i, c in enumerate(cells):
+        if i and i % FENCE_RECHECK_CELLS == 0:
+            _fence_commit(spark, path)
         live = jpath(f"{path}/codes/cell={c}")
         staged = jpath(f"{path}/codes_staging/cell={c}")
         if fs.exists(live):

@@ -1789,3 +1789,88 @@ def test_lock_mutexes_are_per_index_path():
     with a1:
         assert b.acquire(timeout=1)
         b.release()
+
+
+def test_midswap_lease_break_aborts_within_recheck_interval(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Loop-interior fence law (r13): a lease broken in the MIDDLE of
+    a wide cell-swap batch — after the head fence already passed — is
+    caught at the next ``FENCE_RECHECK_CELLS`` re-check instead of the
+    zombie finishing the whole batch; the partial swap it leaves is
+    the same per-cell old-or-new state a crash leaves, so recovery +
+    rerun restore one-file-per-cell with byte-identical rows."""
+    import json
+    import os
+    import threading
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "idx")
+    sim.ivfpq_write_index(base, path)
+    sim.ivfpq_merge_index(spark, path, delta)  # fragment many cells
+    assert (
+        sum(n > 1 for n in sim.ivfpq_cell_file_counts(spark, path).values())
+        >= 2
+    ), "law needs at least two fragmented cells to break mid-swap"
+    before = sorted(
+        (r.neighbor_id, int(r.cell))
+        for r in spark.read.parquet(f"{path}/codes").collect()
+    )
+
+    monkeypatch.setattr(sim, "FENCE_RECHECK_CELLS", 1)
+    lock = f"{path}/_index_write_lock"
+    real_rename = sim._must_rename
+    renames: list = []
+    successor_token: list[str] = []
+
+    def rename_then_break(fs, src, dst):
+        real_rename(fs, src, dst)
+        renames.append(str(src))
+        if len(renames) == 2:  # first cell fully swapped (trash+live)
+            def successor():
+                assert sim._try_acquire_index_lock(spark, path, lease_sec=0.0)
+                successor_token.append(
+                    sim._HELD_LOCKS.pop((threading.get_ident(), path))
+                )
+
+            t = threading.Thread(target=successor)
+            t.start()
+            t.join(60)
+
+    monkeypatch.setattr(sim, "_must_rename", rename_then_break)
+    with pytest.raises(sim.IndexWriteLockError, match="lease lost mid-verb"):
+        sim.ivfpq_compact_index(spark, path)
+    monkeypatch.setattr(sim, "_must_rename", real_rename)
+
+    # the i=1 re-check caught it: exactly one cell's pair of swap
+    # renames ran (release's atomic-claim restore of the successor's
+    # lock also routes through _must_rename — excluded by path), the
+    # rest of the batch never committed, and the successor's lock
+    # survived the zombie's release untouched
+    assert [r for r in renames if "/codes" in r] == renames[:2]
+    assert len([r for r in renames if "/codes" in r]) == 2
+    with open(lock) as f:
+        assert json.load(f)["token"] == successor_token[0]
+    assert not sim._this_thread_holds(path)
+    # compaction stages identical rows, so even the half-swapped view
+    # is row-identical — mid-swap probes were never wrong
+    assert sorted(
+        (r.neighbor_id, int(r.cell))
+        for r in spark.read.parquet(f"{path}/codes").collect()
+    ) == before
+
+    # recoverable: lock clears, recovery rolls the lone swapped cell
+    # back from trash and discards staging, rerun compacts everything
+    fs, jpath = sim._index_fs(spark, path)
+    fs.delete(jpath(lock), False)
+    stats = sim.ivfpq_compact_index(spark, path)
+    assert stats["n_cells_compacted"] >= 2
+    assert not os.path.exists(f"{path}/codes_staging")
+    assert not os.path.exists(f"{path}/codes_trash")
+    assert set(sim.ivfpq_cell_file_counts(spark, path).values()) == {1}
+    assert sorted(
+        (r.neighbor_id, int(r.cell))
+        for r in spark.read.parquet(f"{path}/codes").collect()
+    ) == before
