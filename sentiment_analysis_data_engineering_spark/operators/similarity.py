@@ -1950,6 +1950,11 @@ def ivfpq_recover_index(spark, path: str) -> dict:
                 continue
             live = jpath(f"{path}/codes/{name}")
             if not fs.exists(live):
+                # same interval re-fence as _swap_staged_cells: a
+                # crash can leave as many trashed cells as the widest
+                # swap, so the rollback batch is equally unbounded
+                if rolled and rolled % FENCE_RECHECK_CELLS == 0:
+                    _fence_commit(spark, path)
                 _must_rename(fs, st.getPath(), live)
                 rolled += 1
         fs.delete(trash, True)
