@@ -1171,6 +1171,12 @@ def ivfpq_write_index(
     # n_tasks*n_cells tiny files, and what makes directory pruning
     # worth having. At larger corpora repartition(n, "cell") with n >
     # n_cells keeps write parallelism while preserving the clustering.
+    if not rebuild:
+        # fresh build writes codes IN PLACE and the encode above can
+        # run minutes at scale — re-fence so a lease broken during it
+        # aborts before the overwrite job launches (a rebuild's codes
+        # land in staging and are fenced at _swap_rebuild instead)
+        _fence_commit(spark, path)
     enc.repartition(F.col("cell")).write.mode("overwrite").partitionBy(
         "cell"
     ).parquet(f"{base}/codes")
@@ -1213,11 +1219,19 @@ _MODEL_CACHE_MUTEX = threading.Lock()
 
 
 def evict_model_cache(path: str) -> None:
-    """Drop a path's cached model, if present — temp-dir index builds
-    (gate fixtures, tests) call this on teardown so a deleted
-    directory never lingers as a cache entry."""
+    """Drop a path's cached model AND its lock-metadata mutex, if
+    present — temp-dir index builds (gate fixtures, tests) call this
+    on teardown so a deleted directory never lingers as a cache entry
+    and throwaway paths don't accrete ``_PATH_MUTEXES`` entries for
+    the driver's lifetime (r13 review — same unbounded-growth shape
+    the model-cache LRU bounds). Only call once no verb is in flight
+    on the path (true at fixture teardown by construction): evicting
+    a mutex another thread still holds would let a later caller mint
+    a second mutex for the same path and break serialization."""
     with _MODEL_CACHE_MUTEX:
         _MODEL_CACHE.pop(path, None)
+    with _PATH_MUTEXES_GUARD:
+        _PATH_MUTEXES.pop(path, None)
 
 
 def _model_fingerprint(spark, path: str) -> tuple:
@@ -1333,6 +1347,12 @@ def ivfpq_merge_index(
     already holds, and append the remainder into their cell
     partitions. Idempotent by construction: re-merging the same batch
     adds 0 rows, so a retried ingest job cannot duplicate the index.
+    Since r13 the append COMMIT is staged: the batch's files land in
+    a ``codes_append_staging`` sibling (count-validated by
+    read-back), then move into the live cell directories by per-file
+    metadata renames under the commit fence — the live index is
+    never a Spark write job's target, and a crash at any point
+    either discards the stage (recovery) or converges on rerun.
 
     Scale shape: the dedup probe reads ONLY the cell partitions the
     batch encodes into (`cell IN (batch cells)` prunes directories —
@@ -1402,10 +1422,52 @@ def ivfpq_merge_index(
     ).localCheckpoint(eager=True)
     n_added = fresh.count()
     if n_added:  # an all-duplicate batch never touches the index files
-        _fence_commit(spark, path)  # zombie merge aborts before appending
-        fresh.repartition(F.col("cell")).write.mode("append").partitionBy(
-            "cell"
-        ).parquet(f"{path}/codes")
+        # STAGED APPEND (r13 review): a direct mode("append") write
+        # commits its files from inside the Spark job, minutes after
+        # the last fence read at scale — a lease broken mid-job would
+        # land a zombie's files in cells its successor is concurrently
+        # swapping, unbounded by any fence. So the batch lands in a
+        # codes_append_staging sibling first (the live index is never
+        # a job's write target), is count-validated by read-back, and
+        # only then moves into the live cell directories by per-file
+        # metadata renames under the same interval re-fence as the
+        # swap loops. Crash/abort anywhere: staged-only remnants are
+        # discarded by recovery, a partial move converges on rerun
+        # because the anti-join re-admits only the ids still missing.
+        fs, jpath = _index_fs(spark, path)
+        stage = f"{path}/codes_append_staging"
+        fs.delete(jpath(stage), True)  # stale remnants from a crash
+        fresh.repartition(F.col("cell")).write.mode(
+            "overwrite"
+        ).partitionBy("cell").parquet(stage)
+        n_staged = spark.read.parquet(stage).count()
+        if n_staged != n_added:
+            fs.delete(jpath(stage), True)
+            raise IOError(
+                f"merge staging validation failed: staged {n_staged} "
+                f"rows, expected {n_added} — live index left untouched"
+            )
+        _fence_commit(spark, path)  # zombie merge aborts before moving
+        moved = 0
+        for st in fs.listStatus(jpath(stage)):
+            dname = st.getPath().getName()
+            if not (st.isDirectory() and dname.startswith("cell=")):
+                continue
+            fs.mkdirs(jpath(f"{path}/codes/{dname}"))
+            for part in fs.listStatus(st.getPath()):
+                fname = part.getPath().getName()
+                if fname.startswith(("_", ".")):
+                    continue
+                if moved and moved % FENCE_RECHECK_CELLS == 0:
+                    _fence_commit(spark, path)
+                # part filenames carry the write job's UUID, so a
+                # rename can never collide with a live file
+                _must_rename(
+                    fs, part.getPath(),
+                    jpath(f"{path}/codes/{dname}/{fname}"),
+                )
+                moved += 1
+        fs.delete(jpath(stage), True)
     # every consumer is done — free both pinned frames eagerly rather
     # than leaving block cleanup to GC (a long-running streaming twin
     # would otherwise pin two frames per micro-batch)
@@ -1495,6 +1557,14 @@ INDEX_LOCK_LEASE_SEC = 900.0
 #: (~1.5% extra metadata RPCs at the default). Module constant so the
 #: mid-swap-abort pytest law can drive it to 1.
 FENCE_RECHECK_CELLS = 32
+
+#: fence false-positive tolerance: a missing/unreadable token is
+#: re-read this many extra times (sleeping between attempts) before
+#: the verb aborts — one transient RPC failure or another holder's
+#: transient release-claim must not kill a healthy multi-minute verb.
+#: A STABLE foreign token (same value twice) aborts without waiting.
+FENCE_RETRIES = 2
+FENCE_RETRY_SLEEP_SEC = 0.5
 _LOCK_FILE = "_index_write_lock"
 #: (thread_ident, index path) → the unique token written into the lock
 #: file payload by the acquiring thread. Ownership is PER-THREAD (r11
@@ -1515,7 +1585,10 @@ _HELD_LOCKS: dict[tuple[int, str], str] = {}
 #: thread. The registry itself is guarded by a tiny in-memory lock
 #: held only for the dict lookup; entries are one ~50-byte Lock per
 #: distinct index path this driver ever maintains — bounded by the
-#: deployment's index count, not by call volume.
+#: deployment's index count for long-lived serving drivers, and
+#: throwaway temp-dir paths (bench loops, test fixtures) are dropped
+#: by the same :func:`evict_model_cache` teardown hook that bounds
+#: the model cache (r13 review).
 _PATH_MUTEXES: dict[str, threading.Lock] = {}
 _PATH_MUTEXES_GUARD = threading.Lock()
 
@@ -1551,9 +1624,23 @@ def _read_token_file(spark, fs, file_jpath):
     turning every release into a silent leak until lease expiry); the
     payload is writer-controlled and ~150 bytes, so the 1 MiB sanity
     guard only trips on a corrupt/foreign file, and it FAILS LOUDLY
-    rather than truncating."""
+    rather than truncating. The guard is a METADATA length check
+    before the read, so it covers the commons-io fast path too — the
+    byte-loop cap alone would leave toByteArray free to slurp a
+    multi-GB corrupt file into driver memory and silently resolve it
+    to None (r13 review)."""
     import json
 
+    try:
+        if fs.getFileStatus(file_jpath).getLen() > (1 << 20):
+            raise _LockPayloadTooLargeError(
+                f"lock payload at {file_jpath} exceeds 1 MiB — "
+                f"corrupt or foreign; refusing to read it"
+            )
+    except _LockPayloadTooLargeError:
+        raise
+    except Exception:
+        return None  # vanished between the caller's check and here
     try:
         stream = fs.open(file_jpath)
     except Exception:
@@ -1623,16 +1710,23 @@ def _fence_commit(spark, path: str) -> None:
     verb's) discards. Called at the head of
     :func:`_swap_staged_cells` (and every ``FENCE_RECHECK_CELLS``
     cells inside its loop), :func:`_swap_rebuild`,
-    :func:`ivfpq_recover_index`'s mutation pass, the merge append and
-    the fresh-build artifact writes — one small-file read each, on
-    maintenance verbs only (probe/read paths never pay it).
+    :func:`ivfpq_recover_index`'s mutation pass, the merge's
+    staged-append move loop (same interval) and the fresh-build
+    artifact writes — one small-file read each, on maintenance verbs
+    only (probe/read paths never pay it).
 
     RESIDUAL, stated precisely: the fence is check-then-act, so a
     lease that is broken AFTER a fence read passes but BEFORE the
     renames it guards complete can still interleave — the fence
     bounds that exposure to one recheck interval (a handful of
-    metadata renames, ≤ ``FENCE_RECHECK_CELLS`` cell swaps), it does
-    not make rename batches conditional on lock ownership. Zero-window
+    metadata renames, ≤ ``FENCE_RECHECK_CELLS`` cell swaps or staged
+    part-file moves), it does not make rename batches conditional on
+    lock ownership. The one DATA-WRITE commit the fence can only
+    duration-bound (not interval-bound) is the FRESH build's in-place
+    artifact writes: those Spark jobs commit their own files from
+    inside the job, so the exposure is the job's runtime — on a
+    brand-new path with nothing live to corrupt (rebuilds stage, and
+    since r13 merges stage too). Zero-window
     multi-writer safety needs a coordinating table format
     (Delta/Iceberg) — the same boundary SCALE.md already draws for
     S3A's non-atomic create-exclusive. In practice a lease sized above
@@ -1640,21 +1734,51 @@ def _fence_commit(spark, path: str) -> None:
     pathology documented at ``INDEX_LOCK_LEASE_SEC``. A missing
     held-token entry means the caller is not running under a lease
     (crash-injection tests drive the swap helpers directly) — there is
-    no lease to have lost, so the fence passes."""
+    no lease to have lost, so the fence passes.
+
+    FALSE-POSITIVE TOLERANCE (r13 review): a single failed or empty
+    read must not kill a healthy multi-minute verb — a transient RPC
+    hiccup, a torn read, or another holder's release transiently
+    CLAIMING its own lock by rename all make one read come back
+    None. The fence therefore retries a missing/unreadable token up
+    to ``FENCE_RETRIES`` times (sleeping ``FENCE_RETRY_SLEEP_SEC``
+    between attempts) before aborting, and only aborts WITHOUT
+    retrying when it reads the SAME foreign token twice — a stable
+    foreign token is a successor really holding the lock, not noise.
+    The abort message distinguishes the two evidence classes."""
+    import time as _time
+
     token = _HELD_LOCKS.get(_lock_key(path))
     if token is None:
         return
     fs, jpath = _index_fs(spark, path)
-    if _read_lock_token(spark, fs, jpath, path) != token:
-        raise IndexWriteLockError(
-            f"write lease lost mid-verb on {path}: the on-disk lock "
-            f"token no longer matches this writer's — the verb outran "
-            f"INDEX_LOCK_LEASE_SEC and a successor broke the lease. "
-            f"Aborting before the commit point; staged data is "
-            f"discarded by the next maintenance verb's recovery. Size "
-            f"the lease above the longest verb at this deployment's "
-            f"scale."
-        )
+    prev = None
+    stable_foreign = False
+    for attempt in range(FENCE_RETRIES + 1):
+        on_disk = _read_lock_token(spark, fs, jpath, path)
+        if on_disk == token:
+            return
+        if on_disk is not None and on_disk == prev:
+            stable_foreign = True  # same foreign token twice: taken
+            break
+        prev = on_disk
+        if attempt < FENCE_RETRIES:
+            _time.sleep(FENCE_RETRY_SLEEP_SEC)
+    evidence = (
+        "a successor's lock token was read twice"
+        if stable_foreign
+        else f"the lock stayed missing/unreadable across "
+        f"{FENCE_RETRIES + 1} reads"
+    )
+    raise IndexWriteLockError(
+        f"write lease lost mid-verb on {path}: the on-disk lock "
+        f"token no longer matches this writer's ({evidence}) — the "
+        f"verb outran INDEX_LOCK_LEASE_SEC and a successor broke "
+        f"the lease. Aborting before the commit point; staged data "
+        f"is discarded by the next maintenance verb's recovery. "
+        f"Size the lease above the longest verb at this "
+        f"deployment's scale."
+    )
 
 
 def _try_acquire_index_lock(spark, path: str, *, lease_sec=None) -> bool:
@@ -1735,52 +1859,71 @@ def _release_index_lock(spark, path: str) -> None:
     had its lock broken must not delete the successor's lock on the
     way out.
 
-    ATOMIC CLAIM (r12 advice low 1): the old read-token-then-delete
-    pair left a window — a breaker could tombstone our expired lock
-    and install the successor's BETWEEN our token read and our delete,
-    and we would then delete the successor's fresh lock. Release now
-    CLAIMS the lock file first by an atomic rename to a unique
-    tombstone (the same one-winner pattern the stale-break uses) and
-    only then inspects the payload: a matching token means the claimed
-    file was ours and the tombstone is simply dropped; a mismatch
-    means we claimed a successor's lock by accident and it is renamed
-    straight back. The one residual: if a third acquirer slips in
-    during that claim window, the rename-back fails and the displaced
-    successor loses its lock — but it then ABORTS at its next commit
-    fence (:func:`_fence_commit`) instead of corrupting anything, and
-    every party in that scenario has already outlived its lease.
-    A second, smaller residual: a TORN READ of our own claimed
-    tombstone resolves its token to None ≠ ours, so release renames
-    our own lock back into place instead of deleting it — the lock
-    then self-expires after ``INDEX_LOCK_LEASE_SEC`` (a stale-lease
-    wait, never a stuck index, and strictly safer than deleting on a
-    read we could not verify)."""
+    PRE-READ then ATOMIC CLAIM (r12 advice low 1 + r13 review): the
+    original read-token-then-delete pair left a window — a breaker
+    could tombstone our expired lock and install the successor's
+    BETWEEN our token read and our delete, and we would then delete
+    the successor's fresh lock. The r12 fix (claim-by-rename before
+    inspecting) closed that but opened a subtler availability hole:
+    release claimed EVERY lock, so a zombie's exit transiently made a
+    HEALTHY successor's live lock vanish mid-rename — long enough on
+    a slow store for the successor's commit fence to read
+    missing-and-abort, or for a third acquirer to move in and
+    permanently displace an in-lease holder. Release now reads the
+    token IN PLACE first and only claims when it matched our own:
+    a mismatched or unreadable pre-read means the lock is definitely
+    not ours to delete and it is left completely untouched (zero
+    renames against a successor's lock on the common zombie-exit
+    path). The claim step still guards the narrow race where our
+    matching lock is swapped for a successor's between pre-read and
+    rename — then the tombstone inspection mismatches and the lock is
+    renamed straight back, and the commit-fence retry loop
+    (``FENCE_RETRIES``) absorbs the transient gap on the successor's
+    side. Residuals, all availability-shaped, never corruption: a
+    third acquirer slipping into the (now rare) claim window makes
+    the rename-back fail and the displaced successor fence-aborts;
+    a TORN READ of our own lock leaves it in place to self-expire
+    after ``INDEX_LOCK_LEASE_SEC``. Best-effort by contract: release
+    runs in ``finally`` blocks, so it NEVER raises — a storage error
+    here leaves the lock to self-expire rather than masking the
+    verb's real exception (r13 review)."""
     import uuid
 
     with _path_mutex(path):
         token = _HELD_LOCKS.pop(_lock_key(path), None)
         if token is None:
             return  # this thread holds nothing here — never delete blind
-        fs, jpath = _index_fs(spark, path)
-        lock = jpath(f"{path}/{_LOCK_FILE}")
-        tomb = jpath(f"{path}/{_LOCK_FILE}.release-{uuid.uuid4().hex}")
         try:
-            claimed = fs.rename(lock, tomb)
+            fs, jpath = _index_fs(spark, path)
+            lock = jpath(f"{path}/{_LOCK_FILE}")
+            if _read_lock_token(spark, fs, jpath, path) != token:
+                return  # definitely not ours anymore — never touch it
+            tomb = jpath(
+                f"{path}/{_LOCK_FILE}.release-{uuid.uuid4().hex}"
+            )
+            try:
+                claimed = fs.rename(lock, tomb)
+            except Exception:
+                claimed = False
+            if not claimed:
+                return  # vanished since the pre-read — nothing ours
+            if _read_token_file(spark, fs, tomb) == token:
+                fs.delete(tomb, False)  # it was ours — released
+                return
+            # the matching lock was swapped for a successor's between
+            # pre-read and claim: restore it in place
+            try:
+                _must_rename(fs, tomb, lock)
+            except Exception:
+                # a third acquirer created a fresh lock during the
+                # claim window; the displaced successor fence-aborts
+                # at its next commit point — drop the orphaned
+                # tombstone
+                fs.delete(tomb, False)
         except Exception:
-            claimed = False
-        if not claimed:
-            return  # lock already gone (broken + released) — nothing ours
-        if _read_token_file(spark, fs, tomb) == token:
-            fs.delete(tomb, False)  # it was ours — released
+            # best-effort: the lock self-expires; never mask the
+            # verb's real exception from an enclosing finally
             return
-        # we claimed a SUCCESSOR's lock: restore it in place
-        try:
-            _must_rename(fs, tomb, lock)
-        except Exception:
-            # a third acquirer created a fresh lock during the claim
-            # window; the displaced successor fence-aborts at its next
-            # commit point — drop the orphaned tombstone
-            fs.delete(tomb, False)
 
 
 @contextmanager
@@ -1826,6 +1969,7 @@ _RECOVERY_MARKERS = (
     "_rebuild_staging",
     "codes_trash",
     "codes_staging",
+    "codes_append_staging",
 )
 
 
@@ -1918,9 +2062,30 @@ def ivfpq_recover_index(spark, path: str) -> dict:
     its cleanup was interrupted) is simply deleted, keeping the new
     model. Stale ``_rebuild_staging`` data is discarded either way.
     Returns ``{"n_cells_rolled_back", "n_staging_discarded",
-    "n_rebuild_rolled_back"}``."""
+    "n_rebuild_rolled_back"}``.
+
+    Also sweeps ORPHANED LOCK TOMBSTONES (r13 review): a crash
+    between a release/stale-break's claim rename and its tombstone
+    disposal strands a ``_index_write_lock.release-*`` /
+    ``.broken-*`` file in the index root forever — no live-lock path
+    ever targets those names. Any such file older than the lease is
+    crash garbage (live tombstones exist for milliseconds) and is
+    deleted here."""
+    import time as _time
+
     _fence_commit(spark, path)  # recovery mutates — zombies abort first
     fs, jpath = _index_fs(spark, path)
+    try:
+        for st in fs.listStatus(jpath(path)):
+            name = st.getPath().getName()
+            if (
+                name.startswith(f"{_LOCK_FILE}.")
+                and _time.time() * 1000.0 - st.getModificationTime()
+                > INDEX_LOCK_LEASE_SEC * 1000.0
+            ):
+                fs.delete(st.getPath(), False)
+    except Exception:
+        pass  # sweep is best-effort housekeeping, never blocks healing
     # rebuild swap first: it moves whole artifacts, so any cell-level
     # trash inside a rolled-back codes directory comes back with it
     n_rebuild = 0
@@ -1961,6 +2126,14 @@ def ivfpq_recover_index(spark, path: str) -> dict:
     discarded = 0
     if fs.exists(staging):
         fs.delete(staging, True)
+        discarded = 1
+    append_staging = jpath(f"{path}/codes_append_staging")
+    if fs.exists(append_staging):
+        # a merge that crashed between its staged write and the
+        # per-file move commit: the un-moved remainder is discarded —
+        # the merge's anti-join re-admits exactly the missing ids on
+        # rerun, so no bookkeeping of what DID move is needed
+        fs.delete(append_staging, True)
         discarded = 1
     return {
         "n_cells_rolled_back": rolled,

@@ -1874,3 +1874,229 @@ def test_midswap_lease_break_aborts_within_recheck_interval(
         (r.neighbor_id, int(r.cell))
         for r in spark.read.parquet(f"{path}/codes").collect()
     ) == before
+
+
+def test_fence_retry_absorbs_transient_missing_lock(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Fence false-positive tolerance (r13 review): ONE failed or
+    empty token read must not kill a healthy verb — a transient RPC
+    hiccup or another holder's momentary release-claim makes a single
+    read come back None. The fence retries a missing token and passes
+    when it reappears; a PERSISTENTLY missing lock and a STABLE
+    foreign token still abort, each naming its evidence class."""
+    import json
+    import os
+    import threading
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    path = str(tmp_path / "idx")
+    sim.ivfpq_write_index(emb, path)
+    lock = f"{path}/_index_write_lock"
+    aside = f"{path}/_index_write_lock.aside"
+    monkeypatch.setattr(sim, "FENCE_RETRY_SLEEP_SEC", 0.2)
+
+    assert sim._try_acquire_index_lock(spark, path)
+    try:
+        # transient: the lock vanishes for one read, then reappears
+        os.rename(lock, aside)
+        t = threading.Timer(0.1, lambda: os.rename(aside, lock))
+        t.start()
+        sim._fence_commit(spark, path)  # must NOT raise
+        t.join()
+        assert os.path.exists(lock)
+
+        # persistently missing: aborts, naming the evidence
+        os.remove(lock)
+        with pytest.raises(
+            sim.IndexWriteLockError, match="missing/unreadable"
+        ):
+            sim._fence_commit(spark, path)
+
+        # stable foreign token: aborts fast, naming the evidence
+        # (drop the checksum sidecar of the removed lock, or Hadoop's
+        # LocalFileSystem rejects the hand-written replacement as a
+        # checksum mismatch and this reads as unreadable instead)
+        crc = f"{path}/._index_write_lock.crc"
+        if os.path.exists(crc):
+            os.remove(crc)
+        with open(lock, "w") as f:
+            json.dump({"token": "someone-elses-token"}, f)
+        with pytest.raises(sim.IndexWriteLockError, match="read twice"):
+            sim._fence_commit(spark, path)
+    finally:
+        sim._HELD_LOCKS.pop(sim._lock_key(path), None)
+        if os.path.exists(lock):
+            os.remove(lock)
+
+
+def test_zombie_release_never_touches_successor_lock(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Release pre-reads the token before claiming (r13 review): on
+    the common zombie-exit path the successor's live lock must never
+    be renamed at all — the r12 claim-every-lock release made a
+    HEALTHY successor's lock vanish for the duration of two remote
+    renames, long enough for its fence to misfire or a third acquirer
+    to displace it. Zero rename calls against a foreign lock."""
+    import json
+    import threading
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    path = str(tmp_path / "idx")
+    sim.ivfpq_write_index(emb, path)
+    lock = f"{path}/_index_write_lock"
+
+    assert sim._try_acquire_index_lock(spark, path)
+    successor_token: list[str] = []
+
+    def successor():  # breaks our lease and installs its own lock
+        assert sim._try_acquire_index_lock(spark, path, lease_sec=0.0)
+        successor_token.append(
+            sim._HELD_LOCKS.pop((threading.get_ident(), path))
+        )
+
+    t = threading.Thread(target=successor)
+    t.start()
+    t.join(60)
+
+    fs, jpath = sim._index_fs(spark, path)
+    real_rename = fs.rename
+    rename_calls: list = []
+
+    class CountingFs:
+        def __getattr__(self, name):
+            if name == "rename":
+                def counted(src, dst):
+                    rename_calls.append(str(src))
+                    return real_rename(src, dst)
+                return counted
+            return getattr(fs, name)
+
+    monkeypatch.setattr(
+        sim, "_index_fs", lambda s, p: (CountingFs(), jpath)
+    )
+    sim._release_index_lock(spark, path)
+    assert rename_calls == []  # pre-read mismatch: left untouched
+    with open(lock) as f:
+        assert json.load(f)["token"] == successor_token[0]
+    fs.delete(jpath(lock), False)
+
+
+def test_merge_staged_append_crash_converges(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Staged-append commit law (r13 review): the merge batch lands in
+    codes_append_staging and moves into live cells by per-file
+    renames, so a crash mid-move leaves staged-only remnants plus a
+    partial move — recovery discards the stage, and a RE-MERGE
+    converges to exactly the full corpus because the anti-join
+    re-admits only the still-missing ids."""
+    import os
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    n_total = emb.count()
+    path = str(tmp_path / "idx")
+    sim.ivfpq_write_index(base, path)
+
+    real_rename = sim._must_rename
+    moves: list = []
+
+    def crash_after_first_move(fs, src, dst):
+        if "codes_append_staging" in str(src):
+            if moves:
+                raise IOError("injected crash mid-move")
+            moves.append(str(src))
+        real_rename(fs, src, dst)
+
+    monkeypatch.setattr(sim, "_must_rename", crash_after_first_move)
+    with pytest.raises(IOError, match="injected crash mid-move"):
+        sim.ivfpq_merge_index(spark, path, delta)
+    monkeypatch.setattr(sim, "_must_rename", real_rename)
+    assert len(moves) == 1  # exactly one staged file made it live
+    assert os.path.exists(f"{path}/codes_append_staging")
+
+    # recovery discards the stage; re-merge adds exactly the missing
+    stats = sim.ivfpq_recover_index(spark, path)
+    assert stats["n_staging_discarded"] == 1
+    assert not os.path.exists(f"{path}/codes_append_staging")
+    sim.ivfpq_merge_index(spark, path, delta)
+    codes = spark.read.parquet(f"{path}/codes")
+    assert codes.count() == n_total
+    assert codes.select("neighbor_id").distinct().count() == n_total
+
+
+def test_recovery_sweeps_orphaned_lock_tombstones(
+    spark, sf_dir, tmp_path
+):
+    """A crash between a release/stale-break's claim rename and its
+    tombstone disposal strands a .release-*/.broken-* file forever
+    (r13 review); recovery deletes any such file older than the
+    lease and keeps fresh ones (a live claim in flight)."""
+    import os
+    import time
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    path = str(tmp_path / "idx")
+    sim.ivfpq_write_index(emb, path)
+    old = f"{path}/_index_write_lock.release-deadbeef"
+    fresh = f"{path}/_index_write_lock.broken-cafebabe"
+    for p in (old, fresh):
+        with open(p, "w") as f:
+            f.write("{}")
+    stale_ts = time.time() - sim.INDEX_LOCK_LEASE_SEC - 60
+    os.utime(old, (stale_ts, stale_ts))
+    sim.ivfpq_recover_index(spark, path)
+    assert not os.path.exists(old)
+    assert os.path.exists(fresh)
+    os.remove(fresh)
+
+
+def test_oversized_lock_payload_fails_loudly_but_release_survives(
+    spark, sf_dir, tmp_path
+):
+    """The 1 MiB payload guard is a METADATA length check before any
+    read (r13 review: the byte-loop cap alone left commons-io free to
+    slurp a multi-GB corrupt file and silently resolve None), and
+    release — which runs in finally blocks — swallows it best-effort
+    instead of masking the verb's real exception."""
+    import os
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    path = str(tmp_path / "idx")
+    sim.ivfpq_write_index(emb, path)
+    lock = f"{path}/_index_write_lock"
+    fs, jpath = sim._index_fs(spark, path)
+
+    with open(lock, "wb") as f:
+        f.write(b"x" * ((1 << 20) + 1))
+    with pytest.raises(sim._LockPayloadTooLargeError):
+        sim._read_token_file(spark, fs, jpath(lock))
+
+    # a holder releasing against the corrupt lock: no raise, lock left
+    sim._HELD_LOCKS[sim._lock_key(path)] = "mytoken"
+    sim._release_index_lock(spark, path)  # must not raise
+    assert os.path.exists(lock)
+    assert not sim._this_thread_holds(path)
+    os.remove(lock)
+
+
+def test_evict_model_cache_drops_path_mutex():
+    """evict_model_cache bounds _PATH_MUTEXES the same way it bounds
+    the model cache (r13 review): throwaway temp-dir paths must not
+    accrete a Lock per path for the driver's lifetime."""
+    p = "/idx/throwaway"
+    sim._path_mutex(p)
+    assert p in sim._PATH_MUTEXES
+    sim.evict_model_cache(p)
+    assert p not in sim._PATH_MUTEXES
