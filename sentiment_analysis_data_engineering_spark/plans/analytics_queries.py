@@ -235,7 +235,10 @@ def approx_percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: segment filter → 3-way join → agg → top-10.
-    Filters push into every scan; customer broadcasts."""
+    Filters push into every scan. customer is SF-proportional, so no
+    broadcast hint — AQE broadcasts the filtered segment while it
+    measures small and falls back to a keyed shuffle at scale (r13
+    verdict item 1)."""
     customer, orders, lineitem = load_tables(
         spark, sf_dir, "customer", "orders", "lineitem"
     )
@@ -247,7 +250,7 @@ def top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")),
+            customer.filter(F.col("c_mktsegment") == "BUILDING"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
     )
@@ -314,13 +317,16 @@ def customers_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def supplier_part_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact + two broadcast dims + distinct-count aggregate."""
+    """Fact + two dims + distinct-count aggregate. supplier/part are
+    SF-proportional — no broadcast hints; AQE broadcasts them at
+    bench SFs and degrades to keyed shuffles at 100 TB (r13 verdict
+    item 1)."""
     lineitem, supplier, part = load_tables(
         spark, sf_dir, "lineitem", "supplier", "part"
     )
     return (
-        lineitem.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        lineitem.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("s_nationkey", "p_brand")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("qty"),
@@ -408,12 +414,14 @@ def intersect_buyer_suppliers_nations(spark: SparkSession, sf_dir: str) -> DataF
     """,
 )
 def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 shape: conditional aggregate over a fact⋈dim broadcast
-    join — the CASE folds into the single aggregate pass."""
+    """TPC-H Q14 shape: conditional aggregate over a fact⋈dim join —
+    the CASE folds into the single aggregate pass. part is
+    SF-proportional — no broadcast hint (r13 verdict item 1); AQE
+    picks BHJ at bench SFs."""
     lineitem, part = load_tables(spark, sf_dir, "lineitem", "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 100.0
@@ -1088,9 +1096,11 @@ def region_nation_rollcall(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: trade volume between ordered nation pairs per
-    ship year. Five joins — the big fact table joins broadcast
-    dimensions (supplier/customer/nation are all tiny next to
-    lineitem), so the only fact-sized shuffle is the final aggregate.
+    ship year. Five joins — the two nation splits (25 rows, constant
+    at every SF) are hint-broadcast; supplier and customer are
+    SF-PROPORTIONAL and carry no hint (r13 verdict item 1): AQE
+    broadcasts them at bench SFs and degrades to keyed shuffles at
+    100 TB instead of dying at the 8 GB broadcast cap.
     Volume is summed as integer CENTS: double sums of ~1e6 values sit
     on 2-dp rounding boundaries (summation order flips the last cent),
     while per-line cents round identically in both engines and sum
@@ -1105,9 +1115,9 @@ def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
     )
     return (
-        lineitem.join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        lineitem.join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
         .join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .filter(F.col("supp_nation") < F.col("cust_nation"))
@@ -1141,10 +1151,11 @@ def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: revenue under an OR of conjunctive brand/size/
     quantity bands. The disjunction stays one JVM boolean expression
-    evaluated after a broadcast hash join — no union-of-branches
-    rewrite, no double scan of lineitem."""
+    evaluated after the join — no union-of-branches rewrite, no double
+    scan of lineitem. part is SF-proportional — no broadcast hint (r13
+    verdict item 1); AQE picks BHJ at bench SFs."""
     lineitem, part = load_tables(spark, sf_dir, "lineitem", "part")
-    j = lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+    j = lineitem.join(part, lineitem.l_partkey == part.p_partkey)
     cond = (
         (F.col("p_brand") == "Brand#1")
         & F.col("p_size").between(1, 15)
@@ -1177,13 +1188,18 @@ def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     """,
 )
 def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15 shape: the supplier(s) with maximum total revenue —
-    aggregate once, compare against the global max via a rank-less
-    window (max over empty partition spec = one scalar broadcast by
-    Spark's window exec), keep ties. Revenue in integer cents for
-    engine-exact comparison."""
-    from pyspark.sql import Window
+    """TPC-H Q15 shape: the supplier(s) with maximum total revenue,
+    ties kept. Revenue in integer cents for engine-exact comparison.
 
+    The global max is a 1-row ``agg(max)`` cross-joined back (the
+    ``stats_queries`` scalar pattern) — NOT a partition-less window:
+    ``Window.partitionBy()`` funnels the whole per-supplier aggregate
+    (SF-proportional — billions of rows at 100 TB) through ONE task
+    (r13 verdict item 2). Two aggregate passes over lineitem both
+    map-side combine, so the extra pass scales; the single-task window
+    does not. The final join broadcasts the ~1-row argmax frame and
+    probes supplier — supplier is SF-proportional and must never be
+    the pinned broadcast side (r13 verdict item 1)."""
     lineitem, supplier = load_tables(spark, sf_dir, "lineitem", "supplier")
     rev = lineitem.groupBy("l_suppkey").agg(
         F.sum(
@@ -1192,13 +1208,13 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long")
         ).alias("total_cents")
     )
-    top = rev.withColumn(
-        "_max", F.max("total_cents").over(Window.partitionBy())
-    ).filter(F.col("total_cents") == F.col("_max"))
-    return top.join(F.broadcast(supplier),
-                    top.l_suppkey == supplier.s_suppkey).select(
-        "s_suppkey", "s_name", "total_cents"
-    )
+    mx = rev.agg(F.max("total_cents").alias("_max"))  # 1 row
+    top = rev.crossJoin(F.broadcast(mx)).filter(
+        F.col("total_cents") == F.col("_max")
+    ).drop("_max")
+    return supplier.join(
+        F.broadcast(top), supplier.s_suppkey == top.l_suppkey
+    ).select("s_suppkey", "s_name", "total_cents")
 
 
 @query(
@@ -1261,8 +1277,10 @@ def sole_late_supplier_waitlist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("is_late") & (F.col("_n_supps") > 1) & (F.col("_n_late") == 1))
     )
     return (
+        # supplier is SF-proportional — no broadcast hint (r13 verdict
+        # item 1); AQE picks BHJ at bench SFs, keyed shuffle at scale
         sole_late.join(
-            F.broadcast(supplier), sole_late.l_suppkey == supplier.s_suppkey
+            supplier, sole_late.l_suppkey == supplier.s_suppkey
         )
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))

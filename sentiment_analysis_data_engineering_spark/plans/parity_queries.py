@@ -427,13 +427,19 @@ def semi_join_existing_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 — fact↔dimension analytical join promised by ``README.md:4``
     (ad-hoc analysis for retail investors). lineitem⋈orders is the only
-    real shuffle; customer/nation broadcast."""
+    fact-sized shuffle. nation (25 rows, constant at every SF) is
+    hint-broadcast; customer is SF-PROPORTIONAL (TPC-H scales it with
+    the fact tables), so it carries NO hint — AQE measures it under
+    the broadcast threshold at bench SFs and picks the same
+    BroadcastHashJoin, while at 100 TB (~15 B customer rows) the join
+    degrades gracefully to a keyed shuffle instead of dying at the
+    8 GB broadcast cap (r13 verdict item 1)."""
     lineitem, orders, customer, nation = load_tables(
         spark, sf_dir, "lineitem", "orders", "customer", "nation"
     )
     joined = (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
     )
     return joined.groupBy(

@@ -147,18 +147,21 @@ def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: per order year, the revenue share of PROMO parts
-    supplied from ASIA-region nations. All four dimensions broadcast;
-    the p_type filter prunes the fact rows before the orders shuffle.
-    Share is a ratio of exact cent sums, rounded identically in both
-    engines — no float summation-order hazard."""
+    supplied from ASIA-region nations. nation/region (25/5 rows,
+    constant at every SF) are hint-broadcast; the PROMO-filtered part
+    subset and supplier are SF-PROPORTIONAL, so they carry no hint
+    (r13 verdict item 1) — AQE broadcasts them at bench SFs and the
+    p_type filter still prunes the fact rows before the orders
+    shuffle. Share is a ratio of exact cent sums, rounded identically
+    in both engines — no float summation-order hazard."""
     lineitem, orders, part, supplier, nation, region = load_tables(
         spark, sf_dir, "lineitem", "orders", "part", "supplier", "nation", "region"
     )
     p = part.filter(F.col("p_type") == "PROMO").select("p_partkey")
     joined = (
-        lineitem.join(F.broadcast(p), lineitem.l_partkey == p.p_partkey)
+        lineitem.join(p, lineitem.l_partkey == p.p_partkey)
         .join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
@@ -207,8 +210,11 @@ def product_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame
     year. The fixture has no partsupp/ps_supplycost, so unit cost is
     proxied as 10% of p_retailprice (documented adaptation — the plan
     shape, a 5-way star join with a LIKE-filtered part dimension, is
-    what Q9 exercises). part/supplier/nation broadcast; the only fact
-    shuffle is lineitem⋈orders on orderkey. Per-row profit is rounded
+    what Q9 exercises). nation (constant 25 rows) is hint-broadcast;
+    the gear-filtered part subset and supplier are SF-PROPORTIONAL and
+    carry no hint (r13 verdict item 1) — AQE broadcasts them at bench
+    SFs, keyed shuffles at scale. The only fact shuffle is
+    lineitem⋈orders on orderkey. Per-row profit is rounded
     to cents BEFORE the sum so both engines add exact integers."""
     lineitem, orders, part, supplier, nation = load_tables(
         spark, sf_dir, "lineitem", "orders", "part", "supplier", "nation"
@@ -217,8 +223,8 @@ def product_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame
         "p_partkey", "p_retailprice"
     )
     joined = (
-        lineitem.join(F.broadcast(p), lineitem.l_partkey == p.p_partkey)
-        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        lineitem.join(p, lineitem.l_partkey == p.p_partkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .join(orders, lineitem.l_orderkey == orders.o_orderkey)
     )
@@ -258,10 +264,15 @@ def product_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame
 def returned_items_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: the 20 customers who returned the most revenue
     in 1997. returnflag + date filters prune both fact scans before the
-    orderkey shuffle; customer/nation broadcast onto the aggregated
-    per-customer frame (aggregate first, widen second — the join input
-    is |customers|, not |lineitems|). Deterministic top-20: ties broken
-    by custkey."""
+    orderkey shuffle. The top-20 LIMIT is pushed BELOW the widening
+    joins (r13 verdict item 1): the per-customer aggregate is cut to
+    its 20 winners first (same sort keys as the final output — custkey
+    is 1:1 with the aggregate's o_custkey, so the cut is exact, ties
+    included), then that 20-row frame is hint-broadcast against
+    customer — customer is SF-proportional and must never be the
+    pinned broadcast side; here it is the probe side and never
+    shuffles at all. nation (constant 25 rows) broadcasts onto the 20
+    rows. Deterministic top-20: ties broken by custkey."""
     lineitem, orders, customer, nation = load_tables(
         spark, sf_dir, "lineitem", "orders", "customer", "nation"
     )
@@ -278,8 +289,11 @@ def returned_items_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(F.sum("cents").alias("lost_cents"))
     )
-    widened = per_cust.join(
-        F.broadcast(customer), per_cust.o_custkey == customer.c_custkey
+    top20 = per_cust.orderBy(
+        F.desc("lost_cents"), F.asc("o_custkey")
+    ).limit(20)
+    widened = customer.join(
+        F.broadcast(top20), customer.c_custkey == top20.o_custkey
     ).join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
     return (
         widened.select(
@@ -359,15 +373,16 @@ def parts_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     proxied by observed (part, supplier) pairs in lineitem (documented
     adaptation). Spark plans COUNT(DISTINCT) as a two-stage expand —
     partial distinct on (group, suppkey), then the count — both stages
-    map-side combining; the part dimension broadcasts with its filters
-    pushed."""
+    map-side combining; the part dimension's filters push to its scan.
+    part is SF-proportional — no broadcast hint (r13 verdict item 1);
+    AQE picks BHJ at bench SFs."""
     lineitem, part = load_tables(spark, sf_dir, "lineitem", "part")
     p = part.filter(
         (F.col("p_brand") != "Brand#9") & F.col("p_size").isin(1, 4, 9, 16, 25)
     ).select("p_partkey", "p_brand", "p_type", "p_size")
     return (
         lineitem.select("l_partkey", "l_suppkey")
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(p, F.col("l_partkey") == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -401,8 +416,11 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     decorrelated into a per-part aggregate joined back (the same plan
     Catalyst derives from the subquery form). Quantities are
     integer-valued doubles, so avg() is exact in both engines and the
-    threshold comparison cannot flip on summation order. The per-part
-    avg frame is |parts|-sized → broadcast."""
+    threshold comparison cannot flip on summation order. The filtered
+    part subset and the |parts|-sized per-part avg frame are both
+    SF-PROPORTIONAL — no broadcast hints (r13 verdict item 1): AQE
+    broadcasts both at bench SFs; at scale the partkey-keyed joins
+    degrade to shuffles that share one exchange with the aggregate."""
     lineitem, part = load_tables(spark, sf_dir, "lineitem", "part")
     pa = lineitem.groupBy("l_partkey").agg(
         (F.avg("l_quantity") * 0.5).alias("half_avg_qty")
@@ -410,8 +428,8 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = part.filter(F.col("p_brand") == "Brand#13").select("p_partkey")
     li = lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(pa), li.l_partkey == pa.l_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(pa, li.l_partkey == pa.l_partkey)
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(
             F.sum(_cents(F.col("l_extendedprice"))).alias("revenue_cents"),
@@ -462,9 +480,11 @@ def excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem, part, supplier = load_tables(
         spark, sf_dir, "lineitem", "part", "supplier"
     )
+    # red/supplier are SF-proportional — no broadcast hints (same rule
+    # as r13 verdict item 1); AQE picks BHJ at bench SFs
     red = part.filter(F.col("p_name").like("red%")).select("p_partkey")
     vol = (
-        lineitem.join(F.broadcast(red), lineitem.l_partkey == red.p_partkey)
+        lineitem.join(red, lineitem.l_partkey == red.p_partkey)
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("supp_qty"))
     )
@@ -479,7 +499,7 @@ def excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return excess.join(
-        F.broadcast(supplier), excess.l_suppkey == supplier.s_suppkey
+        supplier, excess.l_suppkey == supplier.s_suppkey
     ).select("s_suppkey", "s_name")
 
 
@@ -1078,9 +1098,12 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan (PushedFilters); orders⋈customer is a KEYED custkey shuffle —
     customer is order-of-fact-sized in TPC-H, so it must never
     broadcast — producing a slim (orderkey, cust_nation) frame; the one
-    lineitem-sized shuffle joins that frame on orderkey; supplier and
-    the region-pruned nation list are the genuinely small sides and
-    broadcast. The same-nation predicate then compares two attached
+    lineitem-sized shuffle joins that frame on orderkey; the
+    region-pruned nation list (≤25 rows, constant) is the genuinely
+    small side and hint-broadcasts; the ASIA-filtered supplier frame
+    is SF-PROPORTIONAL so it carries no hint (same rule as r13
+    verdict item 1) — AQE broadcasts it at bench SFs and degrades to
+    a keyed shuffle at scale. The same-nation predicate then compares two attached
     columns — never a shuffle key. Revenue summed to exact cents AFTER
     a single rounding in both engines (the registry's money
     convention)."""
@@ -1112,7 +1135,7 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
         )
         .join(o2, lineitem["l_orderkey"] == o2["o_orderkey"])
-        .join(F.broadcast(s), lineitem["l_suppkey"] == s["s_suppkey"])
+        .join(s, lineitem["l_suppkey"] == s["s_suppkey"])
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
     )
     return joined.groupBy("n_name").agg(
