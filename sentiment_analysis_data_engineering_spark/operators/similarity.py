@@ -1227,10 +1227,22 @@ def evict_model_cache(path: str) -> None:
     the model-cache LRU bounds). Only call once no verb is in flight
     on the path (true at fixture teardown by construction): evicting
     a mutex another thread still holds would let a later caller mint
-    a second mutex for the same path and break serialization."""
+    a second mutex for the same path and break serialization. That
+    convention is now ENFORCED, not just documented (r13 advice low
+    3): when any thread still holds this path's lease, or the mutex
+    is currently locked, the mutex entry is RETAINED — a misuse
+    degrades to one leaked ~50-byte entry instead of a broken
+    check→break→create serialization window (the create-exclusive
+    file stays the cross-process backstop either way)."""
     with _MODEL_CACHE_MUTEX:
         _MODEL_CACHE.pop(path, None)
     with _PATH_MUTEXES_GUARD:
+        mutex = _PATH_MUTEXES.get(path)
+        if mutex is None:
+            return
+        held = any(k[1] == path for k in list(_HELD_LOCKS))
+        if held or mutex.locked():
+            return  # verb in flight — keep the entry, keep serialization
         _PATH_MUTEXES.pop(path, None)
 
 
@@ -1745,7 +1757,11 @@ def _fence_commit(spark, path: str) -> None:
     between attempts) before aborting, and only aborts WITHOUT
     retrying when it reads the SAME foreign token twice — a stable
     foreign token is a successor really holding the lock, not noise.
-    The abort message distinguishes the two evidence classes."""
+    The abort message distinguishes THREE evidence classes (r13
+    advice low 1): a stable foreign token (read twice), foreign
+    token(s) observed but unstable (token churn — e.g. A,B,C or
+    A,None,A: contenders racing, exactly where diagnostics matter),
+    and a lock that stayed missing/unreadable on every read."""
     import time as _time
 
     token = _HELD_LOCKS.get(_lock_key(path))
@@ -1754,22 +1770,31 @@ def _fence_commit(spark, path: str) -> None:
     fs, jpath = _index_fs(spark, path)
     prev = None
     stable_foreign = False
+    saw_foreign = False
     for attempt in range(FENCE_RETRIES + 1):
         on_disk = _read_lock_token(spark, fs, jpath, path)
         if on_disk == token:
             return
-        if on_disk is not None and on_disk == prev:
-            stable_foreign = True  # same foreign token twice: taken
-            break
+        if on_disk is not None:
+            saw_foreign = True
+            if on_disk == prev:
+                stable_foreign = True  # same foreign token twice: taken
+                break
         prev = on_disk
         if attempt < FENCE_RETRIES:
             _time.sleep(FENCE_RETRY_SLEEP_SEC)
-    evidence = (
-        "a successor's lock token was read twice"
-        if stable_foreign
-        else f"the lock stayed missing/unreadable across "
-        f"{FENCE_RETRIES + 1} reads"
-    )
+    if stable_foreign:
+        evidence = "a successor's lock token was read twice"
+    elif saw_foreign:
+        evidence = (
+            f"foreign token(s) observed but unstable across "
+            f"{FENCE_RETRIES + 1} reads"
+        )
+    else:
+        evidence = (
+            f"the lock stayed missing/unreadable across "
+            f"{FENCE_RETRIES + 1} reads"
+        )
     raise IndexWriteLockError(
         f"write lease lost mid-verb on {path}: the on-disk lock "
         f"token no longer matches this writer's ({evidence}) — the "
@@ -1820,8 +1845,14 @@ def _try_acquire_index_lock(spark, path: str, *, lease_sec=None) -> bool:
             # stale lease — break the crashed writer's lock ATOMICALLY:
             # rename to a unique tombstone (one breaker wins; a loser's
             # rename fails because the source is gone) then discard it.
+            # The name encodes the tombstone's CREATION time: rename
+            # preserves the source lock's mtime, which is by definition
+            # lease-stale, so mtime-based staleness would let a
+            # concurrent recovery sweep delete a live breaker's
+            # tombstone the instant it is created (r13 advice low 4).
             tomb = jpath(
-                f"{path}/{_LOCK_FILE}.broken-{uuid.uuid4().hex}"
+                f"{path}/{_LOCK_FILE}.broken-"
+                f"{int(time.time() * 1000)}-{uuid.uuid4().hex}"
             )
             try:
                 won_break = fs.rename(lock, tomb)
@@ -1887,6 +1918,7 @@ def _release_index_lock(spark, path: str) -> None:
     runs in ``finally`` blocks, so it NEVER raises — a storage error
     here leaves the lock to self-expire rather than masking the
     verb's real exception (r13 review)."""
+    import time as _time
     import uuid
 
     with _path_mutex(path):
@@ -1898,8 +1930,11 @@ def _release_index_lock(spark, path: str) -> None:
             lock = jpath(f"{path}/{_LOCK_FILE}")
             if _read_lock_token(spark, fs, jpath, path) != token:
                 return  # definitely not ours anymore — never touch it
+            # creation time in the name, same reason as break
+            # tombstones: rename inherits the old lock's mtime
             tomb = jpath(
-                f"{path}/{_LOCK_FILE}.release-{uuid.uuid4().hex}"
+                f"{path}/{_LOCK_FILE}.release-"
+                f"{int(_time.time() * 1000)}-{uuid.uuid4().hex}"
             )
             try:
                 claimed = fs.rename(lock, tomb)
@@ -2062,7 +2097,10 @@ def ivfpq_recover_index(spark, path: str) -> dict:
     its cleanup was interrupted) is simply deleted, keeping the new
     model. Stale ``_rebuild_staging`` data is discarded either way.
     Returns ``{"n_cells_rolled_back", "n_staging_discarded",
-    "n_rebuild_rolled_back"}``.
+    "n_rebuild_rolled_back"}``; ``n_staging_discarded`` counts
+    staging AREAS discarded — ``codes_staging`` and
+    ``codes_append_staging`` each contribute one, so a crash that
+    leaves both reports 2 (r13 advice low 2).
 
     Also sweeps ORPHANED LOCK TOMBSTONES (r13 review): a crash
     between a release/stale-break's claim rename and its tombstone
@@ -2071,6 +2109,7 @@ def ivfpq_recover_index(spark, path: str) -> dict:
     ever targets those names. Any such file older than the lease is
     crash garbage (live tombstones exist for milliseconds) and is
     deleted here."""
+    import re
     import time as _time
 
     _fence_commit(spark, path)  # recovery mutates — zombies abort first
@@ -2078,9 +2117,22 @@ def ivfpq_recover_index(spark, path: str) -> dict:
     try:
         for st in fs.listStatus(jpath(path)):
             name = st.getPath().getName()
+            if not name.startswith(f"{_LOCK_FILE}."):
+                continue
+            # Staleness from the CREATION time encoded in the name
+            # (.broken-<ms>-<uuid> / .release-<ms>-<uuid>), NOT the
+            # mtime: rename preserves the source lock's mtime, which
+            # is by definition lease-stale when a breaker tombstones
+            # it, so mtime would call every tombstone stale the
+            # instant it exists and this sweep could delete a LIVE
+            # breaker's tombstone mid-break (r13 advice low 4). The
+            # mtime fallback only covers pre-r14 name formats.
+            m = re.search(r"\.(?:broken|release)-(\d{10,})-", name)
+            birth_ms = (
+                float(m.group(1)) if m else float(st.getModificationTime())
+            )
             if (
-                name.startswith(f"{_LOCK_FILE}.")
-                and _time.time() * 1000.0 - st.getModificationTime()
+                _time.time() * 1000.0 - birth_ms
                 > INDEX_LOCK_LEASE_SEC * 1000.0
             ):
                 fs.delete(st.getPath(), False)
@@ -2126,7 +2178,7 @@ def ivfpq_recover_index(spark, path: str) -> dict:
     discarded = 0
     if fs.exists(staging):
         fs.delete(staging, True)
-        discarded = 1
+        discarded += 1
     append_staging = jpath(f"{path}/codes_append_staging")
     if fs.exists(append_staging):
         # a merge that crashed between its staged write and the
@@ -2134,7 +2186,7 @@ def ivfpq_recover_index(spark, path: str) -> dict:
         # the merge's anti-join re-admits exactly the missing ids on
         # rerun, so no bookkeeping of what DID move is needed
         fs.delete(append_staging, True)
-        discarded = 1
+        discarded += 1
     return {
         "n_cells_rolled_back": rolled,
         "n_staging_discarded": discarded,

@@ -2100,3 +2100,110 @@ def test_evict_model_cache_drops_path_mutex():
     assert p in sim._PATH_MUTEXES
     sim.evict_model_cache(p)
     assert p not in sim._PATH_MUTEXES
+
+
+def test_evict_model_cache_retains_mutex_in_use():
+    """The r13-review convention ("only evict once no verb is in
+    flight") is enforced, not just documented (r13 advice low 3): a
+    held lease or a locked mutex RETAINS the _PATH_MUTEXES entry, so
+    a misuse degrades to one leaked entry instead of two threads
+    holding two different mutexes for the same path."""
+    p = "/idx/in-use"
+
+    # case 1: some thread holds the path's lease
+    mutex = sim._path_mutex(p)
+    sim._HELD_LOCKS[sim._lock_key(p)] = "tok"
+    try:
+        sim.evict_model_cache(p)
+        assert sim._PATH_MUTEXES.get(p) is mutex  # retained, SAME object
+    finally:
+        sim._HELD_LOCKS.pop(sim._lock_key(p), None)
+
+    # case 2: the mutex itself is locked (verb mid check/break/create)
+    with mutex:
+        sim.evict_model_cache(p)
+        assert sim._PATH_MUTEXES.get(p) is mutex
+    # idle again: eviction proceeds
+    sim.evict_model_cache(p)
+    assert p not in sim._PATH_MUTEXES
+
+
+def test_recovery_counts_each_staging_area_discarded(
+    spark, sf_dir, tmp_path
+):
+    """n_staging_discarded counts staging AREAS (r13 advice low 2): a
+    crash that leaves BOTH codes_staging and codes_append_staging
+    reports 2, not 1."""
+    import os
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    path = str(tmp_path / "idx")
+    sim.ivfpq_write_index(emb, path)
+    os.makedirs(f"{path}/codes_staging/cell=0", exist_ok=True)
+    os.makedirs(f"{path}/codes_append_staging", exist_ok=True)
+    rec = sim.ivfpq_recover_index(spark, path)
+    assert rec["n_staging_discarded"] == 2
+    assert not os.path.exists(f"{path}/codes_staging")
+    assert not os.path.exists(f"{path}/codes_append_staging")
+
+
+def test_tombstone_staleness_from_name_not_inherited_mtime(
+    spark, sf_dir, tmp_path
+):
+    """Tombstones are created by RENAMING a lock file, and rename
+    preserves the source's mtime — which is by definition lease-stale
+    when a breaker tombstones it. The sweep therefore judges
+    staleness from the creation time encoded in the tombstone NAME
+    (r13 advice low 4): a FRESH tombstone whose mtime is ancient
+    survives, a stale-named one with a fresh mtime goes."""
+    import os
+    import time
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    path = str(tmp_path / "idx")
+    sim.ivfpq_write_index(emb, path)
+    now_ms = int(time.time() * 1000)
+    stale_ms = now_ms - int((sim.INDEX_LOCK_LEASE_SEC + 60) * 1000)
+    # a live breaker's tombstone: fresh NAME, inherited-ancient mtime
+    live = f"{path}/_index_write_lock.broken-{now_ms}-aaaa"
+    # crash garbage: stale NAME, fresh mtime (e.g. a backup-restore)
+    dead = f"{path}/_index_write_lock.release-{stale_ms}-bbbb"
+    for p in (live, dead):
+        with open(p, "w") as f:
+            f.write("{}")
+    old = time.time() - sim.INDEX_LOCK_LEASE_SEC - 120
+    os.utime(live, (old, old))  # rename-inherited mtime
+    sim.ivfpq_recover_index(spark, path)
+    assert os.path.exists(live)   # name says fresh -> kept
+    assert not os.path.exists(dead)  # name says stale -> swept
+    os.remove(live)
+
+
+def test_fence_reports_unstable_foreign_token_evidence(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Token churn (A,B,C or A,None,A — contenders racing) is its own
+    evidence class (r13 advice low 1): the abort message must not
+    call readable-but-unstable foreign tokens 'missing/unreadable'."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "idx")
+    monkeypatch.setattr(sim, "FENCE_RETRY_SLEEP_SEC", 0.01)
+    sim._HELD_LOCKS[sim._lock_key(path)] = "mine"
+    seq = iter(["foreign-a", "foreign-b", "foreign-c", None, "foreign-d"])
+    monkeypatch.setattr(
+        sim, "_read_lock_token",
+        lambda spark_, fs_, jp_, p_: next(seq, None),
+    )
+    monkeypatch.setattr(sim, "_index_fs", lambda s_, p_: (None, None))
+    try:
+        with _pytest.raises(
+            sim.IndexWriteLockError, match="unstable"
+        ):
+            sim._fence_commit(spark, path)
+    finally:
+        sim._HELD_LOCKS.pop(sim._lock_key(path), None)
