@@ -68,21 +68,38 @@ SF0001 = "/root/testdata/sf0.001"
 # re-verified each round by a FULL tools/check_oracle.py run over the
 # whole registry (at all three SFs), recorded in PROGRESS.jsonl.
 _GATE_FIRST = [
-    # ROUND-13 ROTATION (VERDICT r12 items 1-2). Standing priority order:
+    # ROUND-14 ROTATION (VERDICT r13 item 4). Standing priority order:
     # (1) never driver-checked, (2) implementation changed since last
     # driver row, (3) oldest-attested age canaries.
-    # -- (1) none: no new query this round (the r12 verdict judged the
-    #    surface complete; r13 is lock hardening + rotation).
-    # -- (2) implementation changed this round: every persisted-index
-    #    maintenance verb gained a commit-point FENCE against
-    #    lease-broken zombie writers (token re-read before each rename
-    #    batch / merge append / fresh-build write), release now CLAIMS
-    #    the lock file by atomic rename before inspecting its token,
-    #    the lock-metadata mutex is keyed per index path, the token
-    #    read is EOF-bounded instead of 4096-byte-capped, and
-    #    ivfpq_read_model's missing-index translation no longer
-    #    swallows transient listing failures — every row exercising
-    #    the persisted-index verbs or ivfpq_read_model re-gates.
+    # -- (1) none: no new query this round (r14 is an OPTIMIZATION
+    #    round — broadcast de-pinning + window fix, zero new surface).
+    # -- (2) implementation changed this round, part A: the 13 queries
+    #    whose SF-proportional broadcast hints (customer/part/supplier)
+    #    were removed per r13 verdict item 1, top_revenue_supplier's
+    #    global window replaced by a 1-row agg(max) crossJoin (item 2),
+    #    and returned_items_by_customer's top-20 limit pushed below the
+    #    widening joins — plus excess_volume_suppliers and
+    #    local_supplier_volume, de-pinned under the same rule.
+    "star_join_revenue",
+    "top_unshipped_orders",
+    "supplier_part_volume",
+    "promo_revenue_share",
+    "nation_pair_volume",
+    "disjunctive_predicate_revenue",
+    "top_revenue_supplier",
+    "sole_late_supplier_waitlist",
+    "nation_market_share",
+    "product_profit_by_nation_year",
+    "returned_items_by_customer",
+    "parts_supplier_diversity",
+    "small_quantity_revenue",
+    "excess_volume_suppliers",
+    "local_supplier_volume",
+    # -- (2) part B: the persisted-index verbs re-gate for the r13
+    #    ADVICE closures (fence evidence classes, recovery stat
+    #    counting, timestamp-named lock tombstones, guarded mutex
+    #    eviction) — diagnostics-layer changes, but they sit on the
+    #    acquire/release path every maintenance verb executes.
     "ann_clustered_recall",
     "ann_index_lifecycle",
     "ann_index_delete_reembed",
@@ -90,60 +107,46 @@ _GATE_FIRST = [
     "ann_index_retrain_cycle",
     "ann_index_autocompact_stream",
     "ann_index_autoretrain_stream",
-    # -- (3) the 9 r8-attested rows that did not fit the r12 prefix
-    #    (the oldest attestations in the registry - the r12 verdict
-    #    queued them first; after this gate no row is older than r9)
-    "rolling_7day_customer_revenue",
-    "sequence_packing_stats",
-    "sole_late_supplier_waitlist",
-    "string_functions_report",
-    "supplier_part_volume",
-    "text_clean_and_mask",
-    "top_revenue_supplier",
-    "top_unshipped_orders",
-    "train_val_test_split",
-    # -- (3 cont.) the 34 alphabetically-first of the 43 r9-attested
-    #    rows. The 9 that do not fit this 50-slot prefix
-    #    (source_capped_docs, span_dedup_stats, table_profile_orders, template_doc_flags, token_length_buckets, triangle_counts_parts, unigram_logprob_score, weekly_retention_cohorts, winsorized_price_stats)
-    #    lead the r14 rotation and are re-verified this round by the
+    # -- (3) the 9 r9-attested leftovers the r13 prefix could not fit
+    #    (named there for this rotation; the oldest rows in the
+    #    registry — after this gate no row is older than r10)
+    "source_capped_docs",
+    "span_dedup_stats",
+    "table_profile_orders",
+    "template_doc_flags",
+    "token_length_buckets",
+    "triangle_counts_parts",
+    "unigram_logprob_score",
+    "weekly_retention_cohorts",
+    "winsorized_price_stats",
+    # -- (3 cont.) the 19 alphabetically-first of the 41 rows whose
+    #    newest attestation is r10. The 22 that do not fit this
+    #    50-slot prefix
+    #    (dedup_simhash, dow_seasonality_index, event_sequence_patterns, gini_revenue_concentration, heavy_hitter_users, ks_drift_purchase_view, mad_outlier_prices, markov_event_transitions, max_drawdown_per_user, nway_inner_join, pagerank_weighted_copurchase, personalized_pagerank_parts, predicate_scan, readability_report, regr_price_quantity, rfm_customer_segments, seasonal_adjusted_anomalies, skew_salted_join_agg, span_dedup_rewrite, top_session_paths, unnest_tokens, user_value_trend)
+    #    lead the r15 rotation and are re-verified this round by the
     #    full triple-SF check_oracle sweep like every off-prefix query.
-    "ann_cosine_topk",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "ann_rerank_topk",
-    "bpe_encode_stats",
-    "bpe_merge_stats",
-    "customer_balance_deciles",
-    "dedup_incremental_probe",
-    "excess_volume_suppliers",
-    "forecast_revenue_change",
-    "full_outer_daily_activity",
-    "funnel_view_click_purchase",
-    "fuzzy_part_name_pairs",
-    "idle_rich_customers",
-    "important_parts_value_share",
-    "incremental_rollup_merge",
-    "join_view_maintenance",
-    "kcore_parts",
-    "late_ship_priority_counts",
-    "market_basket_part_pairs",
-    "monthly_revenue_mom_growth",
-    "multimodal_decode_features",
-    "nation_market_share",
-    "order_priority_exists_counts",
-    "pagerank_copurchase_parts",
-    "pareto_revenue_by_segment",
-    "parts_supplier_diversity",
-    "product_profit_by_nation_year",
-    "returned_items_by_customer",
-    "rolling_zscore_anomalies",
-    "scd2_customer_history",
-    "semantic_dedup_stats",
-    "small_quantity_revenue",
-    "snapshot_diff_orders",
-    # Every query outside this prefix is r9-or-fresher on its current
-    # implementation (sole exceptions: the 9 r9 rows named above,
-    # queued first for r14) and is re-verified each round by the FULL
+    "ann_ivfpq_topk",
+    "ann_pq_topk",
+    "anti_join_new_keys",
+    "audio_decode_features",
+    "bigram_logprob_score",
+    "brown_forecast_user_value",
+    "casts_and_coalesce",
+    "chi_square_segment_priority",
+    "classifier_trained_model_filter",
+    "cohort_ltv_curves",
+    "corpus_curation",
+    "correlation_matrix_lineitem",
+    "custom_source_events_report",
+    "customer_order_gap_stats",
+    "daily_returns_volatility",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    # Every query outside this prefix is r10-or-fresher on its current
+    # implementation (sole exceptions: the 22 r10 rows named above,
+    # queued first for r15) and is re-verified each round by the FULL
     # tools/check_oracle.py sweep (run at sf0.001, sf0.01 AND sf0.1 -
     # the standing cross-SF protocol) logged to PROGRESS.jsonl at HEAD.
 ]
