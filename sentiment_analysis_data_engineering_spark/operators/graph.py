@@ -417,9 +417,13 @@ def kcore_peel(
     (Total per-round WORK still includes scanning the surviving pair
     list for the semi/anti probes — broadcast hashing avoids moving it,
     not reading it — so the win is shuffle volume plus the early exit,
-    bought at the price of 3 localCheckpoints and an isEmpty action per
-    round where the recount ran 1: a fixed overhead that loses on tiny
-    graphs and wins as soon as |E| dwarfs the per-round removals.) An
+    bought at the price of 2 localCheckpoints per round where the
+    recount ran 1 — the dead set stays a lazy filter over the
+    checkpointed degree frame and its count rides the degree
+    checkpoint via Observation, so the r14-era dead checkpoint +
+    isEmpty pair is gone (guide §5): a fixed overhead that loses on
+    tiny graphs and wins as soon as |E| dwarfs the per-round
+    removals.) An
     edge with both endpoints dead decrements both, but both rows leave
     the degree frame the same round, so alive-node deltas count each
     removed edge exactly once. When a round kills nobody the fixed
@@ -441,6 +445,8 @@ def kcore_peel(
         raise ValueError(f"k must be >= 0, got {k}")
     if rounds < 0:
         raise ValueError(f"rounds must be >= 0, got {rounds}")
+    from .observe import checkpoint_with_metrics
+
     p = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("_u"),
@@ -450,25 +456,34 @@ def kcore_peel(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    deg = (
+    # the NEXT round's dead-node count rides every degree-frame
+    # materialization via Observation (r15, guide §5): the peel loop
+    # previously ran 4 sequential driver jobs per round (dead
+    # checkpoint, isEmpty probe, degree checkpoint, pair checkpoint);
+    # folding the dead count into the degree checkpoint and deriving
+    # the dead frame lazily from it cuts that to 2 — each removed job
+    # is a full driver round-trip + cluster barrier at scale.
+    _dead_metric = {"n_dead": F.sum((F.col("_d") < k).cast("long"))}
+    deg, _m = checkpoint_with_metrics(
         p.select(F.explode(F.array("_u", "_v")).alias("node"))
         .groupBy("node")
-        .agg(F.count("*").alias("_d"))
-        .localCheckpoint(eager=True)
+        .agg(F.count("*").alias("_d")),
+        **_dead_metric,
     )
+    n_dead = int(_m["n_dead"] or 0)
 
     executed = 0
     converged = False
     for _ in range(rounds):
-        dead = (
-            deg.filter(F.col("_d") < k)
-            .select("node")
-            .localCheckpoint(eager=True)
-        )
-        if dead.isEmpty():
+        if n_dead == 0:
             converged = True
             break  # fixed point: every further round is a no-op
         executed += 1
+        # lazy over the checkpointed degree frame: each consumer
+        # re-filters node-sized cached blocks inside its own job —
+        # cheaper than the dedicated checkpoint + isEmpty pair it
+        # replaces (AQE broadcasts the small dead set per probe)
+        dead = deg.filter(F.col("_d") < k).select("node")
         dead_u = dead.withColumnRenamed("node", "_u")
         dead_v = dead.withColumnRenamed("node", "_v")
         # an alive node loses edge (u,v) exactly when its OTHER
@@ -484,7 +499,7 @@ def kcore_peel(
             .groupBy("node")
             .agg(F.count("*").alias("_delta"))
         )
-        deg = (
+        deg, _m = checkpoint_with_metrics(
             deg.filter(F.col("_d") >= k)
             .join(deltas, "node", "left")
             .select(
@@ -492,9 +507,10 @@ def kcore_peel(
                 (F.col("_d") - F.coalesce(F.col("_delta"), F.lit(0))).alias(
                     "_d"
                 ),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            **_dead_metric,
         )
+        n_dead = int(_m["n_dead"] or 0)
         p = (
             p.join(dead_u, "_u", "left_anti")
             .join(dead_v, "_v", "left_anti")
@@ -510,8 +526,10 @@ def kcore_peel(
         if not converged:
             # budget exhausted: fixed point iff the final degrees left
             # nothing below k (rounds=0 lands here too — then this is
-            # simply "was the input already a k-core")
-            converged = deg.filter(F.col("_d") < k).isEmpty()
+            # simply "was the input already a k-core"); the final
+            # degree frame's observed dead count answers it with no
+            # extra action
+            converged = n_dead == 0
         out = out.select(
             "node",
             "core_degree",

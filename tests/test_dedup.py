@@ -676,3 +676,24 @@ def test_write_epoch_shards_order_and_conservation(spark, tmp_path):
     both = spark.read.parquet(path)
     assert both.count() == 6000
     assert {r.epoch for r in both.select("epoch").distinct().collect()} == {0, 1}
+
+
+def test_connected_components_pointer_doubling_on_long_chain(spark):
+    """The r15 pointer-doubling law: a PATH graph (the worst case for
+    plain min-label propagation — diameter rounds) converges in
+    O(log diameter) rounds with the per-round shortcut, and the labels
+    are still exactly the component minima. A 64-node path needed 63
+    propagation rounds before; the law pins a generous log-scale bound
+    so the doubling can never silently regress to linear."""
+    import math
+
+    from sentiment_analysis_data_engineering_spark.operators import dedup as dd
+
+    n = 64
+    edges = [(i, i + 1) for i in range(n - 1)]  # one path: 0-1-...-63
+    edges += [(1000, 1001)]                      # plus a trivial pair
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.id: r.comp for r in dd.connected_components(df, max_iter=60).collect()}
+    assert got == {**{i: 0 for i in range(n)}, 1000: 1000, 1001: 1000}
+    # doubling: 2(d+1)-hop spread per round -> bound ~log2(diameter)+2
+    assert dd.LAST_CC_ROUNDS <= math.ceil(math.log2(n)) + 3, dd.LAST_CC_ROUNDS

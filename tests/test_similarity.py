@@ -2207,3 +2207,48 @@ def test_fence_reports_unstable_foreign_token_evidence(
             sim._fence_commit(spark, path)
     finally:
         sim._HELD_LOCKS.pop(sim._lock_key(path), None)
+
+
+def test_index_verb_job_counts_stay_folded(spark, sf_dir, tmp_path):
+    """The r15 job-folding law (r14 verdict item 1): every maintenance
+    verb's driver-sequential Spark-job budget is pinned, so a future
+    change cannot silently reintroduce the count/collect round-trips
+    the Observation folds removed (a merge ran 8 Python-side actions
+    through r14; it now runs 3 — encode checkpoint, staged write,
+    validation read-back). Counts are DAG-scheduler job ids, which
+    include AQE stage materializations, hence the slack above the
+    action count; the caps sit ~25% over the measured steady state."""
+    from sentiment_analysis_data_engineering_spark.operators.observe import (
+        spark_job_count,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "idx")
+
+    def jobs(fn):
+        before = spark_job_count(spark)
+        fn()
+        return spark_job_count(spark) - before
+
+    assert jobs(lambda: sim.ivfpq_write_index(base, path)) <= 8
+    # first merge pays the model read (2 collect jobs) + the append
+    assert jobs(lambda: sim.ivfpq_merge_index(spark, path, delta)) <= 17
+    # replayed batch: cached model, no rows staged, no read-back
+    assert jobs(lambda: sim.ivfpq_merge_index(spark, path, delta)) <= 9
+    assert jobs(lambda: sim.ivfpq_compact_index(spark, path)) <= 8
+    assert (
+        jobs(lambda: sim.ivfpq_delete_ids(spark, path, delta.select("vec_id")))
+        <= 15
+    )
+    # retrain = staged rebuild: adds the staging read-back validation
+    assert jobs(lambda: sim.ivfpq_write_index(emb, path)) <= 12
+    q = emb.filter(F.col("vec_id") < 5)
+    probe = sim.ivfpq_probe_index(spark, path, q, emb, k=3)
+    sim.evict_model_cache(path)
+    from sentiment_analysis_data_engineering_spark.operators.dedup import (
+        release_pinned,
+    )
+
+    release_pinned()

@@ -795,3 +795,35 @@ def test_longest_duplicated_span_exact_agrees_with_ladder(spark, sf_dir):
         if nxt is not None and e.n_tokens >= nxt:
             assert e.exact_dup_len < nxt
     assert n_flagged > 0  # the fixture really exercises the search
+
+
+def test_longest_duplicated_span_exact_kary_pass_count(spark, sf_dir):
+    """The r15 k-ary bisection law (r14 verdict item 2): with fanout 3
+    the interval shrinks to <= ceil(gap/4) per pass, so the SEQUENTIAL
+    pass count is bounded by ceil(log4(max initial gap)) — exactly
+    half the binary search's ceil(log2(...)) barrier count. The bound
+    is recomputed from the ladder's own seeding (lo = flagged rung,
+    hi = next rung or n_tokens + 1), so the law tracks the fixture."""
+    import math
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = tx.longest_duplicated_span_exact(
+        docs, "text", "doc_id", widths=(8, 16, 32)
+    ).collect()
+    passes = tx.LAST_BISECTION_PASSES
+    gaps = []
+    for r in out:
+        if r.max_dup_width == 0:
+            continue
+        nxt = {8: 16, 16: 32}.get(r.max_dup_width)
+        hi = min(nxt, r.n_tokens + 1) if nxt else r.n_tokens + 1
+        gaps.append(hi - r.max_dup_width)
+    assert gaps, "fixture must flag at least one doc"
+    max_gap = max(gaps)
+    kary_bound = max(0, math.ceil(math.log(max_gap, 4))) if max_gap > 1 else 0
+    binary_bound = max(0, math.ceil(math.log2(max_gap))) if max_gap > 1 else 0
+    assert passes <= kary_bound, (passes, kary_bound, max_gap)
+    # the claimed ~2x sequential-round cut over the r14 binary search
+    assert kary_bound == math.ceil(binary_bound / 2), (
+        kary_bound, binary_bound,
+    )
