@@ -68,87 +68,89 @@ SF0001 = "/root/testdata/sf0.001"
 # re-verified each round by a FULL tools/check_oracle.py run over the
 # whole registry (at all three SFs), recorded in PROGRESS.jsonl.
 _GATE_FIRST = [
-    # ROUND-14 ROTATION (VERDICT r13 item 4). Standing priority order:
+    # ROUND-15 ROTATION (VERDICT r14 item 7). Standing priority order:
     # (1) never driver-checked, (2) implementation changed since last
     # driver row, (3) oldest-attested age canaries.
-    # -- (1) none: no new query this round (r14 is an OPTIMIZATION
-    #    round — broadcast de-pinning + window fix, zero new surface).
-    # -- (2) implementation changed this round, part A: the 13 queries
-    #    whose SF-proportional broadcast hints (customer/part/supplier)
-    #    were removed per r13 verdict item 1, top_revenue_supplier's
-    #    global window replaced by a 1-row agg(max) crossJoin (item 2),
-    #    and returned_items_by_customer's top-20 limit pushed below the
-    #    widening joins — plus excess_volume_suppliers and
-    #    local_supplier_volume, de-pinned under the same rule.
-    "star_join_revenue",
-    "top_unshipped_orders",
-    "supplier_part_volume",
-    "promo_revenue_share",
-    "nation_pair_volume",
-    "disjunctive_predicate_revenue",
-    "top_revenue_supplier",
-    "sole_late_supplier_waitlist",
-    "nation_market_share",
-    "product_profit_by_nation_year",
-    "returned_items_by_customer",
-    "parts_supplier_diversity",
-    "small_quantity_revenue",
-    "excess_volume_suppliers",
-    "local_supplier_volume",
-    # -- (2) part B: the persisted-index verbs re-gate for the r13
-    #    ADVICE closures (fence evidence classes, recovery stat
-    #    counting, timestamp-named lock tombstones, guarded mutex
-    #    eviction) — diagnostics-layer changes, but they sit on the
-    #    acquire/release path every maintenance verb executes.
-    "ann_clustered_recall",
+    # -- (1) none: no new query this round (r15 is the second
+    #    OPTIMIZATION round — driver-round-trip folding, CC pointer
+    #    doubling, k-ary bisection; zero new query surface).
+    # -- (3, promoted per the r14 verdict's explicit order) the 22
+    #    rows whose newest attestation is r10 that did not fit the
+    #    r14 prefix — named there for this rotation. After this gate
+    #    no row's attestation is older than r11.
+    "dedup_simhash",
+    "dow_seasonality_index",
+    "event_sequence_patterns",
+    "gini_revenue_concentration",
+    "heavy_hitter_users",
+    "ks_drift_purchase_view",
+    "mad_outlier_prices",
+    "markov_event_transitions",
+    "max_drawdown_per_user",
+    "nway_inner_join",
+    "pagerank_weighted_copurchase",
+    "personalized_pagerank_parts",
+    "predicate_scan",
+    "readability_report",
+    "regr_price_quantity",
+    "rfm_customer_segments",
+    "seasonal_adjusted_anomalies",
+    "skew_salted_join_agg",
+    "span_dedup_rewrite",
+    "top_session_paths",
+    "unnest_tokens",
+    "user_value_trend",
+    # -- (2) implementation changed this round: the 13 queries on the
+    #    r15 hot-loop folds — the persisted-index verbs (merge/write/
+    #    compact/delete/probe metrics now ride the materializing
+    #    action via Observation), connected_components users (pointer
+    #    doubling + observed convergence), kcore (observed dead
+    #    count), span_dedup_multiwidth (k-ary bisection) and
+    #    semantic_dedup_stats (driver-side Lloyd on the same
+    #    deterministic sample + Arrow argmax assignment).
     "ann_index_lifecycle",
     "ann_index_delete_reembed",
-    "ann_index_drift_audit",
     "ann_index_retrain_cycle",
     "ann_index_autocompact_stream",
     "ann_index_autoretrain_stream",
-    # -- (3) the 9 r9-attested leftovers the r13 prefix could not fit
-    #    (named there for this rotation; the oldest rows in the
-    #    registry — after this gate no row is older than r10)
-    "source_capped_docs",
-    "span_dedup_stats",
-    "table_profile_orders",
-    "template_doc_flags",
-    "token_length_buckets",
-    "triangle_counts_parts",
-    "unigram_logprob_score",
-    "weekly_retention_cohorts",
-    "winsorized_price_stats",
-    # -- (3 cont.) the 19 alphabetically-first of the 41 rows whose
-    #    newest attestation is r10. The 22 that do not fit this
-    #    50-slot prefix
-    #    (dedup_simhash, dow_seasonality_index, event_sequence_patterns, gini_revenue_concentration, heavy_hitter_users, ks_drift_purchase_view, mad_outlier_prices, markov_event_transitions, max_drawdown_per_user, nway_inner_join, pagerank_weighted_copurchase, personalized_pagerank_parts, predicate_scan, readability_report, regr_price_quantity, rfm_customer_segments, seasonal_adjusted_anomalies, skew_salted_join_agg, span_dedup_rewrite, top_session_paths, unnest_tokens, user_value_trend)
-    #    lead the r15 rotation and are re-verified this round by the
-    #    full triple-SF check_oracle sweep like every off-prefix query.
-    "ann_ivfpq_topk",
-    "ann_pq_topk",
-    "anti_join_new_keys",
-    "audio_decode_features",
-    "bigram_logprob_score",
-    "brown_forecast_user_value",
-    "casts_and_coalesce",
-    "chi_square_segment_priority",
-    "classifier_trained_model_filter",
-    "cohort_ltv_curves",
-    "corpus_curation",
-    "correlation_matrix_lineitem",
-    "custom_source_events_report",
-    "customer_order_gap_stats",
-    "daily_returns_volatility",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    # Every query outside this prefix is r10-or-fresher on its current
-    # implementation (sole exceptions: the 22 r10 rows named above,
-    # queued first for r15) and is re-verified each round by the FULL
+    "ann_index_drift_audit",
+    "ann_clustered_recall",
+    "kcore_parts",
+    "dedup_clusters",
+    "dedup_survivor_selection",
+    "cluster_aware_split_stats",
+    "semantic_dedup_stats",
+    "span_dedup_multiwidth",
+    # -- (2 cont.) apply_merges rebuilt as a constant-size expression
+    #    (one outer aggregate over the literal pair array) — same
+    #    tokens, new plan shape for both BPE stats queries.
+    "bpe_merge_stats",
+    "bpe_encode_stats",
+    # -- (3 cont.) the 13 alphabetically-first of the rows whose
+    #    newest attestation is r11 — the oldest tranche remaining
+    #    after the 22 r10 rows above re-gate. The rest of the r11
+    #    tranche (grouping_sets_revenue onward alphabetically) queues for the
+    #    next rotation and is re-verified this round by the full
+    #    triple-SF check_oracle sweep like every off-prefix query.
+    "approx_distinct_parts",
+    "approx_percentiles_by_segment",
+    "classifier_quality_filter",
+    "count_existence_probe",
+    "cube_order_stats",
+    "date_decomposition",
+    "date_functions_report",
+    "doc_fingerprint",
+    "exact_distinct_parts",
+    "except_all_part_multiset",
+    "except_non_building_buyers",
+    "global_sort",
+    "groupby_agg_pricing_summary",
+    # Every query outside this prefix is r11-or-fresher on its current
+    # implementation and is re-verified each round by the FULL
     # tools/check_oracle.py sweep (run at sf0.001, sf0.01 AND sf0.1 -
     # the standing cross-SF protocol) logged to PROGRESS.jsonl at HEAD.
+    # (returned_items_by_customer took a docstring-only edit this
+    # round — no plan change, covered by the sweep, not re-gated.)
 ]
 assert len(_GATE_FIRST) <= 50, "driver gate checks only the first 50 queries"
 # _ordered() keeps only names present in the registry, so a typo here

@@ -131,12 +131,48 @@ def apply_merges(
     syms: Column, merges: list[tuple[str, str, int]] | list[tuple[str, str]]
 ) -> Column:
     """Segment a symbol array with learned merges, applied in rank
-    order — a chain of JVM folds, no Python. Concatenating the result
-    always reconstructs the input (BPE merges never drop characters)."""
-    out = syms
-    for m in merges:
-        out = _merge_fold(out, m[0], m[1])
-    return out
+    order — JVM folds, no Python. Concatenating the result always
+    reconstructs the input (BPE merges never drop characters).
+
+    Built as ONE outer ``aggregate`` over a literal array of
+    (left, right) pairs whose accumulator is the symbol array, with
+    the single-pair greedy fold as the inner lambda — a CONSTANT-size
+    expression tree regardless of rank count (r15, guide §5: the
+    previous ``len(merges)``-deep chain of nested ``_merge_fold``
+    expressions cost O(ranks) driver-side Column construction (py4j
+    round trips per fold) and O(ranks) analyzer depth, overrunning the
+    analyzer's fixed Resolution budget past ~100 ranks — callers had
+    to chunk, and a 300-rank table burned ~56 s of pure driver time
+    building the tree). Rank order is the literal array's order, so
+    semantics are unchanged (pinned by test_bpe.py: greedy
+    left-to-right on runs, reconstruction, 300-rank bit-equality with
+    the Arrow encoder). Executed work per row is identical: every
+    rank's fold scans the row's symbols either way."""
+    if not merges:
+        return syms
+    pairs = F.array(
+        *[
+            F.struct(F.lit(m[0]).alias("l"), F.lit(m[1]).alias("r"))
+            for m in merges
+        ]
+    )
+    return F.aggregate(
+        pairs,
+        syms,
+        lambda acc, m: F.aggregate(
+            acc,
+            F.expr("CAST(array() AS array<string>)"),
+            lambda a, x: F.when(
+                (F.size(a) > 0)
+                & (F.element_at(a, -1) == m["l"])
+                & (x == m["r"]),
+                F.concat(
+                    F.slice(a, 1, F.size(a) - 1),
+                    F.array(F.concat(m["l"], m["r"])),
+                ),
+            ).otherwise(F.concat(a, F.array(x))),
+        ),
+    )
 
 
 def encode_words(

@@ -17,7 +17,16 @@ TMP = Path("/root/repo/.tmp/tests")
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("tests", shuffle_partitions=4)
+    # local[8], not local[$SPARK_GRAFT_CPUS]: the suite's jobs are tiny
+    # (9-word BPE tables, 500-doc fixtures) and driver-job-bound — the
+    # r14 driver scaling data showed 8 cores BEATING 32 on exactly this
+    # profile (fixed per-task scheduling overhead, no data to spread).
+    # At local[32] every createDataFrame stage schedules 32 tasks for a
+    # handful of rows; 8 slots cuts that 4x across ~600 tests and keeps
+    # the suite inside the driver's VERIFY budget (r14 verdict item 3).
+    # Correctness is master-independent; bench.py still honors
+    # $SPARK_GRAFT_CPUS per the driver contract.
+    s = get_spark("tests", master="local[8]", shuffle_partitions=4)
     yield s
 
 

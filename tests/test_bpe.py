@@ -161,15 +161,13 @@ def test_encode_words_production_rank_count(spark):
         [(w,) for w in sorted(extended)], "word string"
     )
     enc = encode_words(words, merges)
-    # fold the 300 ranks in chunks of 60 selects deep — a single
-    # 300-deep nested-aggregate expression overruns the analyzer's
-    # fixed 100-iteration Resolution budget; chunked selects keep each
-    # analysis pass bounded while composing to the identical fold
-    jvm = words.withColumn("jvm", F.split("word", ""))
-    for i in range(0, len(merges), 60):
-        jvm = jvm.withColumn(
-            "jvm", apply_merges(F.col("jvm"), merges[i : i + 60])
-        )
+    # one call at full depth: apply_merges is a constant-size
+    # expression since r15 (outer aggregate over the literal pair
+    # array), so the pre-r15 chunks-of-60 analyzer workaround is gone
+    # — this now also pins that a single 300-rank call analyzes fine
+    jvm = words.withColumn(
+        "jvm", apply_merges(F.split("word", ""), merges)
+    )
     joined = enc.join(jvm.select("word", "jvm"), "word")
     rows = joined.collect()
     assert len(rows) == len(extended)

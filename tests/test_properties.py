@@ -149,7 +149,18 @@ def test_ewma_closed_form_matches_recursion(xs, alpha):
         min_size=1, max_size=4,
     )
 )
-@_slow
+@settings(
+    # 5 examples, not _slow's 8: each example replays a SEQUENTIAL
+    # multi-batch chain (~10 driver jobs — by far the priciest example
+    # body in this module) and the laws are additionally covered by
+    # the deterministic scd2 tests (test_streaming replay/collapse,
+    # the scd2_customer_history oracle row). Part of the r14 verdict
+    # item-3 budget work: the suite must finish inside the driver's
+    # VERIFY window.
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
 def test_scd2_sequential_laws(spark, batches):
     """SCD2 invariants over ANY sequence of change batches:
     1. exactly one open version per key ever seen;
