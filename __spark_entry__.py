@@ -121,9 +121,10 @@ _GATE_FIRST = [
     "cluster_aware_split_stats",
     "semantic_dedup_stats",
     "span_dedup_multiwidth",
-    # -- (2 cont.) apply_merges rebuilt as a constant-size expression
-    #    (one outer aggregate over the literal pair array) — same
-    #    tokens, new plan shape for both BPE stats queries.
+    # -- (2 cont.) apply_merges rebuilt: constant-size aggregate form
+    #    at >=48 ranks, original per-rank chain below (the bench
+    #    queries' 8-rank path — plan shape unchanged there, but the
+    #    operator's code path changed, so both re-attest).
     "bpe_merge_stats",
     "bpe_encode_stats",
     # -- (3 cont.) the 13 alphabetically-first of the rows whose

@@ -146,10 +146,24 @@ def apply_merges(
     building the tree). Rank order is the literal array's order, so
     semantics are unchanged (pinned by test_bpe.py: greedy
     left-to-right on runs, reconstruction, 300-rank bit-equality with
-    the Arrow encoder). Executed work per row is identical: every
-    rank's fold scans the row's symbols either way."""
+    the Arrow encoder).
+
+    BELOW 48 ranks the original chain of per-rank folds is kept: its
+    literal left/right comparisons evaluate ~2-3x faster per row than
+    the generic pair-variable lambda (measured +1.3 s on
+    bpe_merge_stats' 8-rank table at sf0.1 when the aggregate form
+    was applied unconditionally), construction cost is negligible at
+    that depth, and 48 stays safely under the analyzer's
+    ~100-iteration Resolution budget. Both forms are pinned
+    token-identical by the test_bpe laws, which exercise 1-50-rank
+    tables (chain) and the 300-rank production table (aggregate)."""
     if not merges:
         return syms
+    if len(merges) < 48:
+        out = syms
+        for m in merges:
+            out = _merge_fold(out, m[0], m[1])
+        return out
     pairs = F.array(
         *[
             F.struct(F.lit(m[0]).alias("l"), F.lit(m[1]).alias("r"))

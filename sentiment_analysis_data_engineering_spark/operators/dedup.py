@@ -935,8 +935,20 @@ def connected_components(
     loop's fixed point (no label moved) still forces label equality
     across every edge — constant per component, and the constant is
     the component min because the min node's label can never drop
-    below itself. Near-clique dup graphs still converge in 2-3
-    rounds; the shortcut join there is a node-sized no-op.
+    below itself.
+
+    The shortcut ENGAGES ONLY AFTER 3 PLAIN ROUNDS (r15 paired-subset
+    measurement): near-clique dup graphs — the common case for every
+    minhash/simhash pair feed — converge in 2-3 plain rounds, so for
+    them the doubling self-join is pure per-round overhead (~2x work
+    per round: the stepped subtree is derived twice), measured at
+    0.81-0.87x on dedup_survivor_selection at sf0.1 when doubling ran
+    unconditionally. A graph still moving after 3 rounds has diameter
+    > 3 — the chain regime where doubling wins asymptotically; paying
+    3 plain rounds first leaves total rounds O(log d) (3 + the doubled
+    tail) while making the clique case exactly as cheap as plain
+    propagation. Exactness is mode-independent: both the plain step
+    and the doubled step preserve the invariant above.
     """
     und = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     und = und.unionByName(
@@ -965,24 +977,38 @@ def connected_components(
             F.col("comp").alias("_prev"),
             F.least(F.col("comp"), F.coalesce("_nmin", "comp")).alias("comp"),
         )
-        # shortcut: follow the POST-step label one hop (comp :=
-        # comp(comp(v))) — the self-join re-derives the stepped
-        # subtree, but measured fewer total stage-jobs than probing
-        # the previous round's cached labels (the post-step labels
-        # are one hop further, so rounds converge faster: spread
-        # 2(d+1) vs 2d+1 hops per round)
-        hop = stepped.select(
-            F.col("id").alias("_hid"), F.col("comp").alias("_hcomp")
-        )
-        doubled = F.least(F.col("comp"), F.coalesce("_hcomp", "comp"))
-        new_labels, _m = checkpoint_with_metrics(
-            stepped.join(hop, stepped["comp"] == hop["_hid"], "left").select(
-                "id",
-                doubled.alias("comp"),
-                (doubled < F.col("_prev")).alias("_chg"),
-            ),
-            n_chg=F.sum(F.col("_chg").cast("long")),
-        )
+        if rounds <= 3:
+            # plain-propagation warm-up: cliques converge here with
+            # zero doubling overhead (see docstring)
+            new_labels, _m = checkpoint_with_metrics(
+                stepped.select(
+                    "id",
+                    "comp",
+                    (F.col("comp") < F.col("_prev")).alias("_chg"),
+                ),
+                n_chg=F.sum(F.col("_chg").cast("long")),
+            )
+        else:
+            # shortcut: follow the POST-step label one hop (comp :=
+            # comp(comp(v))) — the self-join re-derives the stepped
+            # subtree, but measured fewer total stage-jobs than
+            # probing the previous round's cached labels (the
+            # post-step labels are one hop further, so rounds
+            # converge faster: spread 2(d+1) vs 2d+1 hops per round)
+            hop = stepped.select(
+                F.col("id").alias("_hid"), F.col("comp").alias("_hcomp")
+            )
+            doubled = F.least(F.col("comp"), F.coalesce("_hcomp", "comp"))
+            new_labels, _m = checkpoint_with_metrics(
+                stepped.join(
+                    hop, stepped["comp"] == hop["_hid"], "left"
+                ).select(
+                    "id",
+                    doubled.alias("comp"),
+                    (doubled < F.col("_prev")).alias("_chg"),
+                ),
+                n_chg=F.sum(F.col("_chg").cast("long")),
+            )
         changed = int(_m["n_chg"] or 0) > 0
         labels = new_labels.select("id", "comp")
         if not changed:
